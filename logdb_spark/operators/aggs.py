@@ -1,0 +1,286 @@
+"""§2.D — aggregations.
+
+All hash aggregations: Catalyst plans partial (map-side) + final
+(post-shuffle) HashAggregate, so the shuffle carries pre-combined
+groups — at 100 TB the shuffle volume is #groups × #partitions, not
+#rows. Float aggregates go through money()/ratio() (functions/numeric)
+with the identical ROUND in the oracle (SURVEY.md §0.2.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logdb_spark.functions.numeric import money, ratio
+from logdb_spark.registry import register
+from logdb_spark.sources.load import load_table
+
+SECTION = "2.D aggregations"
+
+
+@register(
+    "agg_pricing_summary",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2)                          AS sum_qty,
+               ROUND(SUM(l_extendedprice), 2)                     AS sum_base_price,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+               ROUND(AVG(l_quantity), 6)                          AS avg_qty,
+               ROUND(AVG(l_discount), 6)                          AS avg_disc,
+               COUNT(*)                                           AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    section=SECTION,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style pricing summary — the flagship query.
+
+    scan (predicate+projection pushed) -> partial hash agg -> shuffle on
+    (returnflag, linestatus) [6 groups] -> final agg -> sort.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money(F.sum("l_quantity")).alias("sum_qty"),
+            money(F.sum("l_extendedprice")).alias("sum_base_price"),
+            money(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "sum_disc_price"
+            ),
+            ratio(F.avg("l_quantity")).alias("avg_qty"),
+            ratio(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+               COUNT(*) AS n_events
+        FROM events GROUP BY event_type
+    """,
+    section=SECTION,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct: planned as two-phase expand+agg by Catalyst."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register("agg_approx_count_distinct", oracle=None, section=SECTION)
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ sketch distinct (rows-only: sketches differ across engines
+    by construction). At 100 TB this is THE distinct-users operator —
+    single pass, fixed memory, no expand."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+    )
+
+
+@register(
+    "agg_filtered",
+    oracle="""
+        SELECT user_id,
+               COUNT(*) FILTER (WHERE event_type = 'error')    AS n_errors,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+               ROUND(SUM(value) FILTER (WHERE event_type = 'purchase'), 2)
+                   AS purchase_value
+        FROM events GROUP BY user_id
+    """,
+    section=SECTION,
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation — one pass, no self-joins."""
+    ev = load_table(spark, sf_dir, "events")
+    is_err = F.col("event_type") == "error"
+    is_pur = F.col("event_type") == "purchase"
+    return ev.groupBy("user_id").agg(
+        F.count(F.when(is_err, 1)).alias("n_errors"),
+        F.count(F.when(is_pur, 1)).alias("n_purchases"),
+        money(F.sum(F.when(is_pur, F.col("value")))).alias("purchase_value"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    section=SECTION,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtotals via GROUPING SETS (Catalyst Expand + single agg)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+        FROM v_lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+        SELECT r_name, n_name,
+               ROUND(SUM(c_acctbal), 2) AS total_acctbal, COUNT(*) AS n_customers
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+    section=SECTION,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup region -> nation (dimension joins broadcast:
+    nation/region are tiny)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        money(F.sum("c_acctbal")).alias("total_acctbal"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty, COUNT(*) AS n
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    section=SECTION,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(money(F.sum("l_quantity")).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+        SELECT event_type,
+               ROUND(STDDEV_SAMP(value), 6)      AS sd_value,
+               ROUND(VAR_SAMP(value), 6)         AS var_value,
+               ROUND(CORR(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6)
+                   AS corr_value_k,
+               ROUND(COVAR_SAMP(value, CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6)
+                   AS covar_value_k
+        FROM events GROUP BY event_type
+    """,
+    section=SECTION,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (single-pass streaming moments)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("double")
+    )
+    return ev.groupBy("event_type").agg(
+        ratio(F.stddev_samp("value")).alias("sd_value"),
+        ratio(F.var_samp("value")).alias("var_value"),
+        ratio(F.corr("value", "k")).alias("corr_value_k"),
+        ratio(F.covar_samp("value", "k")).alias("covar_value_k"),
+    )
+
+
+@register(
+    "agg_percentile_exact",
+    oracle="""
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.5),  6) AS p50,
+               ROUND(quantile_cont(value, 0.9),  6) AS p90,
+               ROUND(quantile_cont(value, 0.99), 6) AS p99
+        FROM events GROUP BY event_type
+    """,
+    section=SECTION,
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`). Exact percentile sorts per group — fine for
+    bounded groups; unbounded cardinality at 100 TB uses the approx
+    variant below."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        ratio(F.expr("percentile(value, 0.5)")).alias("p50"),
+        ratio(F.expr("percentile(value, 0.9)")).alias("p90"),
+        ratio(F.expr("percentile(value, 0.99)")).alias("p99"),
+    )
+
+
+@register("agg_percentile_approx", oracle=None, section=SECTION)
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL/GK-sketch percentile (rows-only: approx ≠ approx across
+    engines). The 100 TB latency-quantile workhorse: mergeable sketch,
+    no per-group sort."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.95, 10000).alias("p95_approx")
+    )
+
+
+@register(
+    "agg_collect_sorted",
+    oracle="""
+        SELECT user_id, list(DISTINCT event_type ORDER BY event_type) AS types_seen
+        FROM events GROUP BY user_id
+    """,
+    section=SECTION,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-valued aggregate, canonicalized by sorting (SURVEY §7.3.5)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types_seen")
+    )
+
+
+@register(
+    "agg_min_max_by",
+    oracle="""
+        SELECT user_id, event_type AS top_type,
+               ROUND(value, 2) AS top_value
+        FROM events
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id ORDER BY value DESC, event_id DESC) = 1
+    """,
+    section=SECTION,
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arg-max via max_by with a (value, event_id) struct key — the
+    struct tiebreak makes it deterministic under value ties; single
+    hash-agg pass, no window shuffle-sort."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.struct(F.col("value"), F.col("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", key).alias("top_type"),
+        money(F.max("value")).alias("top_value"),
+    )

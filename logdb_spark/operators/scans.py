@@ -1,0 +1,151 @@
+"""§2.A — scans, sources, sinks.
+
+Proves the IO path: parquet scan with projection/predicate pushdown
+(Catalyst pushes both to the vectorized parquet reader — check with
+``.explain``: PushedFilters / ReadSchema), grok-style text ingestion
+(the classic log-analytics entry path: raw line -> regex -> typed
+columns), JSON payload parsing, and a partitioned parquet sink.
+
+Scale: scans are splittable by row group; the sink partitions by day —
+the layout a 100 TB log store wants (partition pruning on time range).
+"""
+
+from __future__ import annotations
+
+import functools
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logdb_spark.functions.temporal import ts_str
+from logdb_spark.registry import register
+from logdb_spark.sources.load import TABLES, load_table
+
+SECTION = "2.A scans/sources/sinks"
+
+
+@register(
+    "scan_parquet",
+    oracle=" UNION ALL ".join(
+        f"SELECT '{t}' AS table_name, count(*) AS n_rows FROM {t}" for t in TABLES
+    ),
+    section=SECTION,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full scan + count of every fixture table (count is metadata-only
+    for parquet: no column data read)."""
+    counts = [
+        load_table(spark, sf_dir, t).agg(
+            F.lit(t).alias("table_name"), F.count(F.lit(1)).alias("n_rows")
+        )
+        for t in TABLES
+    ]
+    return functools.reduce(DataFrame.unionAll, counts)
+
+
+@register(
+    "scan_projection_pushdown",
+    oracle="SELECT l_orderkey, l_quantity FROM lineitem",
+    section=SECTION,
+)
+def scan_projection_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reads 2 of 11 lineitem columns — ReadSchema in the scan node
+    shows only these two (column pruning reaches the reader)."""
+    return load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+
+
+@register(
+    "scan_predicate_pushdown",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+    """,
+    section=SECTION,
+)
+def scan_predicate_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter pushed to parquet row-group stats (PushedFilters:
+    [GreaterThanOrEqual(l_shipdate,...)] in the scan)."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp_ntz"))
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    )
+
+
+@register(
+    "ingest_raw_loglines",
+    oracle="""
+        SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') AS ev_time,
+               user_id AS ev_user,
+               event_type AS ev_type,
+               CAST(printf('%.2f', value) AS DOUBLE) AS ev_value
+        FROM events
+    """,
+    section=SECTION,
+)
+def ingest_raw_loglines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grok-style ingestion round-trip: format events as raw
+    ``ts|user|type|value`` log lines in-query, then regexp_extract the
+    fields back into typed columns. Proves the text-ingestion path
+    (raw line -> regex -> cast) without a raw-text fixture."""
+    ev = load_table(spark, sf_dir, "events")
+    lines = ev.select(
+        F.concat_ws(
+            "|",
+            ts_str("ts"),
+            F.col("user_id").cast("string"),
+            "event_type",
+            F.format_string("%.2f", "value"),
+        ).alias("line")
+    )
+    pat = r"^([^|]+)\|([^|]+)\|([^|]+)\|([^|]+)$"
+    return lines.select(
+        F.regexp_extract("line", pat, 1).alias("ev_time"),
+        F.regexp_extract("line", pat, 2).cast("bigint").alias("ev_user"),
+        F.regexp_extract("line", pat, 3).alias("ev_type"),
+        F.regexp_extract("line", pat, 4).cast("double").alias("ev_value"),
+    )
+
+
+@register(
+    "ingest_json_props",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+        FROM events
+    """,
+    section=SECTION,
+)
+def ingest_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read over the JSON payload column."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+    )
+
+
+@register("sink_partitioned_parquet", oracle=None, section=SECTION)
+def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-partitioned parquet sink + readback (rows-only check).
+
+    Partitioning by event day is the canonical log-store layout: time-
+    range queries prune partitions at the source listing. Readback
+    counts per partition prove the round trip.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="logdb_sink_")
+    (
+        ev.withColumn("event_date", F.to_date("ts"))
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("event_date")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(F.col("event_date").cast("string").alias("event_date"), "n_rows")
+        .orderBy("event_date")
+    )

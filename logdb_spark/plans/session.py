@@ -1,0 +1,75 @@
+"""SparkSession configuration.
+
+Two paths:
+- ``configure(spark)`` — applied to an EXISTING session (the driver owns
+  the SparkSession it passes to ``entry``/``queries``). All confs used
+  here are runtime-settable SQL confs (probe-verified on PySpark 4.1.2).
+- ``get_spark()`` — builds a session for tests/bench with the same confs
+  plus local-mode sizing.
+
+Scale posture: these confs are the local-mode projection of a cluster
+config. At 100 TB the same knobs hold (AQE coalesce/skew-join do the
+runtime sizing); only ``shuffle.partitions``' floor changes — AQE's
+coalescing makes a high initial value safe on a big cluster, while the
+advisory partition size keeps post-shuffle partitions executor-sized.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable SQL confs applied to ANY session that touches the
+# fixture tables. Determinism + correctness critical:
+#  - UTC session TZ: fixture timestamps are naive-UTC; DuckDB agrees.
+#  - nanosAsLong: events.ts is parquet timestamp[ns], which PySpark
+#    4.1.2 hard-fails on otherwise (PARQUET_TYPE_ILLEGAL). sources/load
+#    converts the resulting epoch-nanos long back to a timestamp.
+#  - AQE on (default in 4.x, pinned here): runtime partition coalescing,
+#    skew-join splitting, dynamic broadcast conversion.
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas_udf / applyInPandas / toPandas path.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an existing session (idempotent)."""
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Conf not settable on this build — leave the session's value.
+            pass
+    return spark
+
+
+def default_shuffle_partitions() -> int:
+    """Initial shuffle partitions: ~2x cores locally; AQE coalesces down.
+
+    On a real cluster this would be 2-3x total executor cores (or simply
+    a high value like 2000 with AQE coalescing); the env var override is
+    the bench hook.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    return max(8, 2 * cpus)
+
+
+def get_spark(app_name: str = "logdb-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
+        .config("spark.sql.shuffle.partitions", str(default_shuffle_partitions()))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return configure(builder.getOrCreate())
