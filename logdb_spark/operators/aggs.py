@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from logdb_spark.functions.numeric import money, ratio
+from logdb_spark.functions.numeric import dec4, dround, money, ratio
 from logdb_spark.registry import register
 from logdb_spark.sources.load import load_table
 
@@ -23,9 +23,12 @@ SECTION = "2.D aggregations"
     "agg_pricing_summary",
     oracle="""
         SELECT l_returnflag, l_linestatus,
-               ROUND(SUM(l_quantity), 2)                          AS sum_qty,
-               ROUND(SUM(l_extendedprice), 2)                     AS sum_base_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS sum_base_price,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+                   AS sum_disc_price,
                ROUND(AVG(l_quantity), 6)                          AS avg_qty,
                ROUND(AVG(l_discount), 6)                          AS avg_disc,
                COUNT(*)                                           AS count_order
@@ -48,10 +51,10 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             money(F.sum("l_quantity")).alias("sum_qty"),
-            money(F.sum("l_extendedprice")).alias("sum_base_price"),
-            money(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
-                "sum_disc_price"
-            ),
+            dround(F.sum(dec4("l_extendedprice"))).alias("sum_base_price"),
+            dround(
+                F.sum(dec4("l_extendedprice") * (F.lit(1) - dec4("l_discount")))
+            ).alias("sum_disc_price"),
             ratio(F.avg("l_quantity")).alias("avg_qty"),
             ratio(F.avg("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
@@ -99,7 +102,8 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id,
                COUNT(*) FILTER (WHERE event_type = 'error')    AS n_errors,
                COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
-               ROUND(SUM(value) FILTER (WHERE event_type = 'purchase'), 2)
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4)))
+                          FILTER (WHERE event_type = 'purchase'), 2) AS DOUBLE)
                    AS purchase_value
         FROM events GROUP BY user_id
     """,
@@ -113,7 +117,7 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").agg(
         F.count(F.when(is_err, 1)).alias("n_errors"),
         F.count(F.when(is_pur, 1)).alias("n_purchases"),
-        money(F.sum(F.when(is_pur, F.col("value")))).alias("purchase_value"),
+        dround(F.sum(F.when(is_pur, dec4("value")))).alias("purchase_value"),
     )
 
 
@@ -144,7 +148,9 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_rollup",
     oracle="""
         SELECT r_name, n_name,
-               ROUND(SUM(c_acctbal), 2) AS total_acctbal, COUNT(*) AS n_customers
+               CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS total_acctbal,
+               COUNT(*) AS n_customers
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
@@ -162,7 +168,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(n), c.c_nationkey == n.n_nationkey
     ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     return joined.rollup("r_name", "n_name").agg(
-        money(F.sum("c_acctbal")).alias("total_acctbal"),
+        dround(F.sum(dec4("c_acctbal"))).alias("total_acctbal"),
         F.count(F.lit(1)).alias("n_customers"),
     )
 

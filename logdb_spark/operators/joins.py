@@ -1,1 +1,325 @@
-"""Placeholder — operators land in a later phase this round."""
+"""§2.C — joins.
+
+Join-strategy posture for 100 TB (SURVEY.md §4): dimension tables
+(region/nation/customer/part/supplier) are broadcast — no shuffle of
+the fact side; fact-to-fact equi-joins shuffle on the join key and AQE
+handles skew; the non-equi family (theta/range, interval self-pair,
+as-of) is expressed so the equi part of the condition drives a hash
+join and the range part stays a post-join filter — never a cartesian
+product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from logdb_spark.functions.numeric import dec4, dround
+from logdb_spark.functions.temporal import ts_str
+from logdb_spark.registry import register
+from logdb_spark.sources.load import load_table
+
+SECTION = "2.C joins"
+
+
+@register(
+    "join_inner_equi",
+    oracle="""
+        SELECT o_orderkey, c_name, o_totalprice, o_orderstatus
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_totalprice > 300000
+    """,
+    section=SECTION,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer. At fixture scale AQE converts this to a
+    broadcast join of customer; at 100 TB the same plan holds (customer
+    is the small side)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.filter(F.col("o_totalprice") > 300000)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("o_orderkey", "c_name", "o_totalprice", "o_orderstatus")
+    )
+
+
+@register(
+    "join_multiway_star",
+    oracle="""
+        SELECT r_name, n_name,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE)
+                   AS revenue,
+               COUNT(*) AS n_lineitems
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    section=SECTION,
+)
+def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way star: fact joins up the dimension chain. Catalyst + AQE
+    broadcast every dimension side; the only shuffle is the final
+    group-by on (r_name, n_name)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            dround(
+                F.sum(dec4("l_extendedprice") * (F.lit(1) - dec4("l_discount")))
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+        SELECT p_brand,
+               COUNT(*) AS n_items,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS total_price
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """,
+    section=SECTION,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast hint: part ships to every executor, lineitem
+    never shuffles for the join (only the tiny group-by shuffles)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dround(F.sum(dec4("l_extendedprice"))).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+        SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderstatus = 'F'
+    """,
+    section=SECTION,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preserves order-less customers with NULL order columns; the
+    status predicate lives in the join condition (not a post-filter) —
+    classic outer-join semantics trap, exercised deliberately."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(
+        o, (c.c_custkey == o.o_custkey) & (o.o_orderstatus == "F"), "left"
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+        WITH hi_cust AS (SELECT * FROM customer WHERE c_acctbal > 7000),
+             hi_ord  AS (SELECT * FROM orders WHERE o_totalprice > 400000)
+        SELECT c_custkey, c_acctbal, o_orderkey, o_totalprice
+        FROM hi_cust FULL OUTER JOIN hi_ord ON c_custkey = o_custkey
+    """,
+    section=SECTION,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer on filtered sides: unmatched rows survive from both."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 7000)
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        "c_custkey", "c_acctbal", "o_orderkey", "o_totalprice"
+    )
+
+
+@register(
+    "join_left_semi",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+    section=SECTION,
+)
+def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join: emits each matching customer once, never duplicates —
+    and never materializes the orders columns."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_left_anti",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    section=SECTION,
+)
+def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers with no orders at all."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+        SELECT r_name, p.o_orderpriority
+        FROM region CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+    """,
+    section=SECTION,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiny deliberate cross product (5 regions × 5 priorities)."""
+    r = load_table(spark, sf_dir, "region")
+    pri = load_table(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+    return r.crossJoin(pri).select("r_name", "o_orderpriority")
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS order_month,
+               COUNT(*) AS n_shipped_90d,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS price_shipped_90d
+        FROM lineitem JOIN orders
+          ON l_orderkey = o_orderkey
+         AND l_shipdate >= o_orderdate
+         AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+        GROUP BY 1
+    """,
+    section=SECTION,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: equi key (l_orderkey) drives the hash join; the
+    90-day range rides along as a join-condition filter. At 100 TB this
+    stays a shuffle-hash/sort-merge join on the key — never a
+    broadcast-nested-loop, because the equi conjunct exists."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate <= F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+    )
+    return (
+        li.join(o, cond)
+        .groupBy(F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shipped_90d"),
+            dround(F.sum(dec4("l_extendedprice"))).alias("price_shipped_90d"),
+        )
+    )
+
+
+@register(
+    "join_interval_selfpair",
+    oracle="""
+        WITH e AS (SELECT event_id, user_id, date_trunc('second', ts) AS ts
+                   FROM events)
+        SELECT a.user_id,
+               a.event_id AS id_a, b.event_id AS id_b,
+               CAST(epoch(b.ts) - epoch(a.ts) AS BIGINT) AS gap_s
+        FROM e a JOIN e b
+          ON a.user_id = b.user_id
+         AND a.event_id < b.event_id
+         AND b.ts >= a.ts
+         AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    """,
+    section=SECTION,
+)
+def join_interval_selfpair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band self-join: event pairs from the same user within 5 minutes.
+    Equi conjunct (user_id) drives the join; at scale, salting or an
+    additional coarse time-bucket equi key bounds the per-key fan-out."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.date_trunc("second", "ts").alias("ts")
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    cond = (
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.event_id") < F.col("b.event_id"))
+        & (F.col("b.ts") >= F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 5 MINUTE"))
+    )
+    return a.join(b, cond).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_id").alias("id_a"),
+        F.col("b.event_id").alias("id_b"),
+        (F.col("b.ts").cast("long") - F.col("a.ts").cast("long")).alias("gap_s"),
+    )
+
+
+@register(
+    "join_asof_latest_event",
+    oracle="""
+        SELECT event_id, user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_time,
+               o_orderkey AS last_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS last_orderdate
+        FROM (
+            SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+                   row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+            FROM events e JOIN orders o
+              ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+        ) WHERE rn = 1
+    """,
+    section=SECTION,
+)
+def join_asof_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the user's most recent order as of
+    the event time (customer key doubles as user id in the fixtures).
+
+    Emulated as equi-join on the key + row_number over the time order —
+    the standard Spark formulation. At 100 TB: pre-bucket both sides on
+    the key and time-bucket so the window sort is partition-local.
+    Ties broken by o_orderkey DESC for cross-engine determinism.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    joined = ev.join(
+        o, (o.o_custkey == ev.user_id) & (o.o_orderdate <= ev.ts)
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            ts_str("ts").alias("event_time"),
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("last_orderdate"),
+        )
+    )
