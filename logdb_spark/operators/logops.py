@@ -1,1 +1,260 @@
-"""Placeholder — operators land in a later phase this round."""
+"""§2.I — log-analytics composites.
+
+The queries a log engine exists for: time histograms, error rates,
+top talkers, gap sessionization, funnels, spike detection, pivots.
+All compose §2.B–§2.E primitives; each shuffles at most on
+(time bucket) or (user) — bounded-cardinality keys that scale.
+Time is truncated to whole seconds/hours on BOTH engines before any
+arithmetic (ns-vs-µs precision discipline, SURVEY.md §0.2.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from logdb_spark.functions.numeric import ratio
+from logdb_spark.functions.temporal import ts_str
+from logdb_spark.registry import register
+from logdb_spark.sources.load import load_table
+
+SECTION = "2.I log composites"
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "log_time_histogram",
+    oracle="""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+               event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    """,
+    section=SECTION,
+)
+def log_time_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events per hour per type — the canonical log query. One shuffle
+    on (hour, type): ~720 × 5 groups regardless of input size."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        ts_str(F.date_trunc("hour", "ts")).alias("hour"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "log_error_rate",
+    oracle="""
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               COUNT(*) AS n_total,
+               COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,
+               ROUND(COUNT(*) FILTER (WHERE event_type = 'error')
+                     * 1.0 / COUNT(*), 6) AS error_rate
+        FROM events GROUP BY 1
+    """,
+    section=SECTION,
+)
+def log_error_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Errors/total ratio per day — conditional agg, single pass."""
+    ev = load_table(spark, sf_dir, "events")
+    n_err = F.count(F.when(F.col("event_type") == "error", 1))
+    n_tot = F.count(F.lit(1))
+    return ev.groupBy(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        n_tot.alias("n_total"),
+        n_err.alias("n_errors"),
+        ratio(n_err * F.lit(1.0) / n_tot).alias("error_rate"),
+    )
+
+
+@register(
+    "log_top_talkers",
+    oracle="""
+        SELECT user_id, COUNT(*) AS n_events,
+               COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors,
+               ROUND(COUNT(*) FILTER (WHERE event_type = 'error')
+                     * 1.0 / COUNT(*), 6) AS error_share
+        FROM events
+        GROUP BY user_id
+        ORDER BY n_events DESC, user_id
+        LIMIT 10
+    """,
+    section=SECTION,
+)
+def log_top_talkers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 noisiest users + their error share (agg then top-k heap)."""
+    ev = load_table(spark, sf_dir, "events")
+    n_err = F.count(F.when(F.col("event_type") == "error", 1))
+    n_tot = F.count(F.lit(1))
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            n_tot.alias("n_events"),
+            n_err.alias("n_errors"),
+            ratio(n_err * F.lit(1.0) / n_tot).alias("error_share"),
+        )
+        .orderBy(F.col("n_events").desc(), "user_id")
+        .limit(10)
+    )
+
+
+@register(
+    "log_sessionize_gap",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id, date_trunc('second', ts) AS ts
+            FROM events
+        ), flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                        OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+            SELECT user_id, event_id, ts,
+                   SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        )
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               COUNT(*) AS n_events,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               CAST(epoch(MAX(ts)) - epoch(MIN(ts)) AS BIGINT) AS duration_s
+        FROM numbered
+        GROUP BY user_id, session_id
+    """,
+    section=SECTION,
+)
+def log_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (gap > 30 min ⇒ new session): the
+    classic two-window composition — lag to flag boundaries, running
+    sum to number sessions, then per-session aggregation. All three
+    steps share the (user_id) partitioning: ONE shuffle total."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.date_trunc("second", "ts").alias("ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | ((F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        ts_str(F.min("ts")).alias("session_start"),
+        (F.max("ts").cast("long") - F.min("ts").cast("long")).alias("duration_s"),
+    )
+
+
+@register(
+    "log_funnel",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   MIN(ts) FILTER (WHERE event_type = 'signup')   AS first_signup,
+                   MIN(ts) FILTER (WHERE event_type = 'purchase') AS first_purchase
+            FROM events GROUP BY user_id
+        )
+        SELECT COUNT(*) FILTER (WHERE first_signup IS NOT NULL) AS n_signed_up,
+               COUNT(*) FILTER (WHERE first_signup IS NOT NULL
+                                AND first_purchase > first_signup) AS n_converted,
+               ROUND(COUNT(*) FILTER (WHERE first_signup IS NOT NULL
+                                      AND first_purchase > first_signup) * 1.0
+                     / COUNT(*) FILTER (WHERE first_signup IS NOT NULL), 6)
+                   AS conversion_rate
+        FROM per_user
+    """,
+    section=SECTION,
+)
+def log_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signup -> purchase conversion funnel via per-user first-touch
+    times (conditional MIN, no self-join)."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias(
+            "first_signup"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    signed = F.count(F.when(F.col("first_signup").isNotNull(), 1))
+    converted = F.count(
+        F.when(
+            F.col("first_signup").isNotNull()
+            & (F.col("first_purchase") > F.col("first_signup")),
+            1,
+        )
+    )
+    return per_user.agg(
+        signed.alias("n_signed_up"),
+        converted.alias("n_converted"),
+        ratio(converted * F.lit(1.0) / signed).alias("conversion_rate"),
+    )
+
+
+@register(
+    "log_rate_spike",
+    oracle="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS hour,
+                   COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors
+            FROM events GROUP BY 1
+        )
+        SELECT strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+               n_errors,
+               COALESCE(lag(n_errors) OVER (ORDER BY hour), 0) AS prev_errors,
+               n_errors - COALESCE(lag(n_errors) OVER (ORDER BY hour), 0) AS delta
+        FROM hourly
+    """,
+    section=SECTION,
+)
+def log_rate_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-over-hour error delta: bucketed agg first (collapses to
+    ~720 rows), THEN the unpartitioned lag window — cheap because it
+    runs on the aggregate, not the raw stream."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors")
+    )
+    w = Window.orderBy("hour")
+    prev = F.coalesce(F.lag("n_errors").over(w), F.lit(0))
+    return hourly.select(
+        ts_str("hour").alias("hour"),
+        "n_errors",
+        prev.alias("prev_errors"),
+        (F.col("n_errors") - prev).alias("delta"),
+    )
+
+
+@register(
+    "log_pivot_types",
+    oracle="""
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+               COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+               COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+               COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+        FROM events GROUP BY 1
+    """,
+    section=SECTION,
+)
+def log_pivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """day × event_type count matrix. Pivot columns pinned to the known
+    domain (SURVEY §7.3.4) — with an explicit value list Spark skips
+    the extra distinct-values job AND the output schema is stable."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )

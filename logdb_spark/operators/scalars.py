@@ -1,1 +1,257 @@
-"""Placeholder — operators land in a later phase this round."""
+"""§2.H — scalar function suites (string / regex / date / math / case /
+array / map-from-json / higher-order).
+
+All built-in pyspark.sql.functions — JVM-side, inside whole-stage
+codegen; no Python in any of these paths. Higher-order functions
+(transform/filter/aggregate) run as Catalyst lambda expressions, the
+idiomatic way to compute over array columns without exploding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logdb_spark.functions.numeric import ratio
+from logdb_spark.registry import register
+from logdb_spark.sources.load import load_table
+
+SECTION = "2.H scalar functions"
+
+
+@register(
+    "fn_string_suite",
+    oracle="""
+        SELECT p_partkey,
+               lower(p_name)                          AS name_lower,
+               upper(p_type)                          AS type_upper,
+               length(p_name)                         AS name_len,
+               replace(p_brand, 'Brand#', 'B')        AS brand_short,
+               substr(p_type, 1, 5)                   AS type_prefix,
+               concat_ws('-', p_brand, p_type)        AS brand_type,
+               trim('  ' || p_brand || ' ')           AS brand_trim
+        FROM part
+    """,
+    section=SECTION,
+)
+def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_type").alias("type_upper"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.replace(F.col("p_brand"), F.lit("Brand#"), F.lit("B")).alias("brand_short"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit(" "))).alias(
+            "brand_trim"
+        ),
+    )
+
+
+@register(
+    "fn_regexp_extract",
+    oracle=r"""
+        SELECT p_partkey, p_brand,
+               CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS BIGINT)
+                   AS brand_num
+        FROM part
+    """,
+    section=SECTION,
+)
+def fn_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).cast("bigint").alias(
+            "brand_num"
+        ),
+    )
+
+
+@register(
+    "fn_date_suite",
+    oracle="""
+        SELECT o_orderkey,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS order_month,
+               strftime(date_trunc('week',  o_orderdate), '%Y-%m-%d') AS order_week,
+               CAST(year(o_orderdate)  AS BIGINT) AS order_year,
+               CAST(month(o_orderdate) AS BIGINT) AS order_month_num,
+               CAST(isodow(o_orderdate) AS BIGINT) AS order_isodow,
+               CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01')
+                    AS BIGINT) AS days_to_2002,
+               strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due_date
+        FROM orders
+    """,
+    section=SECTION,
+)
+def fn_date_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc / extract / datediff / interval arithmetic.
+
+    Cross-engine quirk handled: Spark weekday() is 0=Monday while
+    DuckDB dayofweek() is 0=Sunday — ISO day-of-week (1=Monday) is the
+    stable common form.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "order_month"
+        ),
+        F.date_format(F.date_trunc("week", "o_orderdate"), "yyyy-MM-dd").alias(
+            "order_week"
+        ),
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month_num"),
+        (F.weekday("o_orderdate") + 1).cast("bigint").alias("order_isodow"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.to_date("o_orderdate"))
+        .cast("bigint")
+        .alias("days_to_2002"),
+        F.date_format(
+            F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"), "yyyy-MM-dd"
+        ).alias("due_date"),
+    )
+
+
+@register(
+    "fn_math_suite",
+    oracle="""
+        SELECT o_orderkey,
+               ROUND(abs(o_totalprice - 250000), 2)   AS abs_from_mid,
+               CAST(ceil(o_totalprice / 1000)  AS BIGINT) AS price_k_ceil,
+               CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k_floor,
+               ROUND(ln(o_totalprice), 6)             AS ln_price,
+               ROUND(sqrt(o_totalprice), 6)           AS sqrt_price,
+               ROUND(pow(o_totalprice / 100000, 2), 6) AS pow_price,
+               CAST(sign(o_totalprice - 250000) AS DOUBLE) AS sign_mid
+        FROM orders
+    """,
+    section=SECTION,
+)
+def fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    tp = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.round(F.abs(tp - 250000), 2).alias("abs_from_mid"),
+        F.ceil(tp / 1000).alias("price_k_ceil"),
+        F.floor(tp / 1000).alias("price_k_floor"),
+        ratio(F.log(tp)).alias("ln_price"),
+        ratio(F.sqrt(tp)).alias("sqrt_price"),
+        ratio(F.pow(tp / 100000, 2)).alias("pow_price"),
+        F.signum(tp - 250000).cast("double").alias("sign_mid"),
+    )
+
+
+@register(
+    "fn_case_bucketing",
+    oracle="""
+        SELECT CASE WHEN value < 50 THEN 'low'
+                    WHEN value < 200 THEN 'mid'
+                    ELSE 'high' END AS value_band,
+               event_type,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY 1, 2
+    """,
+    section=SECTION,
+)
+def fn_case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    band = (
+        F.when(F.col("value") < 50, "low")
+        .when(F.col("value") < 200, "mid")
+        .otherwise("high")
+        .alias("value_band")
+    )
+    return ev.groupBy(band, F.col("event_type")).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "fn_array_suite",
+    oracle="""
+        SELECT doc_id,
+               len(string_split(text, ' '))                    AS n_tokens,
+               list_sort(string_split(text, ' '))[1:3]         AS first3_sorted,
+               list_contains(string_split(text, ' '), 'join')  AS has_join,
+               len(list_distinct(string_split(text, ' ')))     AS n_distinct
+        FROM documents
+    """,
+    section=SECTION,
+)
+def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions over tokenized text (no explode needed)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.slice(F.array_sort(toks), 1, 3).alias("first3_sorted"),
+        F.array_contains(toks, "join").alias("has_join"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+    )
+
+
+@register(
+    "fn_map_from_json",
+    oracle="""
+        SELECT event_id,
+               json_keys(props)                                   AS prop_keys,
+               CAST(json_extract_string(props, '$.k') AS BIGINT)  AS k_value,
+               CAST(len(json_keys(props)) AS INTEGER)             AS n_keys
+        FROM events
+    """,
+    section=SECTION,
+)
+def fn_map_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload -> MapType, then map functions (schema-on-read)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.array_sort(F.map_keys(m)).alias("prop_keys"),
+        m.getItem("k").alias("k_value"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+@register(
+    "fn_higher_order",
+    oracle="""
+        WITH e AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                   FROM embeddings)
+        SELECT vec_id,
+               CAST(len(list_filter(emb, x -> x > 0)) AS INTEGER) AS n_positive,
+               ROUND(list_aggregate(list_transform(emb, x -> abs(x)), 'sum'), 6)
+                   AS l1_norm,
+               ROUND(list_aggregate(emb, 'sum') / len(emb), 6) AS mean_component
+        FROM e
+    """,
+    section=SECTION,
+)
+def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transform / filter / aggregate lambdas over the embedding array.
+
+    Elements are cast float->double BEFORE summation on both engines so
+    the sequential accumulation is bit-identical (float32 accumulators
+    would drift differently).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    emb = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
+        ratio(
+            F.aggregate(
+                F.transform(emb, lambda x: F.abs(x)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("l1_norm"),
+        ratio(
+            F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x) / F.size(emb)
+        ).alias("mean_component"),
+    )

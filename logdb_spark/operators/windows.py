@@ -1,1 +1,207 @@
-"""Placeholder — operators land in a later phase this round."""
+"""§2.E — window functions.
+
+Every window here partitions by a bounded key (nation, user) so state
+per partition is bounded; at 100 TB the shuffle is on the partition
+key and the per-key sort is partition-local (no global sort anywhere).
+Determinism discipline: every ORDER BY carries a unique tiebreaker
+(custkey/event_id) so ranking and frame contents are identical across
+engines (SURVEY.md §5.4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from logdb_spark.functions.numeric import dec4, dround, ratio
+from logdb_spark.functions.temporal import ts_str
+from logdb_spark.registry import register
+from logdb_spark.sources.load import load_table
+
+SECTION = "2.E windows"
+
+
+@register(
+    "win_rank_dense_rownum",
+    oracle="""
+        SELECT c_custkey, c_nationkey, c_acctbal,
+               rank()       OVER w AS rnk,
+               dense_rank() OVER w AS drnk,
+               row_number() OVER (
+                   PARTITION BY c_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC)
+    """,
+    section=SECTION,
+)
+def win_rank_dense_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All three ranking functions over one shuffle: same partition key
+    means Catalyst computes them in a single Window node."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    wt = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(wt).alias("rn"),
+    )
+
+
+@register(
+    "win_ntile_percent",
+    oracle="""
+        SELECT o_orderkey, o_totalprice,
+               ntile(4)       OVER w AS quartile,
+               ROUND(percent_rank() OVER w, 6) AS pct_rank,
+               ROUND(cume_dist()    OVER w, 6) AS cume
+        FROM orders
+        WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    """,
+    section=SECTION,
+)
+def win_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution functions over a global order — the one deliberate
+    global sort in the inventory (single-partition window). At 100 TB
+    the equivalent is approx quantiles (§2.D) — declared here for
+    surface parity, not as a scale pattern."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+        ratio(F.percent_rank().over(w)).alias("pct_rank"),
+        ratio(F.cume_dist().over(w)).alias("cume"),
+    )
+
+
+@register(
+    "win_lag_lead_delta",
+    oracle="""
+        WITH e AS (SELECT event_id, user_id, event_type,
+                          date_trunc('second', ts) AS ts FROM events)
+        SELECT event_id, user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+               CAST(epoch(ts) - epoch(lag(ts) OVER w) AS BIGINT) AS gap_s,
+               lead(event_type) OVER w AS next_type
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    section=SECTION,
+)
+def win_lag_lead_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap via lag — the sessionization primitive."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.date_trunc("second", "ts").alias("ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        ts_str("ts").alias("ts_s"),
+        (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")).alias("gap_s"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "win_running_sum",
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+                   PARTITION BY user_id
+                   ORDER BY date_trunc('second', ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 2) AS DOUBLE) AS running_value
+        FROM events
+    """,
+    section=SECTION,
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-user value over time (decimal accumulator: the
+    running sum is exact, so every prefix matches cross-engine)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.date_trunc("second", "ts"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        dround(F.sum(dec4("value")).over(w)).alias("running_value"),
+    )
+
+
+@register(
+    "win_moving_avg_range",
+    oracle="""
+        WITH e AS (SELECT event_id, user_id, value,
+                          CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec
+                   FROM events)
+        SELECT event_id, user_id,
+               ROUND(AVG(value) OVER (
+                   PARTITION BY user_id ORDER BY sec
+                   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+               ), 6) AS avg_1h
+        FROM e
+    """,
+    section=SECTION,
+)
+def win_moving_avg_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed moving average over the trailing hour — frame
+    membership is by time value, not row position."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.date_trunc("second", "ts").cast("long").alias("sec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("sec").rangeBetween(-3600, 0)
+    return ev.select(
+        "event_id", "user_id", ratio(F.avg("value").over(w)).alias("avg_1h")
+    )
+
+
+@register(
+    "win_first_last",
+    oracle="""
+        WITH e AS (SELECT user_id, event_type,
+                          date_trunc('second', ts) AS ts,
+                          CAST(ts AS DATE) AS day, event_id
+                   FROM events)
+        SELECT DISTINCT user_id, strftime(day, '%Y-%m-%d') AS day,
+               first_value(event_type) OVER w AS first_type,
+               last_value(event_type)  OVER w AS last_type
+        FROM e
+        WINDOW w AS (PARTITION BY user_id, day ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    section=SECTION,
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last event type per user-day over a full frame."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.date_trunc("second", "ts").alias("ts"),
+        F.to_date("ts").alias("day"),
+        "event_id",
+    )
+    w = (
+        Window.partitionBy("user_id", "day")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return ev.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+    ).distinct()
