@@ -1,0 +1,171 @@
+"""§2.K-adjacent — multimodal columns (image/audio/video as opaque
+binary + typed metadata).
+
+The fixtures carry no media, so the binary payloads are manufactured
+in-query (utf8 bytes of the text column) — the SPARK-SIDE PLUMBING is
+the deliverable and is real: binary columns with typed metadata
+structs, partition-friendly schemas, and Arrow-batched mapInPandas
+decode/feature-extract with the actual batch shapes a media pipeline
+uses. The codec step itself is stubbed deterministically (image/audio
+libraries are not in this container) behind ``_decode_stub`` — swap
+that one function for a real decoder (PIL/ffmpeg) and nothing else
+changes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from logdb_spark.registry import register
+from logdb_spark.sources.load import load_table
+
+SECTION = "2.K multimodal"
+
+
+@register(
+    "mm_binary_metadata",
+    oracle="""
+        SELECT doc_id,
+               octet_length(encode(text))       AS n_bytes,
+               sha256(text)                     AS content_sha,
+               CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                    WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                    ELSE 'video/mp4' END        AS mime_type
+        FROM documents
+    """,
+    section=SECTION,
+)
+def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary payload + typed metadata — the storage schema for
+    media at scale: content bytes, length, digest, declared MIME type.
+    All JVM-side (binary cast, sha2, octet length)."""
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        F.length(payload).cast("bigint").alias("n_bytes"),
+        F.sha2(payload, 256).alias("content_sha"),
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("mime_type"),
+    )
+
+
+_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("mime_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("feature", ArrayType(DoubleType())),
+    ]
+)
+
+_N_FEATURES = 8
+
+
+def _decode_stub(payload: bytes, mime_type: str) -> list[float]:
+    """STUB decoder — deterministic fake 'feature vector' from byte
+    statistics. A real pipeline replaces this body with e.g.
+    PIL.Image.open(BytesIO(payload)) / torchaudio.load and a model
+    forward pass; signature and output shape stay identical.
+    """
+    if not payload:
+        return [0.0] * _N_FEATURES
+    # First 4 raw byte moments + length markers: cheap, deterministic.
+    n = len(payload)
+    mean = sum(payload) / n
+    var = sum((b - mean) ** 2 for b in payload) / n
+    mn, mx = float(min(payload)), float(max(payload))
+    return [float(n), mean, var, mn, mx, float(payload[0]), float(payload[-1]),
+            1.0 if mime_type.startswith("image") else 0.0]
+
+
+@register("mm_feature_extract", oracle=None, section=SECTION)
+def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + feature-extract over binary payloads via mapInPandas:
+    Arrow-batched, one Python worker per partition, vector output
+    column. Rows-only (the stub is engine-local); tests pin shape and
+    determinism.
+
+    Scale: mapInPandas streams record batches — peak memory is one
+    batch, not one partition; media decode parallelism == partition
+    count, and the binary column never passes through the driver.
+    """
+    src = mm_binary_metadata(spark, sf_dir).join(
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.col("text").cast("binary").alias("payload")
+        ),
+        "doc_id",
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _decode_stub(bytes(p), m)
+                for p, m in zip(pdf["payload"], pdf["mime_type"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime_type": pdf["mime_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    "feature": feats,
+                }
+            )
+
+    return src.mapInPandas(extract, _FEATURE_SCHEMA)
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+        WITH frames AS (
+            SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+                   unnest(range(0, octet_length(encode(text)), 100)) AS frame_offset
+            FROM documents
+            WHERE doc_id % 3 = 2  -- videos only (mime assignment above)
+        )
+        SELECT doc_id, CAST(frame_offset AS BIGINT) AS frame_offset,
+               CAST(LEAST(frame_offset + 100, n_bytes) AS BIGINT) AS frame_end
+        FROM frames
+    """,
+    section=SECTION,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling plumbing: explode each 'video' into fixed-stride
+    frame windows (offset ranges over the payload). The byte-range
+    arithmetic is the real distributed part — a decoder maps each
+    (doc_id, offset) row to pixels; rows stay independent, so frame
+    decode parallelizes freely."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 2)
+    n_bytes = F.length(F.col("text").cast("binary")).cast("bigint")
+    return (
+        d.select(
+            "doc_id",
+            n_bytes.alias("n_bytes"),
+            F.explode(F.sequence(F.lit(0), n_bytes - 1, F.lit(100))).alias(
+                "frame_offset"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("frame_offset").cast("bigint").alias("frame_offset"),
+            F.least(F.col("frame_offset") + 100, F.col("n_bytes"))
+            .cast("bigint")
+            .alias("frame_end"),
+        )
+    )

@@ -1,1 +1,206 @@
-"""Placeholder — operators land in a later phase this round."""
+"""§2.L — UDF / UDAF / UDTF surface.
+
+The escape hatches, demonstrated deliberately and ranked by cost:
+- plain @udf: row-at-a-time Python, pickled per row — the SLOW path,
+  declared once for surface parity (oracle re-expresses it as SQL CASE
+  to prove the logic belongs JVM-side when possible);
+- @pandas_udf: Arrow-batched, vectorized — 10-100× the plain path;
+- applyInPandas: grouped UDAF over Arrow batches;
+- @udtf: table function emitting variable rows per input row.
+At 100 TB only the Arrow paths are acceptable, and only where built-in
+functions genuinely cannot express the computation.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType
+
+from logdb_spark.functions.numeric import ratio
+from logdb_spark.registry import register
+from logdb_spark.sources.load import load_table
+
+SECTION = "2.L udf surface"
+
+
+@register(
+    "udf_python_scalar",
+    oracle="""
+        SELECT event_id,
+               CASE WHEN event_type = 'error' AND value >= 300 THEN 'critical'
+                    WHEN event_type = 'error'                  THEN 'high'
+                    WHEN value >= 400                          THEN 'elevated'
+                    ELSE 'normal' END AS severity
+        FROM events
+    """,
+    section=SECTION,
+)
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time Python severity classifier. The oracle is a SQL
+    CASE — the point of the pairing: this logic never needed Python."""
+
+    @F.udf(returnType=StringType())
+    def severity(event_type: str, value: float) -> str:
+        if event_type == "error":
+            return "critical" if value >= 300 else "high"
+        return "elevated" if value >= 400 else "normal"
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("event_id", severity("event_type", "value").alias("severity"))
+
+
+@register(
+    "udf_pandas_vectorized",
+    oracle="""
+        WITH stats AS (
+            SELECT event_id, value,
+                   AVG(value)         OVER (PARTITION BY event_type) AS m,
+                   STDDEV_SAMP(value) OVER (PARTITION BY event_type) AS s
+            FROM events
+        )
+        SELECT event_id, ROUND((value - m) / s, 6) AS zscore
+        FROM stats
+    """,
+    section=SECTION,
+)
+def udf_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized z-score: group stats computed JVM-side via
+    window, the normalization itself in a pandas_udf over whole
+    batches — the pattern for numeric Python that must run at scale."""
+
+    @F.pandas_udf(DoubleType())
+    def zscore(v: pd.Series, m: pd.Series, s: pd.Series) -> pd.Series:
+        return (v - m) / s
+
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    withstats = ev.select(
+        "event_id",
+        "value",
+        F.avg("value").over(w).alias("m"),
+        F.stddev_samp("value").over(w).alias("s"),
+    )
+    return withstats.select(
+        "event_id", ratio(zscore("value", "m", "s")).alias("zscore")
+    )
+
+
+@register(
+    "udaf_pandas_group",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, value, date_trunc('second', ts) AS ts
+            FROM events
+        ), gaps AS (
+            SELECT user_id, value, ts,
+                   epoch(ts) - epoch(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts)) AS gap
+            FROM e
+        )
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+                   AS mean_value,
+               CAST(MAX(gap) AS BIGINT) AS max_gap_s
+        FROM gaps GROUP BY user_id
+    """,
+    section=SECTION,
+)
+def udaf_pandas_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped UDAF via applyInPandas: per-user count / mean / max
+    inter-event gap. Each group arrives as one pandas frame (Arrow);
+    shuffle is on user_id only. Mean uses a sorted-order sum so the
+    result is deterministic regardless of arrival order."""
+
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        from decimal import Decimal
+
+        pdf = pdf.sort_values("ts")
+        gaps = pdf["ts"].astype("int64") // 1_000_000_000
+        max_gap = gaps.diff().max()
+        # Exact-decimal sum (inputs are 2-dp) then ONE double division:
+        # bit-identical to the oracle's SUM(DECIMAL)::DOUBLE / COUNT
+        # regardless of arrival order, so no rounding is needed (and
+        # round(double) near half-boundaries is engine-specific anyway).
+        mean = float(sum(Decimal(str(v)) for v in pdf["value"])) / len(pdf)
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "mean_value": [mean],
+                "max_gap_s": [int(max_gap) if pd.notna(max_gap) else None],
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "value", F.date_trunc("second", "ts").alias("ts")
+    )
+    return ev.groupBy("user_id").applyInPandas(
+        summarize, "user_id bigint, n_events bigint, mean_value double, max_gap_s bigint"
+    )
+
+
+@register(
+    "udtf_explode_sessions",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id, date_trunc('second', ts) AS ts FROM events
+        ), flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                        OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        )
+        SELECT user_id, CAST(sid - 1 AS BIGINT) AS session_idx,
+               COUNT(*) AS n_events,
+               CAST(epoch(MAX(ts)) - epoch(MIN(ts)) AS BIGINT) AS duration_s
+        FROM numbered GROUP BY user_id, sid
+    """,
+    section=SECTION,
+)
+def udtf_explode_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table function): one input row per user
+    (sorted event epochs), variable session rows out — the UDTF shape.
+    Matches log_sessionize_gap's semantics; the window composition over
+    there is the scale path, this is the surface-parity demo."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id bigint, session_idx bigint, n_events bigint, duration_s bigint")
+    class ExplodeSessions:
+        def eval(self, user_id: int, epochs: list):
+            if not epochs:
+                return
+            epochs = sorted(epochs)
+            start = prev = epochs[0]
+            idx, n = 0, 0
+            for t in epochs:
+                if t - prev > 1800:
+                    yield user_id, idx, n, prev - start
+                    idx, n, start = idx + 1, 0, t
+                n += 1
+                prev = t
+            yield user_id, idx, n, prev - start
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("second", "ts").cast("long").alias("epoch_s")
+    )
+    arrs = ev.groupBy("user_id").agg(
+        F.collect_list("epoch_s").alias("epochs")
+    )
+    arrs.createOrReplaceTempView("v_user_epochs")
+    spark.udtf.register("explode_sessions", ExplodeSessions)
+    return spark.sql(
+        """
+        SELECT s.user_id, s.session_idx, s.n_events, s.duration_s
+        FROM v_user_epochs, LATERAL explode_sessions(user_id, epochs) s
+        """
+    )

@@ -36,6 +36,7 @@ _OPERATOR_MODULES = [
     "logdb_spark.operators.scalars",
     "logdb_spark.operators.logops",
     "logdb_spark.operators.llm",
+    "logdb_spark.operators.multimodal",
     "logdb_spark.operators.udfs",
     "logdb_spark.streaming.batch_equiv",
 ]

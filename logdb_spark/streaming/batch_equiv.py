@@ -1,1 +1,220 @@
-"""Placeholder."""
+"""§2.J — streaming operators, batch-equivalent forms.
+
+Strategy (SURVEY.md §2.J): every streaming operator is a function over
+an unbounded-capable DataFrame. Here each runs in BATCH mode over the
+same parquet — `window()` / `session_window()` aggregation is
+deterministic in batch, so these get full SQL oracles. The streaming
+harness (logdb_spark/streaming/harness.py, exercised in
+tests/test_streaming.py) replays the same events parquet through a
+file-source stream with trigger(availableNow=True) and asserts the
+streaming results equal these batch results; watermark-only behaviors
+(late-data drop, state eviction) are asserted there, not hashed.
+
+Scale: stateful streaming aggs keep state per (key × window) in the
+state store; watermarks bound that state. The batch forms shuffle once
+on the same keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logdb_spark.functions.temporal import ts_str
+from logdb_spark.registry import register
+from logdb_spark.sources.load import load_table
+
+SECTION = "2.J streaming"
+
+
+def tumbling_counts(events: DataFrame) -> DataFrame:
+    """Shared by batch + streaming harness: 1h tumbling window counts
+    per event type (works on bounded and unbounded inputs)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(ts_str("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+@register(
+    "stream_tumbling_counts",
+    oracle="""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                   AS window_start,
+               event_type, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    """,
+    section=SECTION,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_sliding_counts",
+    oracle="""
+        WITH slid AS (
+            SELECT event_type,
+                   time_bucket(INTERVAL '15 minutes', ts)
+                       - k.k * INTERVAL '15 minutes' AS window_start
+            FROM events CROSS JOIN (SELECT unnest(range(4)) AS k) k
+        )
+        SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, COUNT(*) AS n
+        FROM slid GROUP BY 1, 2
+    """,
+    section=SECTION,
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h windows sliding every 15min — each event lands in exactly 4
+    windows (Spark expands via Expand, no self-join)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(ts_str("w.start").alias("window_start"), "event_type", "n")
+    )
+
+
+def session_windows(events: DataFrame) -> DataFrame:
+    """Shared by batch + streaming harness: native 30-min-gap session
+    windows per user over second-truncated time (so batch, streaming,
+    and the SQL oracle see identical boundary arithmetic)."""
+    return (
+        events.withColumn("tss", F.date_trunc("second", "ts"))
+        .groupBy(F.session_window("tss", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            ts_str("w.start").alias("session_start"),
+            ts_str("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id, date_trunc('second', ts) AS ts FROM events
+        ), flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                        OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+               strftime(MAX(ts) + INTERVAL 30 MINUTE,
+                        '%Y-%m-%d %H:%M:%S') AS session_end,
+               COUNT(*) AS n_events
+        FROM numbered GROUP BY user_id, sid
+    """,
+    section=SECTION,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window (Spark's merging session operator).
+    Boundary semantics: a session covers [start, last_event + gap); an
+    event at exactly prev + 30min starts a NEW session — hence the >=
+    in the oracle's gap test (vs > in log_sessionize_gap, which
+    implements the inclusive-gap variant)."""
+    return session_windows(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_dedup_watermark",
+    oracle="""
+        SELECT user_id, event_type, COUNT(*) AS n_first
+        FROM (
+            SELECT user_id, event_type,
+                   row_number() OVER (
+                       PARTITION BY user_id, event_type, CAST(ts AS DATE)
+                       ORDER BY ts, event_id) AS rn
+            FROM events
+        ) WHERE rn = 1
+        GROUP BY user_id, event_type
+    """,
+    section=SECTION,
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup semantics of streaming dropDuplicates: keep the FIRST
+    (user, type) occurrence per day. Batch form uses an explicit
+    first-row window (deterministic, oracle-checkable); the harness
+    runs the real withWatermark+dropDuplicatesWithinWatermark path."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy(
+        "user_id", "event_type", F.to_date("ts")
+    ).orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_first"))
+    )
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+        SELECT event_id, user_id, c_name, c_mktsegment,
+               strftime(date_trunc('second', ts), '%Y-%m-%d %H:%M:%S') AS ts_s
+        FROM events JOIN customer ON user_id = c_custkey
+        WHERE event_type = 'purchase'
+    """,
+    section=SECTION,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-to-static enrichment join: the static dimension is
+    broadcast to every micro-batch (identical plan in batch mode)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    c = load_table(spark, sf_dir, "customer")
+    return ev.join(F.broadcast(c), ev.user_id == c.c_custkey).select(
+        "event_id",
+        "user_id",
+        "c_name",
+        "c_mktsegment",
+        ts_str(F.date_trunc("second", "ts")).alias("ts_s"),
+    )
+
+
+@register(
+    "stream_late_data",
+    oracle="""
+        WITH hwm AS (
+            SELECT date_trunc('second', MAX(ts)) - INTERVAL 10 MINUTE AS cutoff
+            FROM events
+        )
+        SELECT COUNT(*) FILTER (WHERE date_trunc('second', ts) >= cutoff)
+                   AS n_within,
+               COUNT(*) FILTER (WHERE date_trunc('second', ts) < cutoff)
+                   AS n_late
+        FROM events CROSS JOIN hwm
+    """,
+    section=SECTION,
+)
+def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark arithmetic in batch form: how many rows sit within the
+    final 10-minute watermark vs behind it. The actual drop behavior
+    (late rows discarded by a stateful agg) is asserted in the harness
+    test with injected late rows."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "tss", F.date_trunc("second", "ts")
+    )
+    hwm = ev.agg(
+        (F.max("tss") - F.expr("INTERVAL 10 MINUTE")).alias("cutoff")
+    )
+    return ev.crossJoin(F.broadcast(hwm)).agg(
+        F.count(F.when(F.col("tss") >= F.col("cutoff"), 1)).alias("n_within"),
+        F.count(F.when(F.col("tss") < F.col("cutoff"), 1)).alias("n_late"),
+    )

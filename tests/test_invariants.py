@@ -1,0 +1,86 @@
+"""Property-style cross-operator invariants (SURVEY.md §5.3): cheap
+algebraic identities that catch logic errors the per-operator oracles
+might share with the implementation."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from logdb_spark.registry import all_operators
+from tests.conftest import SF_SMALL
+
+OPS = all_operators()
+
+
+def _run(name, spark):
+    return OPS[name].fn(spark, SF_SMALL)
+
+
+def test_rollup_total_equals_plain_sum(spark):
+    roll = _run("agg_rollup", spark)
+    grand = roll.filter(F.col("r_name").isNull() & F.col("n_name").isNull())
+    assert grand.count() == 1
+    total = grand.first()["n_customers"]
+    leaf_total = (
+        roll.filter(F.col("r_name").isNotNull() & F.col("n_name").isNotNull())
+        .agg(F.sum("n_customers"))
+        .first()[0]
+    )
+    assert total == leaf_total
+
+
+def test_union_all_count_is_sum_of_parts(spark):
+    ua = _run("set_union_all", spark).count()
+    from logdb_spark.sources.load import load_table
+
+    ev = load_table(spark, SF_SMALL, "events")
+    parts = ev.filter(F.col("event_type").isin("click", "purchase")).count()
+    assert ua == parts
+
+
+def test_sessionize_partitions_events(spark):
+    sess = _run("log_sessionize_gap", spark)
+    from logdb_spark.sources.load import load_table
+
+    n_events = load_table(spark, SF_SMALL, "events").count()
+    assert sess.agg(F.sum("n_events")).first()[0] == n_events
+
+
+def test_semi_plus_anti_partition_customers(spark):
+    from logdb_spark.sources.load import load_table
+
+    semi_f = _run("join_left_semi", spark).count()  # has ≥1 'F' order
+    anti = _run("join_left_anti", spark).count()  # no orders at all
+    customers = load_table(spark, SF_SMALL, "customer").count()
+    # semi('F') ⊆ has-orders = customers - anti
+    assert semi_f <= customers - anti
+
+
+def test_pivot_row_sums_equal_daily_totals(spark):
+    piv = _run("log_pivot_types", spark)
+    total = piv.select(
+        (
+            F.col("click")
+            + F.col("error")
+            + F.col("purchase")
+            + F.col("signup")
+            + F.col("view")
+        ).alias("s")
+    ).agg(F.sum("s")).first()[0]
+    from logdb_spark.sources.load import load_table
+
+    assert total == load_table(spark, SF_SMALL, "events").count()
+
+
+def test_topk_global_is_subset_of_sorted(spark):
+    from logdb_spark.sources.load import load_table
+
+    top = [r["o_orderkey"] for r in _run("topk_global", spark).collect()]
+    o = load_table(spark, SF_SMALL, "orders")
+    expected = [
+        r["o_orderkey"]
+        for r in o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(20)
+        .collect()
+    ]
+    assert top == expected

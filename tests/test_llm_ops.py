@@ -1,0 +1,62 @@
+"""§2.K scalable-path guarantees that the SQL oracles cannot express:
+LSH recall vs exact ground truth, sketch determinism, stub plumbing.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from logdb_spark.operators.llm import (
+    dedup_minhash_lsh,
+    dedup_near_jaccard,
+    dedup_simhash,
+    sim_ann_lsh,
+    sim_topk_cosine,
+)
+from logdb_spark.operators.multimodal import mm_feature_extract
+from tests.conftest import SF_SMALL
+
+
+def _pairs(df):
+    return {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+
+
+def test_minhash_lsh_recall(spark):
+    """LSH candidates must recover ≥95% of true Jaccard≥0.9 pairs
+    (SURVEY.md §5.3) — and, because candidates are exact-verified,
+    precision is 1.0 by construction."""
+    truth = _pairs(dedup_near_jaccard(spark, SF_SMALL))
+    found = _pairs(dedup_minhash_lsh(spark, SF_SMALL))
+    assert found <= truth  # exact verify ⇒ no false positives
+    recall = len(found & truth) / max(1, len(truth))
+    assert recall >= 0.95, f"LSH recall {recall:.3f} < 0.95 ({len(truth)} true)"
+
+
+def test_simhash_deterministic_and_bounded(spark):
+    a = dedup_simhash(spark, SF_SMALL)
+    b = dedup_simhash(spark, SF_SMALL)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb  # deterministic across runs
+    assert all(r[2] <= 3 for r in ra)  # hamming bound respected
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    exact = [r["vec_id"] for r in sim_topk_cosine(spark, SF_SMALL).collect()]
+    approx = [r["vec_id"] for r in sim_ann_lsh(spark, SF_SMALL).collect()]
+    # ANN with 4×8-bit tables on random unit vectors: expect to find a
+    # meaningful fraction of the true top-10 neighbors.
+    overlap = len(set(exact) & set(approx))
+    assert overlap >= 3, f"ANN recall@10 too low: {overlap}/10"
+
+
+def test_mm_feature_extract_shape_and_determinism(spark):
+    df = mm_feature_extract(spark, SF_SMALL)
+    rows = df.orderBy("doc_id").limit(5).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert len(r["feature"]) == 8
+        assert r["feature"][0] == float(r["n_bytes"])  # stub invariant
+    again = mm_feature_extract(spark, SF_SMALL).orderBy("doc_id").limit(5).collect()
+    assert [r["feature"] for r in rows] == [r["feature"] for r in again]
