@@ -1,0 +1,69 @@
+"""Benchmark harness — driver contract (BASELINE.md).
+
+Times every registered operator at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line:
+    {"metric": "suite_seconds", "value": <total>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>, ...}
+
+Method: one warm-up execution of the whole suite (JVM/JIT/code-cache
+warm), then BENCH_RUNS (default 3) measured runs per query; the
+reported number is the median. Queries materialize through the noop
+sink — full execution, no driver-side row transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
+    only = sys.argv[1:]  # optional operator-name filter
+
+    from logdb_spark.plans.session import get_spark
+    from logdb_spark.registry import all_operators
+
+    spark = get_spark("logdb-bench")
+    ops = all_operators()
+    names = [n for n in sorted(ops) if not only or n in only]
+
+    def execute(name: str) -> None:
+        ops[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        execute(name)  # warm-up (plan compile, code cache, file listing)
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            execute(name)
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
+                "n_queries": len(timings),
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count())),
+                "runs_per_query": runs,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

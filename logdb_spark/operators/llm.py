@@ -79,33 +79,65 @@ _JACCARD_ORACLE = """
 """
 
 
-def _jaccard_pairs(spark, sf_dir, candidates: DataFrame | None = None) -> DataFrame:
-    """Exact word-set Jaccard for all pairs sharing ≥1 token (inverted-
-    index join), optionally restricted to a candidate-pair DataFrame
-    (doc_a, doc_b) — the LSH verify step reuses this."""
-    tok = _doc_tokens(spark, sf_dir)
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = tok.alias("a"), tok.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.token") == F.col("b.token"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+def _token_sets(spark, sf_dir) -> DataFrame:
+    """(doc_id, toks, n): sorted distinct-token array per document."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_sort(_TOKENS()).alias("toks"),
+        F.size(_TOKENS()).alias("n"),
     )
+
+
+def _jaccard_pairs(
+    spark, sf_dir, candidates: DataFrame | None = None, threshold: float = 0.9
+) -> DataFrame:
+    """Exact word-set Jaccard over document pairs via JVM-side
+    array_intersect on per-doc token arrays — no token explode, no
+    O(rows²-per-token) shuffle (the naive inverted-index join measured
+    100×+ slower on dense vocabularies: every token co-occurs, so the
+    index prunes nothing and materializes ~n²·|vocab| join rows).
+
+    Without candidates: broadcast self-pair join with two cheap
+    prefilters evaluated before the intersect — doc_a < doc_b and the
+    size-ratio bound (Jaccard ≥ t ⇒ min(n)/max(n) ≥ t).
+    With candidates (the LSH verify path): only candidate pairs are
+    scored — the 100 TB shape, linear in true-dup density.
+    """
+    # Spread the probe side across all cores: the fixture is one small
+    # parquet file (one input split), and a broadcast pair-join's
+    # parallelism equals the stream side's partition count. At real
+    # scale the input arrives already split; this keeps local parity.
+    docs = _token_sets(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    da = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("n").alias("na"),
+    )
+    db = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("n").alias("nb"),
+    )
+    size_ok = F.least("na", "nb") >= F.greatest("na", "nb") * F.lit(threshold)
     if candidates is not None:
-        shared = shared.join(candidates, ["doc_a", "doc_b"], "left_semi")
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared"))
-    return (
-        shared.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jac"))
+        pairs = (
+            candidates.join(F.broadcast(da), "doc_a")
+            .join(F.broadcast(db), "doc_b")
+            .filter(size_ok)  # cheap bound evaluated before the intersect
+        )
+    else:
+        pairs = da.join(
+            F.broadcast(db), (F.col("doc_a") < F.col("doc_b")) & size_ok
+        )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    return pairs.withColumn("n_shared", inter).select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared"))
+        ).alias("jac"),
     )
 
 
@@ -138,6 +170,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       candidate pairs -> exact Jaccard on candidates only.
     At 100 TB candidates are ~linear in true-dup density instead of
     O(n²), and each stage is a plain shuffle on bounded keys.
+
+    Honest measurement on THIS corpus: the 31-word vocabulary puts
+    most pairs at Jaccard 0.6-0.8, so banding prunes little (~60% of
+    all pairs survive as candidates) and the exact array-intersect
+    path (dedup_near_jaccard) is actually faster. LSH wins when dup
+    density is sparse — the real 100 TB regime; both paths are kept
+    and the recall test pins their agreement.
     """
     tok = _doc_tokens(spark, sf_dir)
     sig = tok.groupBy("doc_id").agg(
@@ -281,7 +320,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
-    a, b = e.alias("a"), e.alias("b")
+    # one-file input → repartition so the O(n²) scoring parallelizes
+    a = e.repartition(spark.sparkContext.defaultParallelism).alias("a")
+    b = F.broadcast(e).alias("b")
     d = dot(F.col("a.emb"), F.col("b.emb"))
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))

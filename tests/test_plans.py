@@ -1,0 +1,86 @@
+"""Physical-plan audits (SURVEY.md §4): the plans the 100 TB story
+depends on must actually appear — pushdown reaching the parquet scan,
+broadcasts for dimension joins, top-k instead of global sort, hash
+join (not nested-loop) for theta joins, partial aggregation. A
+regression here is a performance bug even while results stay correct.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from logdb_spark.registry import all_operators
+from tests.conftest import SF_SMALL
+
+OPS = all_operators()
+
+
+def plan_of(spark, name: str, extended: bool = True) -> str:
+    df = OPS[name].fn(spark, SF_SMALL)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted" if extended else "simple")
+    return buf.getvalue()
+
+
+def test_projection_pruning_reaches_scan(spark):
+    plan = plan_of(spark, "scan_projection_pushdown")
+    assert "ReadSchema" in plan
+    # only the two selected columns reach the reader
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema
+
+
+def test_predicate_pushdown_reaches_scan(spark):
+    plan = plan_of(spark, "scan_predicate_pushdown")
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "l_shipdate" in pushed and "GreaterThanOrEqual" in pushed
+
+
+def test_dimension_joins_are_broadcast(spark):
+    plan = plan_of(spark, "join_multiway_star")
+    assert "BroadcastHashJoin" in plan
+    # no shuffle-based join should survive for the small dimensions
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_explicit_broadcast_hint_honored(spark):
+    plan = plan_of(spark, "join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark):
+    plan = plan_of(spark, "topk_global")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_theta_join_is_hash_not_nested_loop(spark):
+    plan = plan_of(spark, "join_theta_range")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_flagship_has_partial_aggregation(spark):
+    plan = plan_of(spark, "agg_pricing_summary")
+    # partial + final HashAggregate pair → map-side combine before shuffle
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_no_collect_in_operator_sources():
+    """Operator bodies must not materialize datasets driver-side —
+    .collect()/.toPandas() are forbidden in operator modules (scalar
+    .count() for TF-IDF's corpus size is the allowed exception)."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "logdb_spark"
+    offenders = []
+    for p in root.rglob("*.py"):
+        src = p.read_text()
+        if ".collect()" in src or ".toPandas()" in src:
+            offenders.append(str(p))
+    assert not offenders, f"driver-side materialization in: {offenders}"
