@@ -180,14 +180,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     tok = _doc_tokens(spark, sf_dir)
     sig = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),  # distinct-token count, free here
         *[
             F.min(F.hash("token", F.lit(i))).alias(f"m{i}")
             for i in range(N_PERM)
-        ]
+        ],
     )
     rows_per_band = N_PERM // N_BANDS
     bands = sig.select(
         "doc_id",
+        "n",
         F.explode(
             F.array(
                 *[
@@ -204,14 +206,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bucket")
+    ).select("doc_id", "n", "bb.band", "bb.bucket")
     x, y = bands.alias("x"), bands.alias("y")
+    # Size-ratio bound fused into the bucket join: pairs that cannot
+    # reach Jaccard 0.9 never enter the distinct shuffle.
     candidates = (
         x.join(
             y,
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+            & (F.col("x.doc_id") < F.col("y.doc_id"))
+            & (
+                F.least("x.n", "y.n")
+                >= F.greatest("x.n", "y.n") * F.lit(0.9)
+            ),
         )
         .select(
             F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")

@@ -71,6 +71,60 @@ def test_flagship_has_partial_aggregation(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_bucketed_join_has_no_exchange(spark):
+    """The whole point of bucketing: the bucket-aligned join must not
+    shuffle either side."""
+    from logdb_spark.operators.layout import bucketed_join_plan_df, sink_bucketed_join
+
+    sink_bucketed_join(spark, SF_SMALL).count()  # creates the bucketed tables
+    # Disable broadcast so the planner actually uses the bucket layout
+    # (at fixture scale it would otherwise just broadcast the table;
+    # at 100 TB neither side is broadcastable and bucketing is what
+    # saves the shuffle).
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = bucketed_join_plan_df(spark, SF_SMALL)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        plan = buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan, "bucketed join must not shuffle"
+    assert "Bucketed: true" in plan
+
+
+# Deliberate pair/cross joins: tiny or broadcast-bounded by design.
+NESTED_LOOP_ALLOWED = {
+    "join_cross",  # 5×5 deliberate cross product
+    "dedup_near_jaccard",  # exact O(n²) ground-truth path (broadcast)
+    "dedup_embedding_cosine",  # exact O(n²) ground-truth path (broadcast)
+    "sim_topk_cosine",  # 1-row probe broadcast
+    "sim_ann_lsh",  # 1-row probe broadcast
+    "stream_late_data",  # 1-row watermark scalar broadcast
+    "sim_knn_join_label",  # K=10 centroid broadcast cross join
+}
+
+
+def test_no_accidental_cartesian_anywhere(spark):
+    """Sweep EVERY operator's physical plan: nested-loop/cartesian
+    joins may only appear where the algorithm deliberately scores
+    pairs against a broadcast side."""
+    offenders = []
+    for name in sorted(OPS):
+        if name in NESTED_LOOP_ALLOWED or name == "sink_bucketed_join":
+            continue
+        try:
+            plan = plan_of(spark, name)
+        except Exception:
+            continue  # side-effecting ops covered elsewhere
+        if "CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan:
+            offenders.append(name)
+    assert not offenders, f"unexpected nested-loop joins in: {offenders}"
+
+
 def test_no_collect_in_operator_sources():
     """Operator bodies must not materialize datasets driver-side —
     .collect()/.toPandas() are forbidden in operator modules (scalar
