@@ -122,11 +122,13 @@ def udaf_pandas_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = pdf.sort_values("ts")
         gaps = pdf["ts"].astype("int64") // 1_000_000_000
         max_gap = gaps.diff().max()
-        # Exact-decimal sum (inputs are 2-dp) then ONE double division:
-        # bit-identical to the oracle's SUM(DECIMAL)::DOUBLE / COUNT
-        # regardless of arrival order, so no rounding is needed (and
-        # round(double) near half-boundaries is engine-specific anyway).
-        mean = float(sum(Decimal(str(v)) for v in pdf["value"])) / len(pdf)
+        # Exact sum then ONE double division: bit-identical to the
+        # oracle's SUM(DECIMAL)::DOUBLE / COUNT regardless of arrival
+        # order, so no rounding is needed (and round(double) near
+        # half-boundaries is engine-specific anyway). Inputs are 2-dp,
+        # so integer-cents summation is the exact sum, vectorized.
+        cents = (pdf["value"].to_numpy() * 100).round().astype("int64").sum()
+        mean = float(Decimal(int(cents)) / Decimal(100)) / len(pdf)
         return pd.DataFrame(
             {
                 "user_id": [pdf["user_id"].iloc[0]],

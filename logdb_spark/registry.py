@@ -38,6 +38,7 @@ _OPERATOR_MODULES = [
     "logdb_spark.operators.llm",
     "logdb_spark.operators.multimodal",
     "logdb_spark.operators.layout",
+    "logdb_spark.operators.analytics",
     "logdb_spark.operators.udfs",
     "logdb_spark.streaming.batch_equiv",
 ]
