@@ -1,0 +1,185 @@
+"""LogDB — the user-facing facade of the engine.
+
+The ergonomic surface a log-database user expects — ingest, search,
+tail, time histograms, sessionize, stream — each method a thin
+composition of the operator kernels in ``operators/`` returning plain
+DataFrames (lazily: nothing executes until the caller acts). All
+heavy lifting stays in Catalyst-optimized plans; the facade adds no
+driver-side work.
+
+    db = LogDB(spark)
+    db.ingest_parquet("/data/events.parquet", "events")
+    db.search("events", "error", columns=["event_type"],
+              since="2024-01-02", until="2024-01-05")
+    db.histogram("events", bucket="1 hour", by="event_type")
+    db.sessionize("events", gap="30 minutes")
+    db.sql("SELECT count(*) FROM events")
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logdb_spark.plans.session import configure, get_spark
+
+
+class LogDB:
+    def __init__(self, spark: SparkSession | None = None):
+        self.spark = configure(spark or get_spark("logdb"))
+        self._tables: dict[str, DataFrame] = {}
+
+    # ------------------------------------------------------------ ingest
+
+    def register(self, name: str, df: DataFrame) -> DataFrame:
+        """Register a DataFrame as a queryable table."""
+        self._tables[name] = df
+        df.createOrReplaceTempView(name)
+        return df
+
+    def ingest_parquet(self, path: str, name: str) -> DataFrame:
+        df = self.spark.read.parquet(path)
+        # normalize ns-timestamp columns read as epoch-nanos longs
+        for col, dtype in df.dtypes:
+            if col == "ts" and dtype == "bigint":
+                df = df.withColumn(
+                    col, F.timestamp_micros((F.col(col) / 1000).cast("long"))
+                )
+        return self.register(name, df)
+
+    def ingest_json(self, path: str, name: str, schema: str | None = None) -> DataFrame:
+        reader = self.spark.read
+        if schema:
+            reader = reader.schema(schema)
+        return self.register(name, reader.json(path))
+
+    def ingest_loglines(
+        self,
+        path: str,
+        name: str,
+        pattern: str,
+        fields: dict[str, str],
+        ts_field: str | None = None,
+        ts_format: str | None = None,
+    ) -> DataFrame:
+        """Grok-style ingestion: raw text lines -> regex groups -> typed
+        columns. ``fields`` maps field name -> Spark type, in regex
+        group order."""
+        lines = self.spark.read.text(path)
+        cols = [
+            F.regexp_extract("value", pattern, i + 1).cast(t).alias(n)
+            for i, (n, t) in enumerate(fields.items())
+        ]
+        df = lines.select(*cols)
+        if ts_field:
+            df = df.withColumn(
+                ts_field, F.to_timestamp(ts_field, ts_format)
+                if ts_format
+                else F.to_timestamp(ts_field)
+            )
+        return self.register(name, df)
+
+    # ------------------------------------------------------------- query
+
+    def table(self, name: str) -> DataFrame:
+        if name in self._tables:
+            return self._tables[name]
+        return self.spark.table(name)
+
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+    def search(
+        self,
+        name: str,
+        pattern: str,
+        columns: list[str] | None = None,
+        since: str | None = None,
+        until: str | None = None,
+        ts_col: str = "ts",
+    ) -> DataFrame:
+        """grep over a log table: regex match on the given string
+        columns (default: all string columns), optional time range.
+        The time predicates push down to the scan; the regex runs
+        codegen'd on the survivors."""
+        df = self.table(name)
+        if since:
+            df = df.filter(F.col(ts_col) >= F.lit(since).cast("timestamp"))
+        if until:
+            df = df.filter(F.col(ts_col) < F.lit(until).cast("timestamp"))
+        str_cols = columns or [c for c, t in df.dtypes if t == "string"]
+        if not str_cols:
+            raise ValueError(f"no string columns to search in {name}")
+        cond = None
+        for c in str_cols:
+            m = F.col(c).rlike(pattern)
+            cond = m if cond is None else (cond | m)
+        return df.filter(cond)
+
+    def tail(self, name: str, n: int = 10, ts_col: str = "ts") -> DataFrame:
+        """Most recent n records (bounded heap, not a global sort)."""
+        return self.table(name).orderBy(F.col(ts_col).desc()).limit(n)
+
+    def histogram(
+        self,
+        name: str,
+        bucket: str = "1 hour",
+        by: str | None = None,
+        ts_col: str = "ts",
+    ) -> DataFrame:
+        """Time-bucketed event counts, optionally split by a column."""
+        df = self.table(name)
+        keys = [F.window(ts_col, bucket).start.alias("bucket")]
+        if by:
+            keys.append(F.col(by))
+        return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n")).orderBy("bucket")
+
+    def sessionize(
+        self,
+        name: str,
+        gap: str = "30 minutes",
+        user_col: str = "user_id",
+        ts_col: str = "ts",
+    ) -> DataFrame:
+        """Per-user session windows with the given inactivity gap."""
+        df = self.table(name)
+        return (
+            df.groupBy(F.session_window(ts_col, gap).alias("w"), F.col(user_col))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                user_col,
+                F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                "n_events",
+            )
+        )
+
+    def top(
+        self, name: str, by: str, n: int = 10, metric: str = "count"
+    ) -> DataFrame:
+        """Top-n groups by count (or sum of ``metric`` column)."""
+        df = self.table(name)
+        agg = (
+            F.count(F.lit(1)).alias("value")
+            if metric == "count"
+            else F.sum(metric).alias("value")
+        )
+        return (
+            df.groupBy(by)
+            .agg(agg)
+            .orderBy(F.col("value").desc(), F.col(by))
+            .limit(n)
+        )
+
+    # ----------------------------------------------------------- stream
+
+    def stream_parquet(self, path: str, schema) -> DataFrame:
+        """Unbounded file-source over a directory (micro-batch replay)."""
+        configure(self.spark)
+        df = self.spark.readStream.schema(schema).parquet(path)
+        for col, dtype in df.dtypes:
+            if col == "ts" and dtype == "bigint":
+                df = df.withColumn(
+                    col, F.timestamp_micros((F.col(col) / 1000).cast("long"))
+                )
+        return df
