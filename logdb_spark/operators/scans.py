@@ -126,6 +126,68 @@ def ingest_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sink_csv_roundtrip",
+    oracle="""
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(user_id) AS BIGINT) AS sum_users,
+               COUNT(DISTINCT event_type) AS n_types
+        FROM events
+    """,
+    section=SECTION,
+)
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source round trip: write events as headered CSV,
+    read back with an explicit schema, aggregate — the aggregate
+    hash-matches the oracle over the ORIGINAL parquet, proving the
+    text format preserves the data. Timestamps travel as formatted
+    strings (CSV has no timestamp type)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="logdb_csv_")
+    (
+        ev.withColumn("ts", ts_str("ts"))
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(out)
+    )
+    back = (
+        spark.read.option("header", True)
+        .schema("event_id bigint, ts string, user_id bigint, event_type string, value double, props string")
+        .csv(out)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("user_id").alias("sum_users"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@register(
+    "sink_jsonl_roundtrip",
+    oracle="""
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(user_id) AS BIGINT) AS sum_users,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+                   AS sum_k
+        FROM events
+    """,
+    section=SECTION,
+)
+def sink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source round trip (the log-shipping wire
+    format): write, read back schemaless (inference), re-extract the
+    nested payload, aggregate against the original-parquet oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="logdb_jsonl_")
+    ev.withColumn("ts", ts_str("ts")).write.mode("overwrite").json(out)
+    back = spark.read.json(out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("user_id").alias("sum_users"),
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+    )
+
+
 @register("sink_partitioned_parquet", oracle=None, section=SECTION)
 def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-partitioned parquet sink + readback (rows-only check).
