@@ -189,6 +189,95 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_join",
+    oracle="""
+        WITH c AS (SELECT user_id, event_id, date_trunc('second', ts) AS ts
+                   FROM events WHERE event_type = 'click'),
+             p AS (SELECT user_id, event_id, date_trunc('second', ts) AS ts
+                   FROM events WHERE event_type = 'purchase')
+        SELECT c.user_id,
+               c.event_id AS click_id, p.event_id AS purchase_id,
+               CAST(epoch(p.ts) - epoch(c.ts) AS BIGINT) AS lag_s
+        FROM c JOIN p
+          ON c.user_id = p.user_id
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+    section=SECTION,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join semantics: purchases within 30 min
+    after a click by the same user (attribution join). In streaming
+    execution both sides buffer state bounded by watermark + the time
+    bound; the batch form is the identical equi+range join, so the
+    oracle checks the join semantics exactly. The harness test runs
+    the same join as a genuine stream-stream join."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.date_trunc("second", "ts").alias("ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTE")),
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.col("p_ts").cast("long") - F.col("c_ts").cast("long")).alias("lag_s"),
+    )
+
+
+@register("sink_compaction", oracle=None, section=SECTION)
+def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the operational chore every log store
+    runs: a micro-batch ingest leaves many small files; compaction
+    rewrites each day partition to size-targeted files. Emits
+    before/after file counts per partition (rows-only; counts are
+    filesystem facts, not SQL). At 100 TB this is a per-partition
+    rewrite job — embarrassingly parallel, no shuffle (coalesce only
+    narrows)."""
+    import glob
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    raw = tempfile.mkdtemp(prefix="logdb_smallfiles_")
+    compacted = tempfile.mkdtemp(prefix="logdb_compacted_")
+    # simulate micro-batch ingest: many small files per day partition
+    (
+        ev.withColumn("event_date", F.to_date("ts"))
+        .repartition(16)
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(raw)
+    )
+    # compaction pass: one output file per partition at this scale
+    (
+        spark.read.parquet(raw)
+        .repartition("event_date")
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(compacted)
+    )
+    n_before = len(glob.glob(f"{raw}/event_date=*/*.parquet"))
+    n_after = len(glob.glob(f"{compacted}/event_date=*/*.parquet"))
+    n_rows_before = spark.read.parquet(raw).count()
+    n_rows_after = spark.read.parquet(compacted).count()
+    return spark.createDataFrame(
+        [(n_before, n_after, n_rows_before, n_rows_after)],
+        "files_before int, files_after int, rows_before bigint, rows_after bigint",
+    )
+
+
+@register(
     "stream_late_data",
     oracle="""
         WITH hwm AS (

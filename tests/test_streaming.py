@@ -94,6 +94,48 @@ def test_stream_late_data_dropped(spark):
     assert counts2.agg(F.sum("n")).first()[0] == 2 * base_total
 
 
+def test_stream_stream_join_equals_batch(spark):
+    """The attribution join executed as a REAL stream-stream join
+    (both sides streaming, watermarked, state-store buffered) equals
+    the batch interval join the driver hash-checks."""
+    from logdb_spark.streaming.batch_equiv import stream_stream_join
+
+    staging = stage_events_dir(SF_SMALL)
+    ev = read_events_stream(spark, staging).select(
+        "user_id", "event_id", "event_type",
+        F.date_trunc("second", "ts").alias("ts"),
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTE")),
+    ).select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.col("p_ts").cast("long") - F.col("c_ts").cast("long")).alias("lag_s"),
+    )
+    streamed = run_to_memory(joined, output_mode="append", name="ssj")
+    batch = stream_stream_join(spark, SF_SMALL)
+    cols = ["user_id", "click_id", "purchase_id", "lag_s"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
+
+
 def test_stream_dedup_within_watermark(spark):
     """dropDuplicates on a streaming source: duplicated input files
     yield exactly the distinct event_ids."""
