@@ -235,6 +235,65 @@ def log_rate_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "log_value_histogram",
+    oracle="""
+        SELECT event_type,
+               CAST(FLOOR(value / 25) * 25 AS DOUBLE) AS bucket_lo,
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS bucket_sum
+        FROM events GROUP BY 1, 2
+    """,
+    section=SECTION,
+)
+def log_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric (metric-value) histogram: fixed-width buckets via
+    floor arithmetic — the latency/size distribution query. Bucket
+    count is value-range/width regardless of input size, so the
+    shuffle is bounded like the time histogram."""
+    from logdb_spark.functions.numeric import dec4, dround
+
+    ev = load_table(spark, sf_dir, "events")
+    bucket = (F.floor(F.col("value") / 25) * 25).cast("double")
+    return ev.groupBy("event_type", bucket.alias("bucket_lo")).agg(
+        F.count(F.lit(1)).alias("n"),
+        dround(F.sum(dec4("value"))).alias("bucket_sum"),
+    )
+
+
+@register("log_retention_prune", oracle=None, section=SECTION)
+def log_retention_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention/TTL enforcement — the log-store delete path: write
+    day-partitioned data, then serve only partitions within the
+    retention window via a partition-pruned read (the filter prunes at
+    the file listing: old partitions are never opened; at 100 TB the
+    physical delete is then a metadata-only partition drop). Emits
+    kept-vs-total partition counts + surviving rows (rows-only:
+    filesystem facts)."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    store = tempfile.mkdtemp(prefix="logdb_retention_")
+    (
+        ev.withColumn("event_date", F.to_date("ts"))
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(store)
+    )
+    back = spark.read.parquet(store)
+    cutoff = back.agg(
+        F.date_sub(F.max("event_date"), 7).alias("cutoff")
+    ).first()["cutoff"]
+    kept = back.filter(F.col("event_date") > F.lit(cutoff))  # partition-pruned
+    n_total_parts = back.select("event_date").distinct().count()
+    n_kept_parts = kept.select("event_date").distinct().count()
+    return spark.createDataFrame(
+        [(n_total_parts, n_kept_parts, kept.count())],
+        "partitions_total bigint, partitions_kept bigint, rows_kept bigint",
+    )
+
+
+@register(
     "log_pivot_types",
     oracle="""
         SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
