@@ -101,7 +101,7 @@ def session_windows(events: DataFrame) -> DataFrame:
             SELECT user_id, event_id, date_trunc('second', ts) AS ts FROM events
         ), flagged AS (
             SELECT user_id, ts,
-                   CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                   CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
                         OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), numbered AS (
@@ -121,10 +121,10 @@ def session_windows(events: DataFrame) -> DataFrame:
 )
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session_window (Spark's merging session operator).
-    Boundary semantics: a session covers [start, last_event + gap); an
-    event at exactly prev + 30min starts a NEW session — hence the >=
-    in the oracle's gap test (vs > in log_sessionize_gap, which
-    implements the inclusive-gap variant)."""
+    Boundary semantics (EMPIRICAL, found by the sf0.1 sweep — exactly
+    one event pair sits at a 1800s gap there): an event at exactly
+    prev + gap still MERGES into the session, i.e. the gap test for a
+    new session is strictly-greater — matching log_sessionize_gap."""
     return session_windows(load_table(spark, sf_dir, "events"))
 
 
