@@ -290,3 +290,79 @@ def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("event_type", key).alias("top_type"),
         money(F.max("value")).alias("top_value"),
     )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+        WITH c AS (
+            SELECT user_id, event_type, COUNT(*) AS cnt
+            FROM events GROUP BY user_id, event_type
+        )
+        SELECT user_id, event_type AS mode_type, cnt AS mode_count
+        FROM c
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id ORDER BY cnt DESC, event_type) = 1
+    """,
+    section=SECTION,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode with a deterministic tie-break (smallest value
+    among the most frequent). Two hash-agg passes — groupBy(user,type)
+    partial-combines map-side, then min_by over a (-cnt, type) struct
+    key picks the argmax without a window shuffle-sort. At 100 TB both
+    passes stay in HashAggregate; state per group is one struct, not a
+    value list (vs Spark's builtin `mode`, whose ties are
+    nondeterministic — why this spells it out)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    key = F.struct((-F.col("cnt")).alias("neg"), F.col("event_type"))
+    return counts.groupBy("user_id").agg(
+        F.min_by("event_type", key).alias("mode_type"),
+        F.max("cnt").alias("mode_count"),
+    )
+
+
+@register(
+    "agg_percentile_disc",
+    oracle="""
+        WITH r AS (
+            SELECT event_type, value,
+                   row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                   COUNT(*)    OVER (PARTITION BY event_type)                 AS n
+            FROM events
+        )
+        SELECT event_type,
+               MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN value END)
+                   AS p50_disc,
+               MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT) THEN value END)
+                   AS p90_disc
+        FROM r GROUP BY event_type
+    """,
+    section=SECTION,
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete percentile: the element at rank ceil(p*n) — an actual
+    data value, so it hash-compares bit-identical across engines with
+    no rounding (unlike the interpolated quantile_cont variant above).
+    Rank-k selection via per-group row_number; the per-group sort is
+    inherent to any exact percentile (DuckDB sorts internally too).
+    Groups here are the 5 event types — at 100 TB unbounded-cardinality
+    quantiles use agg_percentile_approx (mergeable sketch, no sort)."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    wc = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == F.ceil(0.5 * F.col("n")), F.col("value"))).alias("p50_disc"),
+        F.max(F.when(F.col("rn") == F.ceil(0.9 * F.col("n")), F.col("value"))).alias("p90_disc"),
+    )
