@@ -20,8 +20,14 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 from logdb_spark.plans.session import configure, get_spark
+
+
+class LogDBError(ValueError):
+    """User-input error surfaced eagerly with a plain message, instead
+    of a Py4J stack trace at action time."""
 
 
 class LogDB:
@@ -81,10 +87,51 @@ class LogDB:
 
     # ------------------------------------------------------------- query
 
+    # Input validation helpers — fail at call time with a plain
+    # message; without these, a bad regex / table / timestamp surfaces
+    # as a Py4J stack trace only when an action finally runs (or, for
+    # a non-ANSI timestamp cast, silently matches nothing).
+
+    def _check_regex(self, pattern: str) -> None:
+        jvm = self.spark._jvm  # noqa: SLF001 — JVM regex IS the rlike dialect
+        try:
+            jvm.java.util.regex.Pattern.compile(pattern)
+        except Exception as exc:  # Py4JJavaError, kept import-free
+            jexc = getattr(exc, "java_exception", None)
+            msg = str(jexc.getMessage() if jexc is not None else exc)
+            first = msg.strip().splitlines()[0] if msg.strip() else "syntax error"
+            raise LogDBError(f"invalid regex {pattern!r}: {first}") from None
+
+    def _check_timestamp(self, value: str, param: str) -> None:
+        row = self.spark.sql(
+            "SELECT try_cast(? AS TIMESTAMP) AS t", args=[value]
+        ).first()
+        if row.t is None:
+            raise LogDBError(
+                f"{param}={value!r} is not a parseable timestamp "
+                "(expected e.g. '2024-01-02' or '2024-01-02 03:04:05')"
+            )
+
+    def _check_columns(self, df: DataFrame, name: str, *cols: str) -> None:
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            raise LogDBError(
+                f"column(s) {missing} not in table {name!r} "
+                f"(has: {df.columns})"
+            )
+
     def table(self, name: str) -> DataFrame:
         if name in self._tables:
             return self._tables[name]
-        return self.spark.table(name)
+        try:
+            return self.spark.table(name)
+        except AnalysisException:
+            known = sorted(self._tables) + [
+                t.name for t in self.spark.catalog.listTables()
+            ]
+            raise LogDBError(
+                f"unknown table {name!r} (registered: {sorted(set(known))})"
+            ) from None
 
     def sql(self, query: str) -> DataFrame:
         return self.spark.sql(query)
@@ -103,13 +150,20 @@ class LogDB:
         The time predicates push down to the scan; the regex runs
         codegen'd on the survivors."""
         df = self.table(name)
+        self._check_regex(pattern)
+        if columns:
+            self._check_columns(df, name, *columns)
+        if since or until:
+            self._check_columns(df, name, ts_col)
         if since:
+            self._check_timestamp(since, "since")
             df = df.filter(F.col(ts_col) >= F.lit(since).cast("timestamp"))
         if until:
+            self._check_timestamp(until, "until")
             df = df.filter(F.col(ts_col) < F.lit(until).cast("timestamp"))
         str_cols = columns or [c for c, t in df.dtypes if t == "string"]
         if not str_cols:
-            raise ValueError(f"no string columns to search in {name}")
+            raise LogDBError(f"no string columns to search in {name}")
         cond = None
         for c in str_cols:
             m = F.col(c).rlike(pattern)
@@ -118,7 +172,9 @@ class LogDB:
 
     def tail(self, name: str, n: int = 10, ts_col: str = "ts") -> DataFrame:
         """Most recent n records (bounded heap, not a global sort)."""
-        return self.table(name).orderBy(F.col(ts_col).desc()).limit(n)
+        df = self.table(name)
+        self._check_columns(df, name, ts_col)
+        return df.orderBy(F.col(ts_col).desc()).limit(n)
 
     def histogram(
         self,
@@ -129,6 +185,7 @@ class LogDB:
     ) -> DataFrame:
         """Time-bucketed event counts, optionally split by a column."""
         df = self.table(name)
+        self._check_columns(df, name, *([ts_col, by] if by else [ts_col]))
         keys = [F.window(ts_col, bucket).start.alias("bucket")]
         if by:
             keys.append(F.col(by))
@@ -143,6 +200,7 @@ class LogDB:
     ) -> DataFrame:
         """Per-user session windows with the given inactivity gap."""
         df = self.table(name)
+        self._check_columns(df, name, user_col, ts_col)
         return (
             df.groupBy(F.session_window(ts_col, gap).alias("w"), F.col(user_col))
             .agg(F.count(F.lit(1)).alias("n_events"))
@@ -159,6 +217,7 @@ class LogDB:
     ) -> DataFrame:
         """Top-n groups by count (or sum of ``metric`` column)."""
         df = self.table(name)
+        self._check_columns(df, name, *([by] if metric == "count" else [by, metric]))
         agg = (
             F.count(F.lit(1)).alias("value")
             if metric == "count"

@@ -89,3 +89,44 @@ def test_ingest_loglines_grok(db, tmp_path):
     assert [r["user_id"] for r in rows] == [7, 8]
     assert rows[0]["event_type"] == "error" and rows[0]["value"] == 12.5
     assert str(rows[0]["ts"]).startswith("2024-01-01 00:00:01")
+
+
+# ---------------------------------------------------------- error surface
+
+
+def test_bad_regex_raises_eagerly(db):
+    from logdb_spark.api import LogDBError
+
+    with pytest.raises(LogDBError, match="invalid regex"):
+        db.search("ev", "[unclosed")
+
+
+def test_unknown_table_lists_known(db):
+    from logdb_spark.api import LogDBError
+
+    with pytest.raises(LogDBError, match="unknown table 'nope'"):
+        db.table("nope")
+
+
+def test_bad_timestamp_raises_eagerly(db):
+    from logdb_spark.api import LogDBError
+
+    with pytest.raises(LogDBError, match="since="):
+        db.search("ev", "err", since="not-a-date")
+
+
+def test_missing_column_names_table_columns(db):
+    from logdb_spark.api import LogDBError
+
+    with pytest.raises(LogDBError, match="no_such_col"):
+        db.top("ev", by="no_such_col")
+    with pytest.raises(LogDBError, match="no_such_col"):
+        db.search("ev", "x", columns=["no_such_col"])
+    with pytest.raises(LogDBError, match="no_such_col"):
+        db.tail("ev", ts_col="no_such_col")
+
+
+def test_java_only_regex_still_accepted(db):
+    # possessive quantifiers are Java-regex-only (Python re rejects
+    # them) — validation must use the JVM dialect rlike executes
+    assert db.search("ev", "err\\w*+").count() > 0
