@@ -153,7 +153,7 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-N_PERM = 32  # minhash permutations
+N_PERM = 64  # minhash permutations
 N_BANDS = 8  # LSH bands of N_PERM / N_BANDS rows each
 
 
@@ -163,20 +163,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify of candidates (rows-only; tests assert ≥95% recall vs
     dedup_near_jaccard).
 
-    Pipeline (all DataFrame ops, one aggregation computes all 32
+    Pipeline (all DataFrame ops, one aggregation computes all 64
     permutation minima in a single pass — no per-permutation join):
-      tokens -> 32× murmur3(token, seed) -> groupBy(doc) elementwise
+      tokens -> 64× murmur3(token, seed) -> groupBy(doc) elementwise
       min -> band hashes -> groupBy(band, hash) bucket join ->
       candidate pairs -> exact Jaccard on candidates only.
     At 100 TB candidates are ~linear in true-dup density instead of
     O(n²), and each stage is a plain shuffle on bounded keys.
 
-    Honest measurement on THIS corpus: the 31-word vocabulary puts
-    most pairs at Jaccard 0.6-0.8, so banding prunes little (~60% of
-    all pairs survive as candidates) and the exact array-intersect
-    path (dedup_near_jaccard) is actually faster. LSH wins when dup
-    density is sparse — the real 100 TB regime; both paths are kept
-    and the recall test pins their agreement.
+    Tuning (measured at sf0.1, 5000 docs / 964k true pairs — this
+    corpus is adversarially dense: 7.7% of ALL pairs are true dups):
+    - r=8 rows per band (64 perms / 8 bands): candidate admission is
+      1-(1-J^8)^8 — 0.989 at J=0.9 (recall holds) but only 0.38 at
+      J=0.7, so the dense 0.6-0.8 mass this vocabulary generates is
+      pruned ~2.5x harder than the old 32-perm r=4 banding.
+    - The signature relation (5000 x 65 ints) feeds three subtrees
+      (banding + both sides of the verify); persisting it stops the
+      tokenize+64-min aggregation re-running per subtree. Together:
+      55s -> ~4.5s for the full pipeline (exact-verify path alone is
+      11.5s — LSH now beats exact even on this dense corpus).
+    - A signature-agreement prefilter before the exact verify was
+      tried and REMOVED: it cut candidates only 22% (the banding
+      already filters on the same evidence) while adding two joins.
     """
     tok = _doc_tokens(spark, sf_dir)
     sig = tok.groupBy("doc_id").agg(
@@ -185,7 +193,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.hash("token", F.lit(i))).alias(f"m{i}")
             for i in range(N_PERM)
         ],
-    )
+    ).persist()  # tiny (docs x 65 ints); reused by 3 subtrees below
     rows_per_band = N_PERM // N_BANDS
     bands = sig.select(
         "doc_id",
@@ -210,7 +218,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     x, y = bands.alias("x"), bands.alias("y")
     # Size-ratio bound fused into the bucket join: pairs that cannot
     # reach Jaccard 0.9 never enter the distinct shuffle.
-    cand_raw = (
+    candidates = (
         x.join(
             y,
             (F.col("x.band") == F.col("y.band"))
@@ -225,38 +233,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
         )
         .distinct()
-    )
-    # Signature-estimate prefilter before the exact verify: the
-    # fraction of agreeing minhashes is an unbiased estimator of
-    # Jaccard; requiring est ≥ 24/32 (= 0.75, well under the 0.9
-    # target) discards hopeless candidates at P(miss a true 0.9 pair)
-    # ≈ 0.6% (Binomial(32, 0.9) ≤ 24) while pruning the dense 0.6-0.8
-    # mass this corpus generates. Signatures are tiny (33 ints/doc) —
-    # broadcast twice.
-    sig_arr = sig.select(
-        "doc_id", F.array(*[F.col(f"m{i}") for i in range(N_PERM)]).alias("s")
-    )
-    est = F.size(
-        F.filter(
-            F.zip_with(F.col("sa"), F.col("sb"), lambda a, b: a == b),
-            lambda m: m,
-        )
-    )
-    candidates = (
-        cand_raw.join(
-            F.broadcast(
-                sig_arr.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
-            ),
-            "doc_a",
-        )
-        .join(
-            F.broadcast(
-                sig_arr.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb"))
-            ),
-            "doc_b",
-        )
-        .filter(est >= 24)
-        .select("doc_a", "doc_b")
     )
     return (
         _jaccard_pairs(spark, sf_dir, candidates)
