@@ -107,9 +107,8 @@ def _jaccard_pairs(
     # parquet file (one input split), and a broadcast pair-join's
     # parallelism equals the stream side's partition count. At real
     # scale the input arrives already split; this keeps local parity.
-    docs = _token_sets(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    docs, kernel = _pair_kernel(spark, sf_dir)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     da = docs.select(
         F.col("doc_id").alias("doc_a"),
         F.col("toks").alias("toks_a"),
@@ -131,14 +130,85 @@ def _jaccard_pairs(
         pairs = da.join(
             F.broadcast(db), (F.col("doc_a") < F.col("doc_b")) & size_ok
         )
-    inter = F.size(F.array_intersect("toks_a", "toks_b"))
-    return pairs.withColumn("n_shared", inter).select(
+    return pairs.withColumn("n_shared", kernel).select(
         "doc_a",
         "doc_b",
         (
             F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared"))
         ).alias("jac"),
     )
+
+
+# Vocabulary cutoff for the dictionary-encoded bitmask kernel: one
+# 64-bit word per 64 vocab terms per doc, so 4096 terms = 64 longs —
+# past that the masks outweigh the token arrays and the generic
+# kernel wins.
+_BITMASK_MAX_VOCAB = 4096
+
+
+def _pair_kernel(spark, sf_dir):
+    """Pick the exact set-intersection kernel by vocabulary size.
+
+    Small vocabulary (the corpus here has ~31 distinct tokens):
+    dictionary-encode each document's token set into a fixed-length
+    array of 64-bit masks; |A∩B| is then sum(bit_count(a & b)) —
+    word-wide bit ops in whole-stage codegen instead of a per-pair
+    string-array intersect. Exact by construction (dictionary ids,
+    no hashing), ~10x faster on the O(n²) pair loop.
+
+    Open vocabulary (the 100 TB text regime): fall back to
+    array_intersect on sorted token arrays. The one-pass distinct
+    count that makes the choice is noise next to the pair join it
+    feeds.
+
+    Returns (docs_df with (doc_id, toks, n), intersect_kernel Column
+    over the joined (toks_a, toks_b) columns).
+    """
+    tok = _doc_tokens(spark, sf_dir)
+    vocab_n = tok.select("token").distinct().count()
+    if vocab_n > _BITMASK_MAX_VOCAB:
+        return _token_sets(spark, sf_dir), F.size(
+            F.array_intersect("toks_a", "toks_b")
+        )
+    n_chunks = (vocab_n + 63) // 64
+    # Tiny global sort: vocab_n rows through one partition, by design.
+    dict_ = tok.select("token").distinct().select(
+        "token",
+        (F.row_number().over(Window.orderBy("token")) - 1).alias("tid"),
+    )
+    chunked = (
+        tok.join(F.broadcast(dict_), "token")
+        .groupBy("doc_id", (F.col("tid") / 64).cast("int").alias("chunk"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(tid % 64 AS INT))")
+            ).alias("m")
+        )
+    )
+    masks = (
+        chunked.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("chunk", "m"))
+            ).alias("mm")
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_chunks - 1)),
+                lambda c: F.coalesce(F.col("mm")[c], F.lit(0).cast("long")),
+            ).alias("toks"),
+            F.expr(
+                "aggregate(map_values(mm), 0, (a, x) -> a + bit_count(x))"
+            ).alias("n"),
+        )
+        .persist()  # docs x n_chunks longs; feeds both sides of the pair join
+    )
+    kernel = F.expr(
+        "aggregate(zip_with(toks_a, toks_b, (x, y) -> bit_count(x & y)),"
+        " 0, (a, e) -> a + e)"
+    )
+    return masks, kernel
 
 
 @register("dedup_near_jaccard", oracle=_JACCARD_ORACLE, section=SECTION)
@@ -274,7 +344,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # complement packing of the 64-bit fingerprint.
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
         fp = fp + F.shiftleft(bit, i)
-    sigs = bit_sums.select("doc_id", fp.alias("simhash"))
+    # Persisted: both sides of the chunk self-join consume this, and
+    # without it the tokenize + 64-bit-sum aggregation runs twice.
+    sigs = bit_sums.select("doc_id", fp.alias("simhash")).persist()
     chunks = sigs.select(
         "doc_id",
         "simhash",

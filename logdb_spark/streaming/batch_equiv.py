@@ -307,3 +307,68 @@ def stream_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("tss") >= F.col("cutoff"), 1)).alias("n_within"),
         F.count(F.when(F.col("tss") < F.col("cutoff"), 1)).alias("n_late"),
     )
+
+
+def rolling_error_alerts(events: DataFrame) -> DataFrame:
+    """Per-user alert stream: every second-bucket where the number of
+    'error' events in the trailing 1-day window reaches 3.
+
+    Batch form: pre-aggregate errors to (user, second) buckets, then a
+    RANGE-frame rolling sum — the bucketing makes same-second ties a
+    single row, so the sequential stateful twin
+    (streaming/stateful.py::stateful_alerts_stream) produces an
+    identical answer processing buckets in time order. Shuffles once
+    on user_id; the range sort is partition-local."""
+    from pyspark.sql.window import Window
+
+    per_sec = (
+        events.filter(F.col("event_type") == "error")
+        .groupBy(
+            "user_id", F.date_trunc("second", "ts").alias("sec")
+        )
+        .agg(F.count(F.lit(1)).alias("n_err"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("sec"))
+        .rangeBetween(-86400, 0)
+    )
+    return (
+        per_sec.withColumn("n_recent_errors", F.sum("n_err").over(w))
+        .filter(F.col("n_recent_errors") >= 3)
+        .select(
+            "user_id",
+            F.col("sec").alias("alert_ts"),
+            F.col("n_recent_errors").cast("bigint").alias("n_recent_errors"),
+        )
+    )
+
+
+@register(
+    "stream_stateful_alerts",
+    oracle="""
+        WITH b AS (
+            SELECT user_id, date_trunc('second', ts) AS sec,
+                   COUNT(*) AS n_err
+            FROM events WHERE event_type = 'error'
+            GROUP BY user_id, date_trunc('second', ts)
+        ), r AS (
+            SELECT user_id, sec,
+                   CAST(SUM(n_err) OVER (
+                       PARTITION BY user_id ORDER BY epoch(sec)
+                       RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS n_recent_errors
+            FROM b
+        )
+        SELECT user_id, sec AS alert_ts, n_recent_errors
+        FROM r WHERE n_recent_errors >= 3
+    """,
+    section=SECTION,
+)
+def stream_stateful_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator, batch-equivalent form (the streaming
+    twin keeps a per-user buffer of recent error seconds in GroupState
+    via applyInPandasWithState — the pattern for operators Spark's
+    built-in windowed aggs cannot express). Harness test proves
+    batch/stream equality under multi-micro-batch replay."""
+    return rolling_error_alerts(load_table(spark, sf_dir, "events"))

@@ -53,10 +53,20 @@ def stage_events_dir(sf_dir: str) -> str:
     return staging
 
 
-def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
-    """Events as an unbounded file source over a staging dir."""
+def read_events_stream(
+    spark: SparkSession,
+    events_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Events as an unbounded file source over a staging dir.
+    ``max_files_per_trigger=1`` forces one staged file per micro-batch
+    (file source processes oldest-first), so tests can replay a
+    time-split fixture as genuinely sequential micro-batches."""
     configure(spark)
-    raw = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(events_dir)
+    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(events_dir)
     return raw.withColumn(
         "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
     )

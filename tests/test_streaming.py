@@ -153,3 +153,39 @@ def test_stream_dedup_within_watermark(spark):
     )
     n_events = load_table(spark, SF_SMALL, "events").count()
     assert deduped.first()["n"] == n_events
+
+
+def test_stream_stateful_alerts_equals_batch(spark):
+    """applyInPandasWithState twin must reproduce the batch range-frame
+    rolling alert counts under genuinely sequential micro-batches
+    (time-split files, one per trigger)."""
+    import tempfile
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from logdb_spark.streaming.batch_equiv import rolling_error_alerts
+    from logdb_spark.streaming.stateful import stateful_alerts_stream
+
+    staging = tempfile.mkdtemp(prefix="logdb_stateful_")
+    tbl = pq.read_table(f"{SF_SMALL}/events.parquet")
+    ts = tbl.column("ts").cast(pa.int64())
+    # split at a WHOLE-SECOND boundary near the median so a second
+    # bucket never straddles two micro-batches
+    med_s = pc.approximate_median(ts).as_py() // 10**9
+    mask = pc.less(ts, pa.scalar(med_s * 10**9, type=pa.int64()))
+    pq.write_table(tbl.filter(mask), f"{staging}/batch0.parquet")
+    _time.sleep(1.1)  # distinct mtimes: file source orders oldest-first
+    pq.write_table(tbl.filter(pc.invert(mask)), f"{staging}/batch1.parquet")
+
+    stream = read_events_stream(spark, staging, max_files_per_trigger=1)
+    streamed = run_to_memory(
+        stateful_alerts_stream(stream), output_mode="append"
+    )
+    batch = rolling_error_alerts(load_table(spark, SF_SMALL, "events"))
+    cols = ["user_id", "alert_ts", "n_recent_errors"]
+    streamed_rows = _rows(streamed, cols)
+    assert streamed_rows, "stateful alert stream produced no alerts"
+    assert streamed_rows == _rows(batch, cols)
