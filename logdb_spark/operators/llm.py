@@ -107,7 +107,11 @@ def _jaccard_pairs(
     # parquet file (one input split), and a broadcast pair-join's
     # parallelism equals the stream side's partition count. At real
     # scale the input arrives already split; this keeps local parity.
-    docs, kernel = _pair_kernel(spark, sf_dir)
+    docs, kernel = _pair_kernel(
+        spark,
+        _doc_tokens(spark, sf_dir),
+        lambda: _token_sets(spark, sf_dir),
+    )
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     da = docs.select(
         F.col("doc_id").alias("doc_a"),
@@ -146,7 +150,7 @@ def _jaccard_pairs(
 _BITMASK_MAX_VOCAB = 4096
 
 
-def _pair_kernel(spark, sf_dir):
+def _pair_kernel(spark, tok, sets_fn):
     """Pick the exact set-intersection kernel by vocabulary size.
 
     Small vocabulary (the corpus here has ~31 distinct tokens):
@@ -161,21 +165,32 @@ def _pair_kernel(spark, sf_dir):
     count that makes the choice is noise next to the pair join it
     feeds.
 
-    Returns (docs_df with (doc_id, toks, n), intersect_kernel Column
-    over the joined (toks_a, toks_b) columns).
+    ``tok`` is the exploded (doc_id, token) relation; ``sets_fn``
+    lazily builds the (doc_id, toks, n) sorted-array fallback. Returns
+    (docs_df with (doc_id, toks, n), intersect_kernel Column over the
+    joined (toks_a, toks_b) columns).
     """
-    tok = _doc_tokens(spark, sf_dir)
-    vocab_n = tok.select("token").distinct().count()
+    # Persist the exploded tokens: the vocab probe, the dictionary,
+    # and the encode join all consume this one relation.
+    tok = tok.persist()
+    # Tiny global sort: vocab_n rows through one partition, by design.
+    dict_ = (
+        tok.select("token")
+        .distinct()
+        .select(
+            "token",
+            (F.row_number().over(Window.orderBy("token")) - 1).alias("tid"),
+        )
+        .persist()
+    )
+    vocab_n = dict_.count()
     if vocab_n > _BITMASK_MAX_VOCAB:
-        return _token_sets(spark, sf_dir), F.size(
+        dict_.unpersist()
+        tok.unpersist()
+        return sets_fn(), F.size(
             F.array_intersect("toks_a", "toks_b")
         )
     n_chunks = (vocab_n + 63) // 64
-    # Tiny global sort: vocab_n rows through one partition, by design.
-    dict_ = tok.select("token").distinct().select(
-        "token",
-        (F.row_number().over(Window.orderBy("token")) - 1).alias("tid"),
-    )
     chunked = (
         tok.join(F.broadcast(dict_), "token")
         .groupBy("doc_id", (F.col("tid") / 64).cast("int").alias("chunk"))
@@ -204,11 +219,19 @@ def _pair_kernel(spark, sf_dir):
         )
         .persist()  # docs x n_chunks longs; feeds both sides of the pair join
     )
-    kernel = F.expr(
-        "aggregate(zip_with(toks_a, toks_b, (x, y) -> bit_count(x & y)),"
-        " 0, (a, e) -> a + e)"
-    )
-    return masks, kernel
+    # Unrolled per-chunk terms (n_chunks is a plan-time constant):
+    # straight-line bit_count(a[c] & b[c]) sums in whole-stage codegen,
+    # no per-pair intermediate array like zip_with+aggregate would
+    # allocate — measured ~2× on the 12.5M-pair sf0.1 join.
+    kernel = None
+    for c in range(1, n_chunks + 1):
+        term = F.bit_count(
+            F.element_at(F.col("toks_a"), c).bitwiseAND(
+                F.element_at(F.col("toks_b"), c)
+            )
+        )
+        kernel = term if kernel is None else kernel + term
+    return masks, kernel.cast("int")
 
 
 @register("dedup_near_jaccard", oracle=_JACCARD_ORACLE, section=SECTION)
@@ -219,6 +242,86 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _jaccard_pairs(spark, sf_dir)
         .filter(F.col("jac") >= 0.9)
+        .select("doc_a", "doc_b", ratio(F.col("jac")).alias("jaccard"))
+    )
+
+
+_NGRAM_ORACLE = """
+    WITH g AS (
+        SELECT doc_id,
+               list_sort(list_distinct(list_transform(
+                   range(1, len(string_split(text, ' '))),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i + 1]))) AS grams
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(len(list_intersect(a.grams, b.grams)) * 1.0 /
+                 (len(a.grams) + len(b.grams)
+                  - len(list_intersect(a.grams, b.grams))), 6) AS jaccard
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
+          (len(a.grams) + len(b.grams)
+           - len(list_intersect(a.grams, b.grams))) >= 0.5
+"""
+
+
+def _BIGRAMS():
+    """Distinct word-bigram shingles of ``text`` (order-preserving).
+
+    zip_with(toks, toks[2:]) — NOT transform+element_at over an index
+    sequence, which re-evaluates the split closure per element (O(w²)
+    splits per row; measured 7× slower). zip_with pads the shorter
+    side with null, so the final bigram is (last_word, null) → null
+    concat → filtered."""
+    toks = F.split("text", " ")
+    grams = F.zip_with(
+        toks,
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    return F.array_distinct(F.filter(grams, lambda g: g.isNotNull()))
+
+
+@register("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE, section=SECTION)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by word-BIGRAM shingle Jaccard ≥ 0.5 — the
+    n-gram variant keeps word ORDER, so reorderings that word-set
+    Jaccard scores as identical score low here (the fixture's true
+    dups separate cleanly: ≥0.9 vs ≤0.3 on this metric). Reuses the
+    adaptive kernel + size-ratio-prefiltered pair join of
+    dedup_near_jaccard; the bigram vocabulary is O(word_vocab²), so
+    the bitmask path engages only on small vocabularies (here 31
+    words → ≤961 bigrams → 16-long masks per doc)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_BIGRAMS()).alias("token"))
+
+    def sets_fn():
+        return d.select(
+            "doc_id",
+            F.array_sort(_BIGRAMS()).alias("toks"),
+            F.size(_BIGRAMS()).alias("n"),
+        )
+
+    docs, kernel = _pair_kernel(spark, tok, sets_fn)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    da = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("n").alias("na"),
+    )
+    db = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("n").alias("nb"),
+    )
+    size_ok = F.least("na", "nb") >= F.greatest("na", "nb") * F.lit(0.5)
+    jac = F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared"))
+    return (
+        da.join(F.broadcast(db), (F.col("doc_a") < F.col("doc_b")) & size_ok)
+        .withColumn("n_shared", kernel)
+        .withColumn("jac", jac)
+        .filter(F.col("jac") >= 0.5)
         .select("doc_a", "doc_b", ratio(F.col("jac")).alias("jaccard"))
     )
 

@@ -100,6 +100,7 @@ def test_bucketed_join_has_no_exchange(spark):
 NESTED_LOOP_ALLOWED = {
     "join_cross",  # 5×5 deliberate cross product
     "dedup_near_jaccard",  # exact O(n²) ground-truth path (broadcast)
+    "dedup_ngram_jaccard",  # same pair kernel over bigram shingles
     "dedup_embedding_cosine",  # exact O(n²) ground-truth path (broadcast)
     "sim_topk_cosine",  # 1-row probe broadcast
     "sim_ann_lsh",  # 1-row probe broadcast
