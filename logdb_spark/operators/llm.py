@@ -715,6 +715,78 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CELLS = 16  # IVF coarse-quantizer size
+N_PROBE = 6  # cells scanned per query
+
+
+def _ivf_centroids():
+    """Deterministic unit-norm coarse centroids (seed fixed): 16 × 64,
+    generated driver-side once — tiny literals, broadcast implicitly.
+    A production build would k-means these from a sample; fixed random
+    centroids keep the operator deterministic and still partition the
+    sphere into angular cells."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    c = rng.rand(N_CELLS, 64) - 0.5
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+@register("sim_ann_ivf", oracle=None, section=SECTION)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-10 for probe vec_id=0 via an IVF coarse quantizer:
+    assign every vector to its nearest of 16 fixed centroids (its
+    cell), scan only the probe's 4 nearest cells, exact dot on those
+    candidates (rows-only; tests assert recall vs sim_topk_cosine).
+
+    The cell assignment is a map-only projection — 16 unrolled
+    centroid dots folded to an argmax via array_max over (dot, k)
+    structs; no shuffle, no window. At 100 TB the corpus would be
+    written bucketed/partitioned BY cell so a query prunes 12/16 of
+    the data at the scan (here the prune is a post-scan filter, same
+    selectivity). nprobe trades recall for scan fraction exactly like
+    FAISS IVF-Flat."""
+    cents = _ivf_centroids()
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    cdots = F.array(
+        *[
+            F.struct(
+                dot(
+                    F.col("emb"),
+                    F.array(*[F.lit(float(v)) for v in cents[k]]),
+                ).alias("d"),
+                F.lit(k).alias("k"),
+            )
+            for k in range(N_CELLS)
+        ]
+    )
+    cells = e.select("vec_id", "emb", cdots.alias("cdots"))
+    corpus = cells.select(
+        "vec_id", "emb", F.array_max("cdots")["k"].alias("cell")
+    )
+    probe = cells.filter(F.col("vec_id") == 0).select(
+        F.col("emb").alias("probe_emb"),
+        F.transform(
+            F.slice(F.reverse(F.array_sort("cdots")), 1, N_PROBE),
+            lambda s: s["k"],
+        ).alias("probe_cells"),
+    )
+    return (
+        corpus.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .filter(F.array_contains("probe_cells", F.col("cell")))
+        .select(
+            "vec_id",
+            ratio(dot(F.col("emb"), F.col("probe_emb"))).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
+
+
 # ------------------------------------------------------------ text analysis
 
 

@@ -104,6 +104,7 @@ NESTED_LOOP_ALLOWED = {
     "dedup_embedding_cosine",  # exact O(n²) ground-truth path (broadcast)
     "sim_topk_cosine",  # 1-row probe broadcast
     "sim_ann_lsh",  # 1-row probe broadcast
+    "sim_ann_ivf",  # 1-row probe broadcast
     "stream_late_data",  # 1-row watermark scalar broadcast
     "sim_knn_join_label",  # K=10 centroid broadcast cross join
 }
