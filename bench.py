@@ -26,6 +26,15 @@ def main() -> int:
     runs = int(os.environ.get("BENCH_RUNS", "3"))
     only = sys.argv[1:]  # optional operator-name filter
 
+    # Guarantee exactly one JSON line on stdout: save the real stdout fd,
+    # then point fd 1 at stderr for the whole run — the JVM inherits fd 1,
+    # so this silences its console chatter (progress bars, log4j fallback)
+    # at the fd level, not just sys.stdout. r1's bench output was unparsable
+    # because of exactly that pollution.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = sys.stderr
+
     from logdb_spark.plans.session import get_spark
     from logdb_spark.registry import all_operators
 
@@ -45,23 +54,25 @@ def main() -> int:
             execute(name)
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
+        # Ops that persist() intermediates (LSH signatures, pair kernels)
+        # would otherwise accumulate cached blocks across the 104-op run.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
-                "n_queries": len(timings),
-                "cpus": os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count())),
-                "runs_per_query": runs,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
+            "n_queries": len(timings),
+            "cpus": os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count())),
+            "runs_per_query": runs,
+        }
     )
+    os.write(real_stdout, (line + "\n").encode())
     return 0
 
 

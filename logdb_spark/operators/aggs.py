@@ -256,16 +256,23 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_collect_sorted",
     oracle="""
-        SELECT user_id, list(DISTINCT event_type ORDER BY event_type) AS types_seen
+        SELECT user_id,
+               array_to_string(list(DISTINCT event_type ORDER BY event_type), '|')
+                   AS types_seen
         FROM events GROUP BY user_id
     """,
     section=SECTION,
 )
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array-valued aggregate, canonicalized by sorting (SURVEY §7.3.5)."""
+    """Set-valued aggregate, canonicalized per SURVEY §7.3.5: the sorted
+    set is emitted as a '|'-joined STRING, not an array column — checker
+    harnesses (including the driver's) hash scalar cells, and an
+    array-typed cell is unhashable there (r1's one red row)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.array_sort(F.collect_set("event_type")).alias("types_seen")
+        F.array_join(F.array_sort(F.collect_set("event_type")), "|").alias(
+            "types_seen"
+        )
     )
 
 

@@ -69,6 +69,9 @@ def get_spark(app_name: str = "logdb-spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(default_shuffle_partitions()))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Keep stdout clean: bench.py's contract is ONE JSON line on
+        # stdout, and the JVM's console progress bar writes there.
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
