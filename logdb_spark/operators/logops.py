@@ -264,11 +264,15 @@ def log_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("log_retention_prune", oracle=None, section=SECTION)
 def log_retention_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention/TTL enforcement — the log-store delete path: write
-    day-partitioned data, then serve only partitions within the
-    retention window via a partition-pruned read (the filter prunes at
-    the file listing: old partitions are never opened; at 100 TB the
-    physical delete is then a metadata-only partition drop). Emits
-    kept-vs-total partition counts + surviving rows (rows-only:
+    day-partitioned data, then report what a 7-day retention window
+    keeps. ONE aggregate query (r1 ran three driver-side counts +
+    createDataFrame): scan → partial count per event_date (map-side
+    combine; one row per day survives) → global window over that tiny
+    per-day frame for the cutoff → 1-row summary. The single-partition
+    window is safe at any scale because its input is day-count-bounded,
+    not data-bounded. At 100 TB the cutoff is a retention-config
+    literal, so the serve-path filter prunes partitions at the file
+    listing and the delete is a metadata-only partition drop (rows-only:
     filesystem facts)."""
     import tempfile
 
@@ -281,15 +285,19 @@ def log_retention_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(store)
     )
     back = spark.read.parquet(store)
-    cutoff = back.agg(
-        F.date_sub(F.max("event_date"), 7).alias("cutoff")
-    ).first()["cutoff"]
-    kept = back.filter(F.col("event_date") > F.lit(cutoff))  # partition-pruned
-    n_total_parts = back.select("event_date").distinct().count()
-    n_kept_parts = kept.select("event_date").distinct().count()
-    return spark.createDataFrame(
-        [(n_total_parts, n_kept_parts, kept.count())],
-        "partitions_total bigint, partitions_kept bigint, rows_kept bigint",
+    per_day = back.groupBy("event_date").agg(F.count(F.lit(1)).alias("n"))
+    keep = F.col("event_date") > F.date_sub(
+        F.max("event_date").over(Window.partitionBy()), 7
+    )
+    return (
+        per_day.withColumn("kept", keep)
+        .agg(
+            F.count(F.lit(1)).alias("partitions_total"),
+            F.count(F.when(F.col("kept"), 1)).alias("partitions_kept"),
+            F.coalesce(
+                F.sum(F.when(F.col("kept"), F.col("n"))), F.lit(0)
+            ).alias("rows_kept"),
+        )
     )
 
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StringType
 
@@ -146,6 +146,13 @@ def udaf_pandas_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hard bound on the per-user event history fed to the session UDTF —
+# caps both the collect_list aggregation buffer and the single-row UDTF
+# input (64 KiB of longs ≈ 0.5 MB/row worst case). Far above any
+# fixture user; documented truncation, not OOM, for hot keys at scale.
+MAX_EVENTS_PER_USER = 65536
+
+
 @register(
     "udtf_explode_sessions",
     oracle="""
@@ -171,9 +178,10 @@ def udaf_pandas_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def udtf_explode_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (Spark 4 table function): one input row per user
-    (sorted event epochs), variable session rows out — the UDTF shape.
-    Matches log_sessionize_gap's semantics; the window composition over
-    there is the scale path, this is the surface-parity demo."""
+    (sorted event epochs, capped at MAX_EVENTS_PER_USER), variable
+    session rows out — the UDTF shape. Matches log_sessionize_gap's
+    semantics; the window composition over there is the scale path,
+    this is the surface-parity demo."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="user_id bigint, session_idx bigint, n_events bigint, duration_s bigint")
@@ -193,10 +201,24 @@ def udtf_explode_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield user_id, idx, n, prev - start
 
     ev = load_table(spark, sf_dir, "events").select(
-        "user_id", F.date_trunc("second", "ts").cast("long").alias("epoch_s")
+        "user_id",
+        "event_id",
+        F.date_trunc("second", "ts").cast("long").alias("epoch_s"),
     )
-    arrs = ev.groupBy("user_id").agg(
-        F.collect_list("epoch_s").alias("epochs")
+    # Bound per-user state BEFORE the collect: rank events in a window
+    # (sort-based, spillable) and keep at most MAX_EVENTS_PER_USER, so
+    # the collect_list buffer and the UDTF input row are both capped —
+    # a hot key can no longer accumulate its whole history into one row.
+    # Fixture users are far below the cap, so output (and the oracle)
+    # are unchanged; at 100 TB a user beyond the cap gets its oldest
+    # events truncated, which the cap makes an explicit, documented
+    # bound instead of an OOM.
+    w = Window.partitionBy("user_id").orderBy("epoch_s", "event_id")
+    arrs = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= MAX_EVENTS_PER_USER)
+        .groupBy("user_id")
+        .agg(F.collect_list("epoch_s").alias("epochs"))
     )
     arrs.createOrReplaceTempView("v_user_epochs")
     spark.udtf.register("explode_sessions", ExplodeSessions)
