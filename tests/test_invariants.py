@@ -84,3 +84,20 @@ def test_topk_global_is_subset_of_sorted(spark):
         .collect()
     ]
     assert top == expected
+
+
+def test_survey_section2_matches_registry():
+    """SURVEY.md §2 is THE CONTRACT: every registered operator must have
+    a §2 table row and vice versa, name-for-name (VERDICT r1 #7 — the
+    doc and the registry must not drift)."""
+    import re
+    from pathlib import Path
+
+    survey = Path(__file__).resolve().parents[1] / "SURVEY.md"
+    sec2 = survey.read_text().split("## 2. Operator inventory")[1].split("\n## 3.")[0]
+    rows = set(re.findall(r"^\| `([a-z0-9_]+)`", sec2, re.M))
+    registered = set(OPS)
+    assert rows == registered, (
+        f"SURVEY §2 missing: {sorted(registered - rows)}; "
+        f"stale §2 rows: {sorted(rows - registered)}"
+    )
