@@ -97,7 +97,7 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit salting is the static form for known-skewed keys.)
     """
     li = load_table(spark, sf_dir, "lineitem").withColumn(
-        "salt", (F.col("l_linenumber") % N_SALT).cast("int")
+        "salt", F.pmod(F.hash("l_orderkey", "l_linenumber"), F.lit(N_SALT))
     )
     o = load_table(spark, sf_dir, "orders").withColumn(
         "salt", F.explode(F.array(*[F.lit(s) for s in range(N_SALT)]))
@@ -108,5 +108,93 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_lineitems"),
             dround(F.sum(dec4("l_extendedprice"))).alias("total_price"),
+        )
+    )
+
+
+# --- hot-key skew demonstration (tools/skewbench.py + tests) ----------
+#
+# The registered operator above proves salting mechanics on the fixture
+# key distribution, which is NOT skewed — so there salting is pure
+# overhead. The three helpers below build a fact with a genuinely hot
+# key in-query and expose salted/unsalted twins of the same join, so
+# the benefit is measurable and parity is testable. Measured at sf0.1
+# (local[32], shuffle join forced, AQE skew-split off — the 100 TB
+# regime where the dimension is too big to broadcast): see SCALING.md
+# "Skew salting, measured".
+
+HOT_FRACTION_DENOM = 2  # every 2nd row remapped → ~50% of fact on one key
+
+
+def hot_skewed_fact(
+    spark: SparkSession, sf_dir: str, replicate: int = 10
+) -> DataFrame:
+    """A deliberately skewed fact table: lineitem replicated
+    ``replicate``× in-query, with every second row's join key remapped
+    to the single smallest orderkey. At replicate=10 / sf0.1 that is
+    ~6M rows with ~3M sharing ONE key — the shape AQE calls a skewed
+    partition. The hot key is taken from orders via a broadcast 1-row
+    aggregate (no driver round-trip), so it always joins."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    hot = F.broadcast(
+        load_table(spark, sf_dir, "orders").agg(
+            F.min("o_orderkey").alias("hot_key")
+        )
+    )
+    return (
+        li.crossJoin(hot)
+        .withColumn(
+            "rep", F.explode(F.sequence(F.lit(1), F.lit(replicate)))
+        )
+        .withColumn(
+            "join_key",
+            F.when(
+                (F.col("l_linenumber") + F.col("rep")) % HOT_FRACTION_DENOM
+                == 0,
+                F.col("hot_key"),
+            ).otherwise(F.col("l_orderkey")),
+        )
+        .select("join_key", "l_linenumber", "rep", "l_extendedprice")
+    )
+
+
+def _priority_rollup(joined: DataFrame) -> DataFrame:
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lineitems"),
+        dround(F.sum(dec4("l_extendedprice"))).alias("total_price"),
+    )
+
+
+def skewed_join_unsalted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The straggler baseline: shuffle join where one reducer owns the
+    whole hot key."""
+    fact = hot_skewed_fact(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    return _priority_rollup(fact.join(o, fact.join_key == o.o_orderkey))
+
+
+def skewed_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same join, hot key spread over N_SALT reducers: fact rows get a
+    deterministic hash salt (varies WITHIN a key), dimension rows are
+    replicated once per salt value. Result is provably identical to the
+    unsalted join (tests/test_plans.py pins parity)."""
+    fact = hot_skewed_fact(spark, sf_dir).withColumn(
+        "salt",
+        F.pmod(F.hash("join_key", "l_linenumber", "rep"), F.lit(N_SALT)),
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALT - 1)))
+        )
+    )
+    return _priority_rollup(
+        fact.join(
+            o, (fact.join_key == o.o_orderkey) & (fact.salt == o.salt)
         )
     )

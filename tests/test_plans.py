@@ -140,3 +140,18 @@ def test_no_collect_in_operator_sources():
         if ".collect()" in src or ".toPandas()" in src:
             offenders.append(str(p))
     assert not offenders, f"driver-side materialization in: {offenders}"
+
+
+def test_skew_salted_join_parity(spark):
+    """The hot-key skew demo (tools/skewbench.py): the salted join must
+    return exactly the plain join's rows — salting is a physical
+    rewrite, never a semantic one. ~50% of the replicated fact sits on
+    ONE key here, so this also exercises the hot path itself."""
+    from logdb_spark.operators.layout import (
+        skewed_join_salted,
+        skewed_join_unsalted,
+    )
+
+    a = sorted(map(tuple, skewed_join_unsalted(spark, SF_SMALL).collect()))
+    b = sorted(map(tuple, skewed_join_salted(spark, SF_SMALL).collect()))
+    assert a and a == b
