@@ -88,6 +88,14 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    finished = q.awaitTermination(120)
+    if not finished:
+        # A silent timeout would hand back a PARTIAL memory sink and
+        # produce confusing downstream assertion failures — stop the
+        # query and fail here instead (ADVICE r1).
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {name!r} did not finish within 120s"
+        )
     spark = stream_df.sparkSession
     return spark.table(name)

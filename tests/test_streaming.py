@@ -189,3 +189,122 @@ def test_stream_stateful_alerts_equals_batch(spark):
     streamed_rows = _rows(streamed, cols)
     assert streamed_rows, "stateful alert stream produced no alerts"
     assert streamed_rows == _rows(batch, cols)
+
+
+def test_stream_stream_join_state_eviction(spark):
+    """State-eviction proof for the stream-stream join (VERDICT r1 #9),
+    mirroring the sequential-replay proof of the stateful-alerts test:
+    four synthetic micro-batches (one file per trigger). batch1 advances
+    the watermark ~2h past batch0's click; batch2 is a spacer whose
+    end-of-batch state cleanup evicts that click (the symmetric hash
+    join processes a batch's input BEFORE removing old state, so the
+    eviction only becomes observable one batch later); batch3 then
+    delivers a purchase INSIDE the 30-minute join interval of the
+    evicted click but far BEHIND the watermark. The batch form of the
+    same join (no watermark) DOES pair them — so the pair's absence from
+    the streamed result proves the buffered click state was evicted,
+    rather than the join condition missing."""
+    import tempfile
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    T0 = 1704067200 * 10**9  # 2024-01-01 00:00:00 UTC, epoch-nanos
+    MIN = 60 * 10**9
+    HOUR = 3600 * 10**9
+
+    def events_file(path, rows):
+        # (event_id, ts_ns, user_id, event_type)
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.int64()),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+        pq.write_table(tbl, path)
+
+    staging = tempfile.mkdtemp(prefix="logdb_ssj_evict_")
+    # batch0: click C1 + on-time purchase P0 (user 1) — must join.
+    events_file(
+        f"{staging}/b0.parquet",
+        [(1, T0, 1, "click"), (2, T0 + 10 * MIN, 1, "purchase")],
+    )
+    _time.sleep(1.1)  # file source orders by mtime, oldest first
+    # batch1: click+purchase 3h later (user 2) — joins, and advances
+    # BOTH sides' watermarks to ~T0+2h.
+    events_file(
+        f"{staging}/b1.parquet",
+        [(3, T0 + 3 * HOUR, 2, "click"),
+         (4, T0 + 3 * HOUR + MIN, 2, "purchase")],
+    )
+    _time.sleep(1.1)
+    # batch2: spacer click (user 3, never matched) — runs a batch with
+    # the advanced watermark in effect, whose cleanup evicts C1's state
+    # (clicks-side state watermark = wm - 30min = T0+1h30 > c_ts=T0).
+    events_file(
+        f"{staging}/b2.parquet", [(5, T0 + 3 * HOUR + 2 * MIN, 3, "click")]
+    )
+    _time.sleep(1.1)
+    # batch3: purchase for user 1 at T0+20min — within C1's 30-minute
+    # interval, but ~1h40min behind the watermark and after C1's
+    # eviction → must not produce a join row.
+    events_file(f"{staging}/b3.parquet", [(9, T0 + 20 * MIN, 1, "purchase")])
+
+    def attribution_join(ev):
+        clicks = (
+            ev.filter(F.col("event_type") == "click")
+            .select(
+                "user_id",
+                F.col("event_id").alias("click_id"),
+                F.col("ts").alias("c_ts"),
+            )
+            .withWatermark("c_ts", "1 hour")
+        )
+        purchases = (
+            ev.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        return clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTE")),
+        ).select("user_id", "click_id", "purchase_id")
+
+    stream = read_events_stream(spark, staging, max_files_per_trigger=1)
+    streamed = _rows(
+        run_to_memory(attribution_join(stream), output_mode="append"),
+        ["user_id", "click_id", "purchase_id"],
+    )
+
+    # Batch twin over the SAME files: no watermark, so the late pair
+    # (click 1, purchase 9) IS produced — the join condition matches it.
+    from logdb_spark.streaming.harness import EVENTS_STREAM_SCHEMA
+
+    batch_ev = (
+        spark.read.schema(EVENTS_STREAM_SCHEMA)
+        .parquet(staging)
+        .withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    )
+    batch = _rows(
+        attribution_join(batch_ev), ["user_id", "click_id", "purchase_id"]
+    )
+    assert (1, 1, 9) in batch, "sanity: late pair must be joinable in batch"
+    assert (1, 1, 2) in streamed and (2, 3, 4) in streamed
+    assert (1, 1, 9) not in streamed, (
+        "late purchase behind the watermark was NOT dropped — "
+        "stream-stream join state did not evict"
+    )
+    assert sorted(batch) == sorted(streamed + [(1, 1, 9)])
