@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from logdb_spark.functions.numeric import ratio
 from logdb_spark.functions.vector import dot
-from logdb_spark.registry import register
+from logdb_spark.registry import register, track_persist
 from logdb_spark.sources.load import load_table
 
 SECTION = "2.K llm pipeline"
@@ -172,7 +172,7 @@ def _pair_kernel(spark, tok, sets_fn):
     """
     # Persist the exploded tokens: the vocab probe, the dictionary,
     # and the encode join all consume this one relation.
-    tok = tok.persist()
+    tok = track_persist(tok)
     # Tiny global sort: vocab_n rows through one partition, by design.
     dict_ = (
         tok.select("token")
@@ -181,8 +181,8 @@ def _pair_kernel(spark, tok, sets_fn):
             "token",
             (F.row_number().over(Window.orderBy("token")) - 1).alias("tid"),
         )
-        .persist()
     )
+    dict_ = track_persist(dict_)
     vocab_n = dict_.count()
     if vocab_n > _BITMASK_MAX_VOCAB:
         dict_.unpersist()
@@ -217,8 +217,8 @@ def _pair_kernel(spark, tok, sets_fn):
                 "aggregate(map_values(mm), 0, (a, x) -> a + bit_count(x))"
             ).alias("n"),
         )
-        .persist()  # docs x n_chunks longs; feeds both sides of the pair join
     )
+    masks = track_persist(masks)  # docs x n_chunks longs; both sides of the pair join
     # Unrolled per-chunk terms (n_chunks is a plan-time constant):
     # straight-line bit_count(a[c] & b[c]) sums in whole-stage codegen,
     # no per-pair intermediate array like zip_with+aggregate would
@@ -366,7 +366,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.hash("token", F.lit(i))).alias(f"m{i}")
             for i in range(N_PERM)
         ],
-    ).persist()  # tiny (docs x 65 ints); reused by 3 subtrees below
+    )
+    sig = track_persist(sig)  # tiny (docs x 65 ints); reused by 3 subtrees below
     rows_per_band = N_PERM // N_BANDS
     bands = sig.select(
         "doc_id",
@@ -449,7 +450,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp = fp + F.shiftleft(bit, i)
     # Persisted: both sides of the chunk self-join consume this, and
     # without it the tokenize + 64-bit-sum aggregation runs twice.
-    sigs = bit_sums.select("doc_id", fp.alias("simhash")).persist()
+    sigs = track_persist(bit_sums.select("doc_id", fp.alias("simhash")))
     chunks = sigs.select(
         "doc_id",
         "simhash",

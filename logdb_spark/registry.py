@@ -15,6 +15,7 @@ then compares bit-identical values.
 
 from __future__ import annotations
 
+import functools
 import importlib
 from collections.abc import Callable
 from dataclasses import dataclass
@@ -97,6 +98,31 @@ def _enumeration_order(ops: dict[str, Operator]) -> list[str]:
     return sorted(ops, key=lambda n: tier(n))
 
 
+# Persisted intermediates tracked for deferred release. An operator
+# that persist()s cannot unpersist before returning — its lazy result
+# still reads the cached relation — so the earliest safe point is when
+# the NEXT operator is invoked (the consumer's action has run by then
+# in every harness: driver, diffcheck, bench, tests). register() wraps
+# every operator to release here first, bounding live cache to one
+# operator's worth across a 104-op session (ADVICE r1).
+_TRACKED_CACHES: list[DataFrame] = []
+
+
+def track_persist(df: DataFrame) -> DataFrame:
+    """persist() with deferred unpersist at the next operator call."""
+    df = df.persist()
+    _TRACKED_CACHES.append(df)
+    return df
+
+
+def release_tracked_caches() -> None:
+    while _TRACKED_CACHES:
+        try:
+            _TRACKED_CACHES.pop().unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+
+
 def register(
     name: str, *, oracle: str | None, section: str
 ) -> Callable[[QueryFn], QueryFn]:
@@ -105,7 +131,15 @@ def register(
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate operator name: {name}")
-        _REGISTRY[name] = Operator(name=name, fn=fn, oracle=oracle, section=section)
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_tracked_caches()
+            return fn(spark, sf_dir)
+
+        _REGISTRY[name] = Operator(
+            name=name, fn=wrapped, oracle=oracle, section=section
+        )
         return fn
 
     return deco
