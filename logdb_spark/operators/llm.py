@@ -88,6 +88,25 @@ def _token_sets(spark, sf_dir) -> DataFrame:
     )
 
 
+def _pair_sides(docs: DataFrame, *, with_folds: bool) -> tuple[DataFrame, DataFrame]:
+    """(doc_a, toks_a, na[, fold0_a, fold1_a]) / ..._b projections of the
+    per-doc set relation for the self-pair join."""
+    sides = []
+    for s in ("a", "b"):
+        cols = [
+            F.col("doc_id").alias(f"doc_{s}"),
+            F.col("toks").alias(f"toks_{s}"),
+            F.col("n").alias(f"n{s}"),
+        ]
+        if with_folds:
+            cols += [
+                F.col("fold0").alias(f"fold0_{s}"),
+                F.col("fold1").alias(f"fold1_{s}"),
+            ]
+        sides.append(docs.select(*cols))
+    return sides[0], sides[1]
+
+
 def _jaccard_pairs(
     spark, sf_dir, candidates: DataFrame | None = None, threshold: float = 0.9
 ) -> DataFrame:
@@ -107,22 +126,13 @@ def _jaccard_pairs(
     # parquet file (one input split), and a broadcast pair-join's
     # parallelism equals the stream side's partition count. At real
     # scale the input arrives already split; this keeps local parity.
-    docs, kernel = _pair_kernel(
+    docs, kernel, screen_fn = _pair_kernel(
         spark,
         _doc_tokens(spark, sf_dir),
         lambda: _token_sets(spark, sf_dir),
     )
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    da = docs.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("toks").alias("toks_a"),
-        F.col("n").alias("na"),
-    )
-    db = docs.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("toks").alias("toks_b"),
-        F.col("n").alias("nb"),
-    )
+    da, db = _pair_sides(docs, with_folds=screen_fn is not None)
     size_ok = F.least("na", "nb") >= F.greatest("na", "nb") * F.lit(threshold)
     if candidates is not None:
         pairs = (
@@ -130,10 +140,13 @@ def _jaccard_pairs(
             .join(F.broadcast(db), "doc_b")
             .filter(size_ok)  # cheap bound evaluated before the intersect
         )
+        if screen_fn is not None:
+            pairs = pairs.filter(screen_fn(threshold))
     else:
-        pairs = da.join(
-            F.broadcast(db), (F.col("doc_a") < F.col("doc_b")) & size_ok
-        )
+        cond = (F.col("doc_a") < F.col("doc_b")) & size_ok
+        if screen_fn is not None:
+            cond = cond & screen_fn(threshold)
+        pairs = da.join(F.broadcast(db), cond)
     return pairs.withColumn("n_shared", kernel).select(
         "doc_a",
         "doc_b",
@@ -187,8 +200,10 @@ def _pair_kernel(spark, tok, sets_fn):
     if vocab_n > _BITMASK_MAX_VOCAB:
         dict_.unpersist()
         tok.unpersist()
-        return sets_fn(), F.size(
-            F.array_intersect("toks_a", "toks_b")
+        return (
+            sets_fn(),
+            F.size(F.array_intersect("toks_a", "toks_b")),
+            None,
         )
     n_chunks = (vocab_n + 63) // 64
     chunked = (
@@ -218,6 +233,24 @@ def _pair_kernel(spark, tok, sets_fn):
             ).alias("n"),
         )
     )
+    if n_chunks > 2:
+        # Two 64-bit OR-folds of the chunk words (odd/even stripes),
+        # precomputed per doc. bit_count(fold∩fold) summed over the two
+        # folds is an UPPER BOUND on |A∩B|: each dictionary id occupies
+        # one bit of one fold in both docs, and fold collisions only
+        # inflate the count. The screen below evaluates 2 words per
+        # pair instead of n_chunks, pruning pairs that cannot reach the
+        # Jaccard threshold before the full kernel runs — exact-safe.
+        f0 = f1 = None
+        for c in range(1, n_chunks + 1):
+            w = F.element_at(F.col("toks"), c)
+            if c % 2:
+                f0 = w if f0 is None else f0.bitwiseOR(w)
+            else:
+                f1 = w if f1 is None else f1.bitwiseOR(w)
+        masks = masks.select(
+            "*", f0.alias("fold0"), f1.alias("fold1")
+        )
     masks = track_persist(masks)  # docs x n_chunks longs; both sides of the pair join
     # Unrolled per-chunk terms (n_chunks is a plan-time constant):
     # straight-line bit_count(a[c] & b[c]) sums in whole-stage codegen,
@@ -231,7 +264,21 @@ def _pair_kernel(spark, tok, sets_fn):
             )
         )
         kernel = term if kernel is None else kernel + term
-    return masks, kernel.cast("int")
+
+    screen_fn = None
+    if n_chunks > 2:
+
+        def screen_fn(t: float):
+            # Jaccard ≥ t ⇔ n_shared ≥ t·(na+nb)/(1+t); keep the pair
+            # iff the fold upper bound can still clear that floor.
+            ub = F.bit_count(
+                F.col("fold0_a").bitwiseAND(F.col("fold0_b"))
+            ) + F.bit_count(F.col("fold1_a").bitwiseAND(F.col("fold1_b")))
+            return ub * F.lit(1.0 + t) >= F.lit(t) * (
+                F.col("na") + F.col("nb")
+            )
+
+    return masks, kernel.cast("int"), screen_fn
 
 
 @register("dedup_near_jaccard", oracle=_JACCARD_ORACLE, section=SECTION)
@@ -303,22 +350,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(_BIGRAMS()).alias("n"),
         )
 
-    docs, kernel = _pair_kernel(spark, tok, sets_fn)
+    docs, kernel, screen_fn = _pair_kernel(spark, tok, sets_fn)
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    da = docs.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("toks").alias("toks_a"),
-        F.col("n").alias("na"),
-    )
-    db = docs.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("toks").alias("toks_b"),
-        F.col("n").alias("nb"),
-    )
+    da, db = _pair_sides(docs, with_folds=screen_fn is not None)
     size_ok = F.least("na", "nb") >= F.greatest("na", "nb") * F.lit(0.5)
+    cond = (F.col("doc_a") < F.col("doc_b")) & size_ok
+    if screen_fn is not None:
+        # 2-word fold screen ahead of the 16-word kernel: prunes the
+        # pairs that cannot reach Jaccard 0.5 (exact-safe upper bound).
+        cond = cond & screen_fn(0.5)
     jac = F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared"))
     return (
-        da.join(F.broadcast(db), (F.col("doc_a") < F.col("doc_b")) & size_ok)
+        da.join(F.broadcast(db), cond)
         .withColumn("n_shared", kernel)
         .withColumn("jac", jac)
         .filter(F.col("jac") >= 0.5)
