@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
 from logdb_spark.plans.session import configure, get_spark
+from logdb_spark.sources.load import normalize_ts
 
 
 class LogDBError(ValueError):
@@ -45,12 +46,10 @@ class LogDB:
 
     def ingest_parquet(self, path: str, name: str) -> DataFrame:
         df = self.spark.read.parquet(path)
-        # normalize ns-timestamp columns read as epoch-nanos longs
-        for col, dtype in df.dtypes:
-            if col == "ts" and dtype == "bigint":
-                df = df.withColumn(
-                    col, F.timestamp_micros((F.col(col) / 1000).cast("long"))
-                )
+        # normalize event-time columns (nanos-long or naive-µs) to
+        # session-TZ timestamps
+        if "ts" in df.columns:
+            df = normalize_ts(df)
         return self.register(name, df)
 
     def ingest_json(self, path: str, name: str, schema: str | None = None) -> DataFrame:
@@ -236,9 +235,6 @@ class LogDB:
         """Unbounded file-source over a directory (micro-batch replay)."""
         configure(self.spark)
         df = self.spark.readStream.schema(schema).parquet(path)
-        for col, dtype in df.dtypes:
-            if col == "ts" and dtype == "bigint":
-                df = df.withColumn(
-                    col, F.timestamp_micros((F.col(col) / 1000).cast("long"))
-                )
+        if "ts" in df.columns:
+            df = normalize_ts(df)
         return df

@@ -1,13 +1,16 @@
 """Fixture table loading — the one place schema quirks are handled.
 
 Fixture schemas are contractual (FIXTURES.md). The single quirk: the
-``events.ts`` column is parquet timestamp[ns]; with the
-``nanosAsLong`` legacy conf (set by plans.session.configure) Spark
-reads it as epoch-nanos long, and we convert to a proper
-microsecond-precision TimestampType here so every downstream operator
-sees a timestamp. DuckDB reads the same file natively at ns precision,
-so oracle-checked outputs truncate/format time columns (functions/
-temporal.py) rather than emitting raw timestamps.
+``events.ts`` column's physical parquet type has varied across fixture
+generations — timestamp[ns] (read as epoch-nanos long under the
+``nanosAsLong`` legacy conf set by plans.session.configure) or
+timestamp[us] naive (read as TIMESTAMP_NTZ). Either way we normalize
+to a session-TZ TimestampType (ltz) here so every downstream operator
+— including streaming watermarks, which reject NTZ — sees one stable
+type. The session TZ is pinned UTC and the fixtures are naive-UTC, so
+the NTZ->LTZ cast is value-identity. DuckDB reads the same file
+natively, so oracle-checked outputs truncate/format time columns
+(functions/temporal.py) rather than emitting raw timestamps.
 
 Scale note: this is a plain ``spark.read.parquet`` — columnar,
 predicate/projection pushdown intact, splittable by row group. No
@@ -39,11 +42,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table with quirks normalized."""
     configure(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # epoch-nanos long -> microsecond timestamp (floor division;
-        # sub-microsecond digits are dropped, hence the string/trunc
-        # discipline in checked outputs).
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    if name == "events":
+        df = normalize_ts(df)
+    return df
+
+
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to session-TZ TimestampType.
+
+    bigint = epoch-nanos (the nanosAsLong read of timestamp[ns]
+    fixtures) -> floor-divide to micros; sub-microsecond digits are
+    dropped, hence the string/trunc discipline in checked outputs.
+    timestamp_ntz (naive timestamp[us] fixtures) -> cast, value-identity
+    under the pinned UTC session TZ.
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        df = df.withColumn(col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -8,9 +8,12 @@ STREAMING plans (stateful window aggs, watermarks, dedup state), and
 that their results match the batch-equivalent forms the driver hash-
 checks.
 
-The events ns-timestamp quirk applies here too: the stream reads ts as
-epoch-nanos long (nanosAsLong) and converts — same normalization as
-sources/load.py, applied to the streaming DataFrame.
+The events ts normalization applies here too, same as sources/load.py:
+a staged dir may hold parquet timestamp columns (read natively) or raw
+epoch-nanos int64 (the synthetic micro-batch fixtures; also ts[ns]
+parquet under the nanosAsLong conf) — readStream needs an explicit
+schema, so we infer it from a batch read of the staged dir and convert
+ts to a proper timestamp only when it arrives as a long.
 """
 
 from __future__ import annotations
@@ -28,11 +31,15 @@ from pyspark.sql.types import (
 )
 
 from logdb_spark.plans.session import configure
+from logdb_spark.sources.load import normalize_ts
 
+# Schema of the SYNTHETIC micro-batch fixtures (tests write raw int64
+# epoch-nanos ts). Fixture-derived staging dirs may instead carry a
+# parquet timestamp ts — read_events_stream infers per-dir.
 EVENTS_STREAM_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # epoch-nanos (nanosAsLong)
+        StructField("ts", LongType()),  # epoch-nanos
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -63,13 +70,17 @@ def read_events_stream(
     (file source processes oldest-first), so tests can replay a
     time-split fixture as genuinely sequential micro-batches."""
     configure(spark)
-    reader = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    # readStream needs an explicit schema; take it from a batch read of
+    # the staged files so ts comes through as whatever the files hold
+    # (timestamp[us] fixture copies, or int64 nanos synthetic batches).
+    inferred = spark.read.parquet(events_dir).schema
+    reader = spark.readStream.schema(inferred)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(events_dir)
-    return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    # Same normalization as batch loads: nanos-long or naive-µs ts ->
+    # session-TZ timestamp (watermarks reject TIMESTAMP_NTZ).
+    return normalize_ts(raw)
 
 
 def run_to_memory(
