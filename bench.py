@@ -60,17 +60,35 @@ def main() -> int:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # The driver captures only ~2.2 KB of stdout; a 104-query timing map
+    # (~4.5 KB) overflowed it in r1 AND r2 ("parsed": null both rounds).
+    # Keep the stdout line compact — top-10 slowest only — and write the
+    # full per-query map to a sidecar the judge can read.
+    detail = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
+        "n_queries": len(timings),
+        "cpus": os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count())),
+        "runs_per_query": runs,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    top10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     line = json.dumps(
         {
             "metric": "suite_seconds",
             "value": total,
             "unit": "sec",
-            "queries": timings,
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
+            "queries": top10,
+            "sf": detail["sf"],
             "n_queries": len(timings),
-            "cpus": os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count())),
-            "runs_per_query": runs,
-        }
+            "detail": "BENCH_DETAIL.json",
+        },
+        separators=(",", ":"),
     )
     os.write(real_stdout, (line + "\n").encode())
     return 0

@@ -174,7 +174,8 @@ def fn_case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT doc_id,
                len(string_split(text, ' '))                    AS n_tokens,
-               list_sort(string_split(text, ' '))[1:3]         AS first3_sorted,
+               array_to_string(list_sort(string_split(text, ' '))[1:3], '|')
+                                                               AS first3_sorted,
                list_contains(string_split(text, ' '), 'join')  AS has_join,
                len(list_distinct(string_split(text, ' ')))     AS n_distinct
         FROM documents
@@ -182,13 +183,18 @@ def fn_case_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
     section=SECTION,
 )
 def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array functions over tokenized text (no explode needed)."""
+    """Array functions over tokenized text (no explode needed).
+
+    Result columns are scalar-only: array-valued cells crash the
+    driver's pandas canonicalizer (SURVEY §7.3.5), so the sorted-slice
+    is emitted as a '|'-joined string on both engines.
+    """
     d = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     return d.select(
         "doc_id",
         F.size(toks).cast("bigint").alias("n_tokens"),
-        F.slice(F.array_sort(toks), 1, 3).alias("first3_sorted"),
+        F.array_join(F.slice(F.array_sort(toks), 1, 3), "|").alias("first3_sorted"),
         F.array_contains(toks, "join").alias("has_join"),
         F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
     )
@@ -198,7 +204,7 @@ def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_map_from_json",
     oracle="""
         SELECT event_id,
-               json_keys(props)                                   AS prop_keys,
+               array_to_string(list_sort(json_keys(props)), '|')  AS prop_keys,
                CAST(json_extract_string(props, '$.k') AS BIGINT)  AS k_value,
                CAST(len(json_keys(props)) AS INTEGER)             AS n_keys
         FROM events
@@ -206,12 +212,16 @@ def fn_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     section=SECTION,
 )
 def fn_map_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON payload -> MapType, then map functions (schema-on-read)."""
+    """JSON payload -> MapType, then map functions (schema-on-read).
+
+    prop_keys is '|'-joined (scalar cell) — raw array cells crash the
+    driver canonicalizer (SURVEY §7.3.5).
+    """
     ev = load_table(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,bigint>")
     return ev.select(
         "event_id",
-        F.array_sort(F.map_keys(m)).alias("prop_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), "|").alias("prop_keys"),
         m.getItem("k").alias("k_value"),
         F.size(F.map_keys(m)).alias("n_keys"),
     )

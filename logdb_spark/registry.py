@@ -56,12 +56,23 @@ class Operator:
 _REGISTRY: dict[str, Operator] = {}
 _LOADED = False
 
-# Driver-gate coverage rotation. The r1 driver correctness report capped
-# at the first 50 enumeration entries, so enumeration order IS evidence
-# budget. We enumerate: (0) the one op whose r1 driver row FAILED (fixed
-# this round — needs a fresh row), (1) oracle-backed ops with no driver
-# row yet, (2) rows-only ops with no driver row yet, (3) ops already
-# driver-green in r1. Rotate this set next round if the cap persists.
+# Driver-gate coverage rotation. The driver correctness report caps at
+# 50 enumeration entries per round, so enumeration order IS evidence
+# budget. r3 tiering: (0) the 5 ops that got NO driver row in r1 or r2
+# (the rotation's tier-2 tail was cut off at 3-of-8) plus the 2 r2
+# FAILs fixed this round, (1) rows-only ops whose only evidence is one
+# r2 row, (2) r2-green oracle ops, (3) r1-green ops (oldest evidence,
+# most stable code). Union of r1+r2+r3 rows then covers all 104 ops.
+_R3_NEEDS_ROW_FIRST = (
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "mm_feature_extract",
+    "sink_bucketed_join",
+    "sink_compaction",
+    "fn_array_suite",      # r2 FAIL: array cells — fixed to array_join strings
+    "fn_map_from_json",    # r2 FAIL: same — fixed
+    "dedup_embedding_cosine_lsh",  # new in r3 — bucketed pair-dedup twin
+)
 _R1_DRIVER_GREEN = frozenset(
     {
         "scan_parquet", "scan_projection_pushdown", "scan_predicate_pushdown",
@@ -83,19 +94,28 @@ _R1_DRIVER_GREEN = frozenset(
         "set_intersect", "set_except",
     }
 )
-_RETEST_FIRST = ("agg_collect_sorted",)
+# Rows-only ops whose single driver row landed in r2 — re-run them
+# before the long r2-green oracle tail so their evidence stays fresh.
+_R2_ROWS_ONLY = frozenset(
+    {"log_retention_prune", "dedup_minhash_lsh", "dedup_simhash"}
+)
 
 
 def _enumeration_order(ops: dict[str, Operator]) -> list[str]:
+    priority = {n: i for i, n in enumerate(_R3_NEEDS_ROW_FIRST)}
+
     def tier(name: str) -> int:
-        if name in _RETEST_FIRST:
+        if name in priority:
             return 0
+        if name in _R2_ROWS_ONLY:
+            return 1
         if name in _R1_DRIVER_GREEN:
             return 3
-        return 1 if ops[name].oracle is not None else 2
+        return 2
 
-    # Stable sort: within a tier, registration (module build-phase) order.
-    return sorted(ops, key=lambda n: tier(n))
+    # Stable sort: within tier 0, the explicit priority order; within
+    # other tiers, registration (module build-phase) order.
+    return sorted(ops, key=lambda n: (tier(n), priority.get(n, -1)))
 
 
 # Persisted intermediates tracked for deferred release. An operator

@@ -58,7 +58,10 @@ def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     """
     dtype = dict(df.dtypes).get(col)
     if dtype == "bigint":
-        df = df.withColumn(col, F.timestamp_micros((F.col(col) / 1000).cast("long")))
+        # Integer `div`, not float `/`: epoch-nanos (~1.7e18) exceed a
+        # double's 53-bit mantissa, so float division can land 1µs off
+        # near boundaries (ADVICE r2). `div` keeps the floor exact.
+        df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
     elif dtype == "timestamp_ntz":
         df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df

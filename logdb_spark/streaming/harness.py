@@ -21,7 +21,6 @@ from __future__ import annotations
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -73,7 +72,14 @@ def read_events_stream(
     # readStream needs an explicit schema; take it from a batch read of
     # the staged files so ts comes through as whatever the files hold
     # (timestamp[us] fixture copies, or int64 nanos synthetic batches).
-    inferred = spark.read.parquet(events_dir).schema
+    # Preconditions (ADVICE r2): the batch-infer requires at least one
+    # staged file, and every file in the dir must share one physical ts
+    # type — fall back to the synthetic-fixture schema on an empty dir
+    # so a stream can be declared before its first file arrives.
+    try:
+        inferred = spark.read.parquet(events_dir).schema
+    except Exception:
+        inferred = EVENTS_STREAM_SCHEMA
     reader = spark.readStream.schema(inferred)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -101,3 +101,21 @@ def test_survey_section2_matches_registry():
         f"SURVEY §2 missing: {sorted(registered - rows)}; "
         f"stale §2 rows: {sorted(rows - registered)}"
     )
+
+
+def test_oracle_checked_schemas_are_scalar_only(spark):
+    """The driver's canonicalizer crashes on array/map cells (r1
+    agg_collect_sorted, r2 fn_array_suite + fn_map_from_json — all the
+    SAME bug). Every hash-checked operator must therefore emit only
+    scalar columns; join arrays to strings before returning. Schema
+    analysis is lazy — this costs no execution."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = []
+    for name, op in OPS.items():
+        if op.oracle is None:
+            continue  # rows-only ops may return arrays (driver never hashes)
+        for f in op.fn(spark, SF_SMALL).schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not bad, f"non-scalar columns in hash-checked ops: {bad}"

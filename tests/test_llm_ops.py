@@ -8,6 +8,8 @@ import pyspark.sql.functions as F
 import pytest
 
 from logdb_spark.operators.llm import (
+    dedup_embedding_cosine,
+    dedup_embedding_cosine_lsh,
     dedup_minhash_lsh,
     dedup_near_jaccard,
     dedup_simhash,
@@ -32,6 +34,25 @@ def test_minhash_lsh_recall(spark):
     assert found <= truth  # exact verify ⇒ no false positives
     recall = len(found & truth) / max(1, len(truth))
     assert recall >= 0.95, f"LSH recall {recall:.3f} < 0.95 ({len(truth)} true)"
+
+
+def test_embedding_lsh_recall(spark):
+    """The bucketed embedding pair-dedup must recover ≥95% of the exact
+    twin's cosine≥0.4 pairs (VERDICT r2 #5 — removes the all-pairs
+    broadcast from the scale story). Measured 0.98 at both fixture
+    scales with 16×3-bit tables. Candidates are exact-verified, so no
+    false positives by construction."""
+    truth = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup_embedding_cosine(spark, SF_SMALL).collect()
+    }
+    found = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup_embedding_cosine_lsh(spark, SF_SMALL).collect()
+    }
+    assert found <= truth  # exact verify ⇒ no false positives
+    recall = len(found & truth) / max(1, len(truth))
+    assert recall >= 0.95, f"recall {recall:.3f} < 0.95 ({len(truth)} true)"
 
 
 def test_simhash_deterministic_and_bounded(spark):

@@ -34,8 +34,25 @@ def oracle_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+class NonScalarCell(TypeError):
+    """An oracle-checked result contains an array/map cell.
+
+    The DRIVER's canonicalizer crashes on these (pandas sort_values →
+    ``TypeError: unhashable type: 'numpy.ndarray'``) — see the r1
+    ``agg_collect_sorted`` and r2 ``fn_array_suite``/``fn_map_from_json``
+    FAILs. The local mirror must be at least as strict as the real
+    gate, so any non-scalar cell in a hash-checked output is a hard
+    FAIL here: join arrays to strings (``array_join``/``array_to_string``)
+    before returning them (SURVEY §7.3.5).
+    """
+
+
 def canon_value(v):
-    """Canonicalize a cell for cross-engine multiset comparison."""
+    """Canonicalize a cell for cross-engine multiset comparison.
+
+    Scalar cells only — list/dict/ndarray cells raise NonScalarCell
+    because the driver's gate cannot hash them (see above).
+    """
     import datetime
 
     import numpy as np
@@ -55,10 +72,11 @@ def canon_value(v):
         return repr(v)
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
-    if isinstance(v, (list, tuple, np.ndarray)):
-        return "[" + ",".join(canon_value(x) for x in v) + "]"
-    if isinstance(v, dict):
-        return "{" + ",".join(f"{k}:{canon_value(v[k])}" for k in sorted(v)) + "}"
+    if isinstance(v, (list, tuple, dict, np.ndarray)):
+        raise NonScalarCell(
+            f"non-scalar cell {type(v).__name__} in oracle-checked result; "
+            "emit array_join(...)'d strings instead (SURVEY §7.3.5)"
+        )
     return str(v)
 
 
