@@ -16,6 +16,8 @@ Scale design (the whole point of this section):
 
 from __future__ import annotations
 
+import pandas as pd  # annotations of Arrow-batched UDFs resolve via module globals
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -594,6 +596,35 @@ def _pair_hyperplanes():
     return rng.rand(PAIR_TABLES, PAIR_PLANES, 64) - 0.5
 
 
+def _signature_udf(planes_3d):
+    """Arrow-batched LSH signature kernel: one numpy matmul per batch
+    computes every table's sign-signature at once, returned as
+    array<int> (one int per table).
+
+    Deliberately a Pandas UDF, not unrolled JVM expressions: T×P plane
+    dots as Catalyst literals make a multi-thousand-leaf expression
+    tree whose ANALYSIS alone measured 2-3s per query (the execution
+    is trivial); the matmul form is a constant-size plan and a
+    (batch × 64) @ (64 × T·P) BLAS call — the standard vectorized
+    shape for embedding kernels, map-only, so it scales unchanged.
+    """
+    import numpy as np
+
+    n_tables, n_planes, dims = planes_3d.shape
+    planes = planes_3d.reshape(n_tables * n_planes, dims)
+    weights = np.array([1 << p for p in range(n_planes)])
+
+    @F.pandas_udf("array<int>")
+    def sigs(emb: pd.Series) -> pd.Series:
+        if emb.empty:
+            return pd.Series([], dtype=object)
+        m = np.vstack(emb.to_numpy())  # (batch, dims)
+        bits = (m @ planes.T > 0).reshape(len(m), n_tables, n_planes)
+        return pd.Series((bits @ weights).astype("int32").tolist())
+
+    return sigs
+
+
 @register("dedup_embedding_cosine_lsh", oracle=None, section=SECTION)
 def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path for embedding pair-dedup: hyperplane-LSH blocking +
@@ -611,44 +642,16 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every stage is a shuffle on bounded keys; candidate volume is
     Σ_buckets n_b², linear in true-dup density on clustered corpora.
     """
-    planes = _pair_hyperplanes()
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
-
-    def signature(table: int):
-        bits = [
-            F.when(
-                dot(
-                    F.col("emb"),
-                    F.array(*[F.lit(float(v)) for v in planes[table, p]]),
-                )
-                > 0,
-                2**p,
-            ).otherwise(0)
-            for p in range(PAIR_PLANES)
-        ]
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out
-
     # Bucket rows carry only (vec_id, table, sig) — embeddings are NOT
     # shipped through the pair join; they rejoin after the distinct, so
     # each surviving pair is scored exactly once.
+    sig_udf = _signature_udf(_pair_hyperplanes())
     buckets = e.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("table"), signature(t).alias("sig")
-                    )
-                    for t in range(PAIR_TABLES)
-                ]
-            )
-        ).alias("ts"),
-    ).select("vec_id", "ts.table", "ts.sig")
+        "vec_id", F.posexplode(sig_udf("emb")).alias("table", "sig")
+    )
     x, y = buckets.alias("x"), buckets.alias("y")
     cand = (
         x.join(
@@ -819,37 +822,20 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     its buckets. The candidate set replaces the full O(n) scan of the
     brute-force path with ~n/2^planes per table.
     """
-    planes = _hyperplanes()
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
-
-    def signature(table: int):
-        bits = [
-            F.when(
-                dot(
-                    F.col("emb"),
-                    F.array(*[F.lit(float(v)) for v in planes[table, p]]),
-                )
-                > 0,
-                2**p,
-            ).otherwise(0)
-            for p in range(N_PLANES)
-        ]
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out.alias(f"sig{table}")
-
-    sigs = e.select("vec_id", "emb", *[signature(t) for t in range(N_TABLES)])
+    # All 8 table signatures in one Arrow matmul (array<int> column) —
+    # the unrolled per-table literal expressions this replaces cost
+    # ~2s of Catalyst analysis alone (see _signature_udf).
+    sig_udf = _signature_udf(_hyperplanes())
+    sigs = e.select("vec_id", "emb", sig_udf("emb").alias("sigs"))
     probe = sigs.filter(F.col("vec_id") == 0).select(
-        F.col("emb").alias("probe_emb"),
-        *[F.col(f"sig{t}").alias(f"psig{t}") for t in range(N_TABLES)],
+        F.col("emb").alias("probe_emb"), F.col("sigs").alias("psigs")
     )
-    bucket_match = None
-    for t in range(N_TABLES):
-        m = F.col(f"sig{t}") == F.col(f"psig{t}")
-        bucket_match = m if bucket_match is None else (bucket_match | m)
+    bucket_match = F.exists(
+        F.zip_with("sigs", "psigs", lambda a, b: a == b), lambda x: x
+    )
     return (
         sigs.filter(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(probe))
@@ -869,19 +855,27 @@ KMEANS_ITERS = 3  # Lloyd refinement passes over the corpus
 
 def _centroid_dots(cents):
     """Array<struct(d,k)> of the row's dot with every centroid — the
-    unrolled map-only kernel shared by training assignment and the
-    query path (argmax = array_max over the structs)."""
-    return F.array(
-        *[
-            F.struct(
-                dot(
-                    F.col("emb"),
-                    F.array(*[F.lit(float(v)) for v in c]),
-                ).alias("d"),
-                F.lit(k).alias("k"),
-            )
-            for k, c in enumerate(cents)
-        ]
+    map-only kernel shared by training assignment and the query path
+    (argmax = array_max over the structs).
+
+    Dots come from one Arrow matmul per batch (same rationale as
+    _signature_udf: 16×64 centroid literals cost ~1s of Catalyst
+    analysis per plan); the (d, k) structs are then built JVM-side by
+    a constant-size indexed transform."""
+    import numpy as np
+
+    c = np.asarray(cents, dtype=np.float64)
+
+    @F.pandas_udf("array<double>")
+    def cdots(emb: pd.Series) -> pd.Series:
+        if emb.empty:
+            return pd.Series([], dtype=object)
+        m = np.vstack(emb.to_numpy())
+        return pd.Series((m @ c.T).tolist())
+
+    return F.transform(
+        cdots(F.col("emb")),
+        lambda d, k: F.struct(d.alias("d"), k.alias("k")),
     )
 
 
