@@ -295,6 +295,115 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Connected components over the exact near-dup pairs, as a recursive
+# transitive closure: a doc's canonical id is the MIN doc_id reachable
+# through Jaccard≥0.9 edges (UNION dedups rows, so the recursion
+# terminates at the closure fixpoint).
+_CLUSTER_ORACLE = """
+    WITH RECURSIVE tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
+    ), shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+        FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), pairs AS (
+        SELECT doc_a, doc_b
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_shared * 1.0 / (sa.n + sb.n - n_shared) >= 0.9
+    ), edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ), reach(doc_id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT reach.doc_id, e.d FROM reach JOIN edges e ON e.s = reach.r
+    )
+    SELECT doc_id, MIN(r) AS canonical_id, (MIN(r) <> doc_id) AS is_dup
+    FROM reach GROUP BY doc_id
+"""
+
+
+@register("dedup_cluster_assign", oracle=_CLUSTER_ORACLE, section=SECTION)
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup GROUP assignment — the step after pair finding: connected
+    components over the near-dup graph, canonical doc = component-min
+    doc_id, so a pipeline keeps exactly one representative per dup
+    cluster (pairs alone can't say which doc to keep when A~B and B~C
+    but A!~C).
+
+    Iterative min-label propagation (HashToMin-style): each round is
+    ONE shuffle join (edges ⋈ labels) + a groupBy min, labels only
+    ever decrease, and the driver sees nothing but an 8-byte
+    convergence checksum per round. Rounds = component diameter — ~2
+    for near-dup clusters, O(log n) worst case — so at 100 TB this is
+    a handful of bounded-key shuffles, not an n² closure (the n²
+    closure lives in the DuckDB oracle, which recomputes the same
+    components as a recursive CTE and pins the result exactly).
+
+    Edges here come from the exact Jaccard kernel so the oracle can
+    reproduce them; at 100 TB the same loop runs unchanged over the
+    LSH candidate pairs (dedup_minhash_lsh / dedup_embedding_cosine_lsh
+    output is schema-compatible: doc_a, doc_b).
+    """
+    # pairs persisted BEFORE the symmetric union — otherwise both union
+    # branches recompute the O(n²)-screened pair join.
+    pairs = track_persist(
+        _jaccard_pairs(spark, sf_dir)
+        .filter(F.col("jac") >= 0.9)
+        .select("doc_a", "doc_b")
+    )
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
+    # localCheckpoint per round TRUNCATES LINEAGE — without it each
+    # round's plan embeds every previous round's (join-chain recursion)
+    # and by round ~6 the logical tree is exponentially large: the
+    # first version OOM'd the driver JVM just *printing* the plan. On
+    # a cluster this would be a reliable checkpoint to object storage;
+    # in local mode the executor-block variant is the same semantics.
+    labels = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .localCheckpoint()
+    )
+    # Labels strictly decrease until fixpoint, so sum(label) is a
+    # convergence checksum — one tiny aggregate action per round.
+    checksum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(20):  # >> diameter of any dup cluster; loud fail below
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "label", F.coalesce("nbr_min", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        nxt_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if nxt_sum == checksum:
+            break
+        checksum = nxt_sum
+    else:
+        raise RuntimeError("label propagation did not converge in 20 rounds")
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("canonical_id"),
+        (F.col("label") != F.col("doc_id")).alias("is_dup"),
+    )
+
+
 _NGRAM_ORACLE = """
     WITH g AS (
         SELECT doc_id,

@@ -72,6 +72,8 @@ _R3_NEEDS_ROW_FIRST = (
     "fn_array_suite",      # r2 FAIL: array cells — fixed to array_join strings
     "fn_map_from_json",    # r2 FAIL: same — fixed
     "dedup_embedding_cosine_lsh",  # new in r3 — bucketed pair-dedup twin
+    "dedup_cluster_assign",        # new in r3 — connected-components dedup groups
+    "log_retention_prune",         # oracle added in r3 (was rows-only)
 )
 _R1_DRIVER_GREEN = frozenset(
     {
