@@ -582,29 +582,39 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     is engine-local); tests assert fingerprint determinism and the
     hamming bound.
     """
+    import numpy as np
+
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(_TOKENS()).alias("token")).withColumn(
         "h", F.xxhash64("token")
     )
-    # Sum of ±1 per bit position, one agg pass for all 64 bits.
-    bit_sums = tok.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"b{i}")
-            for i in range(N_SIMHASH_BITS)
-        ]
-    )
-    fp = F.lit(0).cast("bigint")
-    for i in range(N_SIMHASH_BITS):
-        # shiftleft wraps bit 63 into the sign bit — intended two's-
-        # complement packing of the 64-bit fingerprint.
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
-        fp = fp + F.shiftleft(bit, i)
+
+    # Token hashing stays JVM-side (xxhash64); the 64 per-bit ±1 sums +
+    # fingerprint packing move into one Arrow batch kernel. The unrolled
+    # Catalyst form (64 conditional sums + a 64-term shiftleft fold)
+    # cost ~1.8s of plan ANALYSIS per query while execution was ~free —
+    # same pathology and fix as _signature_udf.
+    @F.pandas_udf("bigint")
+    def simhash_of(hashes: pd.Series) -> pd.Series:
+        bitpos = np.arange(N_SIMHASH_BITS, dtype=np.uint64)
+        out = []
+        for hs in hashes:
+            a = np.asarray(hs, dtype=np.int64).view(np.uint64)
+            votes = ((a[:, None] >> bitpos) & 1).astype(np.int64) * 2 - 1
+            fpbits = votes.sum(axis=0) > 0
+            fp = int((fpbits.astype(np.uint64) << bitpos).sum(dtype=np.uint64))
+            # two's-complement wrap: bit 63 lands in the sign bit, same
+            # packing as Spark's shiftleft(1, 63) would produce
+            out.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
+        return pd.Series(out, dtype="int64")
+
     # Persisted: both sides of the chunk self-join consume this, and
-    # without it the tokenize + 64-bit-sum aggregation runs twice.
-    sigs = track_persist(bit_sums.select("doc_id", fp.alias("simhash")))
+    # without it the tokenize + hash aggregation runs twice.
+    sigs = track_persist(
+        tok.groupBy("doc_id")
+        .agg(F.collect_list("h").alias("hs"))
+        .select("doc_id", simhash_of("hs").alias("simhash"))
+    )
     chunks = sigs.select(
         "doc_id",
         "simhash",
