@@ -29,6 +29,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from logdb_spark.functions.numeric import ratio
 from logdb_spark.registry import register
 from logdb_spark.sources.load import load_table
 
@@ -128,6 +129,94 @@ def mm_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return src.mapInPandas(extract, _FEATURE_SCHEMA)
+
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("src_h", LongType()),
+        StructField("src_w", LongType()),
+        StructField("dst_h", LongType()),
+        StructField("dst_w", LongType()),
+        StructField("scale", DoubleType()),
+    ]
+)
+
+_RESIZE_TARGET = 224  # fit-within target box, aspect preserved
+
+
+def _decode_dims_stub(n_bytes: int) -> tuple[int, int]:
+    """STUB header decode — deterministic fake (h, w) from the payload
+    length. A real pipeline replaces this with PIL.Image.open(...).size;
+    the arithmetic is kept SQL-expressible so the oracle can pin the
+    whole plumbing end-to-end (the pixel resample itself is the only
+    thing faked)."""
+    return 16 + n_bytes % 240, 16 + (n_bytes * 7) % 320
+
+
+@register(
+    "mm_image_resize",
+    oracle=f"""
+        WITH img AS (
+            SELECT doc_id, octet_length(encode(text)) AS n_bytes
+            FROM documents WHERE doc_id % 3 = 0
+        ), dims AS (
+            SELECT doc_id,
+                   16 + n_bytes % 240       AS src_h,
+                   16 + (n_bytes * 7) % 320 AS src_w
+            FROM img
+        )
+        SELECT doc_id,
+               CAST(src_h AS BIGINT) AS src_h,
+               CAST(src_w AS BIGINT) AS src_w,
+               CAST(FLOOR(src_h * LEAST({_RESIZE_TARGET}.0 / src_h,
+                                        {_RESIZE_TARGET}.0 / src_w))
+                    AS BIGINT) AS dst_h,
+               CAST(FLOOR(src_w * LEAST({_RESIZE_TARGET}.0 / src_h,
+                                        {_RESIZE_TARGET}.0 / src_w))
+                    AS BIGINT) AS dst_w,
+               ROUND(LEAST({_RESIZE_TARGET}.0 / src_h,
+                           {_RESIZE_TARGET}.0 / src_w), 6) AS scale
+        FROM dims
+    """,
+    section=SECTION,
+)
+def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize plumbing over binary payloads via mapInPandas:
+    decode header dims (stubbed, see _decode_dims_stub), compute the
+    fit-within-224 aspect-preserving geometry, emit scalar metadata.
+    The resample itself would write a new binary column; here it is
+    the one faked step — batch shape, schema, and partitioning are the
+    real deliverable, and because the stub dims are arithmetic on
+    n_bytes the ORACLE pins the full path (unlike mm_feature_extract's
+    rows-only stub).
+
+    Scale: identical posture to mm_feature_extract — Arrow record
+    batches, no driver transfer, per-partition decode parallelism.
+    """
+    src = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    ).select("doc_id", F.col("text").cast("binary").alias("payload"))
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        t = float(_RESIZE_TARGET)
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                h, w = _decode_dims_stub(len(bytes(payload)))
+                scale = min(t / h, t / w)
+                # int() truncation == FLOOR for positive values
+                rows.append((doc_id, h, w, int(h * scale), int(w * scale),
+                             scale))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "src_h", "src_w", "dst_h", "dst_w",
+                               "scale"]
+            )
+
+    out = src.mapInPandas(resize, _RESIZE_SCHEMA)
+    # scale is rounded JVM-side with the repo's canonical 6-dp helper —
+    # Python round() is banker's rounding, DuckDB ROUND is half-away.
+    return out.withColumn("scale", ratio(F.col("scale")))
 
 
 @register(
