@@ -188,6 +188,36 @@ def sink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sink_orc_roundtrip",
+    oracle="""
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(user_id) AS BIGINT) AS sum_users,
+               CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+               COUNT(DISTINCT event_type) AS n_types
+        FROM events
+    """,
+    section=SECTION,
+)
+def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source round trip — the other columnar interchange
+    format a Spark/Hive estate exchanges (predicate pushdown, stripes,
+    type-preserving). Write events as ORC, read back, checksum-
+    aggregate against the ORIGINAL parquet via the oracle. Timestamps
+    travel natively (ORC has a timestamp type), exercised by writing
+    the normalized ts column through and back."""
+    ev = load_table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="logdb_orc_")
+    ev.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("user_id").alias("sum_users"),
+        F.sum("event_id").alias("sum_ids"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
 @register("sink_partitioned_parquet", oracle=None, section=SECTION)
 def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Day-partitioned parquet sink + readback (rows-only check).

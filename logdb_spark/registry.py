@@ -74,6 +74,7 @@ _R3_NEEDS_ROW_FIRST = (
     "dedup_embedding_cosine_lsh",  # new in r3 — bucketed pair-dedup twin
     "dedup_cluster_assign",        # new in r3 — connected-components dedup groups
     "mm_image_resize",             # new in r3 — oracle-checked resize plumbing
+    "sink_orc_roundtrip",          # new in r3 — ORC interchange roundtrip
     "log_retention_prune",         # oracle added in r3 (was rows-only)
 )
 _R1_DRIVER_GREEN = frozenset(
