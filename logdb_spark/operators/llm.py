@@ -1324,6 +1324,52 @@ def text_lang_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_unigram_surprisal",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), freq AS (
+            SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+        ), tot AS (
+            SELECT SUM(n) AS t FROM freq
+        ), p AS (
+            SELECT token, n * 1.0 / t AS p FROM freq, tot
+        )
+        SELECT doc_id, ROUND(-AVG(LN(p.p)), 6) AS surprisal
+        FROM tok JOIN p USING (token)
+        GROUP BY doc_id
+    """,
+    section=SECTION,
+)
+def text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram surprisal (-avg ln p(token) under the
+    corpus unigram distribution) — the perplexity-style quality signal
+    a pretraining pipeline uses to drop low-information / boilerplate
+    docs (constant-ish docs score LOW, rare-token docs HIGH).
+
+    Plan: one groupBy builds the unigram table (vocab-sized), its
+    probabilities via a single-partition window over that TINY frame
+    (vocab-bounded, same posture as log_retention_prune's cutoff), then
+    a BROADCAST join tokens ⋈ probs and a per-doc aggregate. At 100 TB
+    the unigram table is still vocab-sized — the only large shuffle is
+    the per-doc aggregate, carrying (doc_id, ln p) pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tok = track_persist(tok)  # feeds both the freq agg and the score join
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    p = freq.select(
+        "token",
+        (F.col("n") / F.sum("n").over(Window.partitionBy())).alias("p"),
+    )
+    return (
+        tok.join(F.broadcast(p), "token")
+        .groupBy("doc_id")
+        .agg(ratio(-F.avg(F.log("p"))).alias("surprisal"))
+    )
+
+
+@register(
     "text_quality_filter",
     oracle="""
         WITH scored AS (
