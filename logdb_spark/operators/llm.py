@@ -1048,11 +1048,13 @@ def sim_knn_join_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Tuned for isotropic (unclustered) unit vectors, where true neighbors
 # sit at cos ~0.4-0.5 (θ≈60°): per-plane agreement p = 1 - θ/π ≈ 0.65,
-# so short 4-bit signatures × 8 tables give ~0.75 expected recall@10 at
-# a ~40% candidate rate. Clustered real-world embeddings (cos ≥ 0.9
-# dups) would use longer signatures for much sharper pruning.
+# so 4-bit signatures × 16 tables give ~0.94 expected recall@10
+# (measured 7-9/10; was 5/10 at 8 tables — doubled once the matmul
+# signature kernel made table count ~free). Clustered real-world
+# embeddings (cos ≥ 0.9 dups) would use longer signatures for much
+# sharper pruning at a lower candidate rate.
 N_PLANES = 4  # hyperplanes per LSH table
-N_TABLES = 8  # independent tables (union of candidates)
+N_TABLES = 16  # independent tables (union of candidates)
 
 
 def _hyperplanes():

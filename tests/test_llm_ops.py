@@ -67,10 +67,10 @@ def test_simhash_deterministic_and_bounded(spark):
 def test_ann_lsh_recall_vs_bruteforce(spark):
     exact = [r["vec_id"] for r in sim_topk_cosine(spark, SF_SMALL).collect()]
     approx = [r["vec_id"] for r in sim_ann_lsh(spark, SF_SMALL).collect()]
-    # ANN with 4×8-bit tables on random unit vectors: expect to find a
-    # meaningful fraction of the true top-10 neighbors.
+    # 16 tables × 4-bit signatures on isotropic unit vectors: measured
+    # 9/10 at sf0.001 and 7/10 at sf0.01 — floor at 5.
     overlap = len(set(exact) & set(approx))
-    assert overlap >= 3, f"ANN recall@10 too low: {overlap}/10"
+    assert overlap >= 5, f"ANN recall@10 too low: {overlap}/10"
 
 
 def test_ann_ivf_recall_vs_bruteforce(spark):
