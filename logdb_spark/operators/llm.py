@@ -1046,6 +1046,58 @@ def sim_knn_join_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sim_batch_topk",
+    oracle="""
+        WITH e AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                   FROM embeddings),
+        probes AS (SELECT vec_id AS probe_id, emb AS probe_emb
+                   FROM e WHERE vec_id < 5)
+        SELECT probe_id, e.vec_id,
+               ROUND(list_dot_product(e.emb, probe_emb), 6) AS cosine
+        FROM e CROSS JOIN probes
+        WHERE e.vec_id <> probe_id
+        QUALIFY row_number() OVER (
+            PARTITION BY probe_id
+            ORDER BY ROUND(list_dot_product(e.emb, probe_emb), 6) DESC,
+                     e.vec_id) <= 5
+    """,
+    section=SECTION,
+)
+def sim_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched similarity serving: top-5 neighbors for EACH of a batch
+    of probes (vec_id < 5) in one pass — the realistic query shape
+    (requests arrive in batches, not one probe at a time).
+
+    Plan: broadcast the probe batch, one corpus scan scores all probes
+    (JVM dot kernel), per-probe ranking via a window partitioned by
+    probe — the partition count equals the batch size, so ranking
+    parallelizes with the batch. Ranking orders on the ROUNDED cosine
+    (ties then vec_id) so the cut is stable under last-ulp float
+    divergence across engines. At 100 TB this is still one scan per
+    batch regardless of batch size — the win over per-probe loops."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    probes = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("emb").alias("probe_emb")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id", "vec_id", ratio(dot(F.col("emb"), F.col("probe_emb"))).alias("cosine")
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("probe_id", "vec_id", "cosine")
+    )
+
+
 # Tuned for isotropic (unclustered) unit vectors, where true neighbors
 # sit at cos ~0.4-0.5 (θ≈60°): per-plane agreement p = 1 - θ/π ≈ 0.65,
 # so 4-bit signatures × 16 tables give ~0.94 expected recall@10

@@ -76,6 +76,7 @@ _R3_NEEDS_ROW_FIRST = (
     "mm_image_resize",             # new in r3 — oracle-checked resize plumbing
     "sink_orc_roundtrip",          # new in r3 — ORC interchange roundtrip
     "text_unigram_surprisal",      # new in r3 — perplexity-style quality signal
+    "sim_batch_topk",              # new in r3 — batched top-k serving shape
     "log_retention_prune",         # oracle added in r3 (was rows-only)
 )
 _R1_DRIVER_GREEN = frozenset(

@@ -103,6 +103,7 @@ NESTED_LOOP_ALLOWED = {
     "dedup_ngram_jaccard",  # same pair kernel over bigram shingles
     "dedup_embedding_cosine",  # exact O(n²) ground-truth path (broadcast)
     "sim_topk_cosine",  # 1-row probe broadcast
+    "sim_batch_topk",  # 5-row probe-batch broadcast
     "sim_ann_lsh",  # 1-row probe broadcast
     "sim_ann_ivf",  # 1-row probe broadcast
     "stream_late_data",  # 1-row watermark scalar broadcast
