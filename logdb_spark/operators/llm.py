@@ -1047,6 +1047,91 @@ def sim_knn_join_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_embedding_quantize",
+    oracle="""
+        WITH e AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                   FROM embeddings),
+        s AS (SELECT vec_id, emb,
+                     GREATEST(list_max(list_transform(emb, x -> abs(x))) / 127.0,
+                              1e-12) AS scale
+              FROM e),
+        q AS (SELECT vec_id, emb, scale,
+                     list_transform(emb, x -> CAST(ROUND(x / scale) AS INTEGER))
+                         AS qv
+              FROM s)
+        SELECT vec_id,
+               CAST(len(emb) AS INTEGER) AS n_dims,
+               scale,
+               CAST(list_aggregate(list_transform(qv, v -> abs(v)), 'sum')
+                    AS BIGINT) AS q_l1,
+               CAST(len(list_filter(qv, v -> abs(v) = 127)) AS BIGINT) AS n_sat,
+               sqrt(list_aggregate(
+                   list_transform(list_zip(emb, qv),
+                                  p -> (p[1] - p[2] * scale)
+                                       * (p[1] - p[2] * scale)), 'sum'))
+                   AS recon_err
+        FROM q
+    """,
+    section=SECTION,
+)
+def mm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization — the 4× storage
+    compression step a 100 TB embedding store applies at ingest:
+    per-vector scale = max|x|/127, quantized components in [-127,127],
+    plus the quality metrics a pipeline monitors (saturation count,
+    L2 reconstruction error). Pure JVM higher-order functions — one
+    map-only pass, no UDF, no shuffle; at scale this runs inside the
+    ingest scan and the int8 column writes 4× smaller parquet."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    scale = F.greatest(
+        F.array_max(F.transform("emb", F.abs)) / F.lit(127.0), F.lit(1e-12)
+    )
+    withq = e.select(
+        "vec_id",
+        "emb",
+        scale.alias("scale"),
+    ).select(
+        "vec_id",
+        "emb",
+        "scale",
+        F.transform(
+            "emb", lambda x: F.round(x / F.col("scale")).cast("int")
+        ).alias("qv"),
+    )
+    sqerr = F.aggregate(
+        F.zip_with(
+            "emb",
+            "qv",
+            lambda x, v: (x - v * F.col("scale")) * (x - v * F.col("scale")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # scale and recon_err are emitted UNROUNDED: both are sequential
+    # deterministic expressions (no partitioned aggregation), so the
+    # doubles are bit-identical across engines — while ROUND(·,6) can
+    # straddle the half-boundary differently per engine (SURVEY
+    # hard-won fact #1; diffcheck caught exactly that here).
+    return withq.select(
+        "vec_id",
+        F.size("emb").alias("n_dims"),
+        F.col("scale"),
+        F.aggregate(
+            F.transform("qv", F.abs),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("q_l1"),
+        F.size(F.filter("qv", lambda v: F.abs(v) == 127)).cast("bigint").alias(
+            "n_sat"
+        ),
+        F.sqrt(sqerr).alias("recon_err"),
+    )
+
+
+@register(
     "sim_batch_topk",
     oracle="""
         WITH e AS (SELECT vec_id,

@@ -77,6 +77,7 @@ _R3_NEEDS_ROW_FIRST = (
     "sink_orc_roundtrip",          # new in r3 — ORC interchange roundtrip
     "text_unigram_surprisal",      # new in r3 — perplexity-style quality signal
     "sim_batch_topk",              # new in r3 — batched top-k serving shape
+    "mm_embedding_quantize",       # new in r3 — int8 quantization metrics
     "log_retention_prune",         # oracle added in r3 (was rows-only)
 )
 _R1_DRIVER_GREEN = frozenset(
