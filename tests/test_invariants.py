@@ -103,19 +103,26 @@ def test_survey_section2_matches_registry():
     )
 
 
-def test_oracle_checked_schemas_are_scalar_only(spark):
-    """The driver's canonicalizer crashes on array/map cells (r1
-    agg_collect_sorted, r2 fn_array_suite + fn_map_from_json — all the
-    SAME bug). Every hash-checked operator must therefore emit only
-    scalar columns; join arrays to strings before returning. Schema
-    analysis is lazy — this costs no execution."""
+def test_all_registered_schemas_are_scalar_only(spark):
+    """The driver's canonicalizer crashes on array/map cells — and it
+    canonicalizes EVERY output, rows-only included (r1
+    agg_collect_sorted, r2 fn_array_suite + fn_map_from_json, r3
+    mm_feature_extract — four recurrences of the SAME bug; the r3 one
+    slipped through precisely because this test used to exempt
+    oracle-less ops). So: every registered operator, no exemptions,
+    must emit only scalar columns; join arrays to strings before
+    returning.
+
+    Cost note: building each DataFrame to read .schema is lazy for
+    most ops, but NOT free for all — a few ops run eager work at
+    plan-build time (dedup_cluster_assign's label-propagation loop,
+    the sink_* ops' temp-dir writes). That cost is accepted: this is
+    the one gate that has caught this bug class."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
     bad = []
     for name, op in OPS.items():
-        if op.oracle is None:
-            continue  # rows-only ops may return arrays (driver never hashes)
         for f in op.fn(spark, SF_SMALL).schema.fields:
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):
                 bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
-    assert not bad, f"non-scalar columns in hash-checked ops: {bad}"
+    assert not bad, f"non-scalar columns in registered ops: {bad}"

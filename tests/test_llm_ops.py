@@ -86,10 +86,15 @@ def test_ann_ivf_recall_vs_bruteforce(spark):
 
 def test_mm_feature_extract_shape_and_determinism(spark):
     df = mm_feature_extract(spark, SF_SMALL)
+    feat_cols = [f"f{i}" for i in range(8)]
+    assert [c for c in df.columns if c.startswith("f")] == feat_cols
     rows = df.orderBy("doc_id").limit(5).collect()
     assert len(rows) == 5
     for r in rows:
-        assert len(r["feature"]) == 8
-        assert r["feature"][0] == float(r["n_bytes"])  # stub invariant
+        assert r["f0"] == float(r["n_bytes"])  # stub invariant
+        assert r["f3"] <= r["f4"]  # min byte <= max byte
+        assert r["f7"] in (0.0, 1.0)
     again = mm_feature_extract(spark, SF_SMALL).orderBy("doc_id").limit(5).collect()
-    assert [r["feature"] for r in rows] == [r["feature"] for r in again]
+    assert [[r[c] for c in feat_cols] for r in rows] == [
+        [r[c] for c in feat_cols] for r in again
+    ]

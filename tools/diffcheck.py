@@ -35,15 +35,17 @@ def oracle_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 class NonScalarCell(TypeError):
-    """An oracle-checked result contains an array/map cell.
+    """A registered operator's result contains an array/map cell.
 
     The DRIVER's canonicalizer crashes on these (pandas sort_values →
     ``TypeError: unhashable type: 'numpy.ndarray'``) — see the r1
-    ``agg_collect_sorted`` and r2 ``fn_array_suite``/``fn_map_from_json``
-    FAILs. The local mirror must be at least as strict as the real
-    gate, so any non-scalar cell in a hash-checked output is a hard
-    FAIL here: join arrays to strings (``array_join``/``array_to_string``)
-    before returning them (SURVEY §7.3.5).
+    ``agg_collect_sorted``, r2 ``fn_array_suite``/``fn_map_from_json``
+    and r3 ``mm_feature_extract`` FAILs; the r3 one proved the driver
+    canonicalizes ROWS-ONLY outputs too. The local mirror must be at
+    least as strict as the real gate, so any non-scalar cell in ANY
+    operator output is a hard FAIL here: join arrays to strings
+    (``array_join``/``array_to_string``) before returning them
+    (SURVEY §7.3.5).
     """
 
 
@@ -74,7 +76,7 @@ def canon_value(v):
         return v.isoformat()
     if isinstance(v, (list, tuple, dict, np.ndarray)):
         raise NonScalarCell(
-            f"non-scalar cell {type(v).__name__} in oracle-checked result; "
+            f"non-scalar cell {type(v).__name__} in operator result; "
             "emit array_join(...)'d strings instead (SURVEY §7.3.5)"
         )
     return str(v)
@@ -94,6 +96,10 @@ def check_one(spark, con, op, sf_dir: str) -> tuple[bool, str]:
     sdf = op.fn(spark, sf_dir)
     spdf = sdf.toPandas()
     if op.oracle is None:
+        # The DRIVER canonicalizes rows-only outputs too before counting
+        # (r3 mm_feature_extract FAIL) — mirror that: any non-scalar cell
+        # must be a hard FAIL here even without an oracle to compare to.
+        canon_frame(spdf)
         return True, f"rows-only ({len(spdf)} rows, {len(spdf.columns)} cols)"
     odf = con.execute(op.oracle).df()
     scols, srows = canon_frame(spdf)
