@@ -72,13 +72,18 @@ def read_events_stream(
     # readStream needs an explicit schema; take it from a batch read of
     # the staged files so ts comes through as whatever the files hold
     # (timestamp[us] fixture copies, or int64 nanos synthetic batches).
-    # Preconditions (ADVICE r2): the batch-infer requires at least one
-    # staged file, and every file in the dir must share one physical ts
-    # type — fall back to the synthetic-fixture schema on an empty dir
-    # so a stream can be declared before its first file arrives.
-    try:
+    # Preconditions (ADVICE r2/r3): the batch-infer requires at least
+    # one staged file, and every file in the dir must share one physical
+    # ts type. Fall back to the synthetic-fixture schema ONLY when the
+    # dir is verifiably empty (stream declared before its first file
+    # arrives); a real read error — corrupt file, permission — must
+    # propagate, not silently mis-declare the ts type.
+    import glob
+    import os
+
+    if glob.glob(os.path.join(events_dir, "*.parquet")):
         inferred = spark.read.parquet(events_dir).schema
-    except Exception:
+    else:
         inferred = EVENTS_STREAM_SCHEMA
     reader = spark.readStream.schema(inferred)
     if max_files_per_trigger is not None:

@@ -308,3 +308,50 @@ def test_stream_stream_join_state_eviction(spark):
         "stream-stream join state did not evict"
     )
     assert sorted(batch) == sorted(streamed + [(1, 1, 9)])
+
+
+def test_stream_declared_before_first_file(spark, tmp_path):
+    """A stream may be declared on an EMPTY staging dir (falls back to
+    the synthetic nanos schema) and must process files that land after
+    declaration — and a real read error must NOT silently fall back
+    (ADVICE r3: only verifiable emptiness triggers the fallback)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    staging = str(tmp_path / "empty_staging")
+    import os
+
+    os.makedirs(staging)
+    stream = read_events_stream(spark, staging)  # empty dir → fallback schema
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+
+    # Land a synthetic nanos batch AFTER declaration; the declared
+    # stream must pick it up on its availableNow run.
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array([1_700_000_000 * 10**9, 1_700_000_060 * 10**9], pa.int64()),
+            "user_id": pa.array([7, 7], pa.int64()),
+            "event_type": pa.array(["click", "view"], pa.string()),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+            "props": pa.array(["{}", "{}"], pa.string()),
+        }
+    )
+    pq.write_table(tbl, f"{staging}/batch0.parquet")
+    out = run_to_memory(
+        stream.groupBy("user_id").count(), output_mode="complete", name="pre_decl"
+    )
+    assert [(r["user_id"], r["count"]) for r in out.collect()] == [(7, 2)]
+
+
+def test_stream_corrupt_file_propagates(spark, tmp_path):
+    """A staging dir holding an unreadable 'parquet' file must raise at
+    declaration, not silently mis-declare the ts type via fallback."""
+    staging = str(tmp_path / "corrupt_staging")
+    import os
+
+    os.makedirs(staging)
+    with open(f"{staging}/bad.parquet", "wb") as f:
+        f.write(b"not a parquet file")
+    with pytest.raises(Exception):
+        read_events_stream(spark, staging)
