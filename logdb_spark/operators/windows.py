@@ -66,18 +66,75 @@ def win_rank_dense_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
     section=SECTION,
 )
 def win_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distribution functions over a global order — the one deliberate
-    global sort in the inventory (single-partition window). At 100 TB
-    the equivalent is approx quantiles (§2.D) — declared here for
-    surface parity, not as a scale pattern."""
-    o = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return o.select(
+    """Distribution functions over a global order — WITHOUT the
+    single-partition window (VERDICT r3 #6: `Window.orderBy()` with no
+    partition key moves 100 TB through one executor). Two-phase global
+    ranking instead:
+
+      1. one bounded agg action → (min, max, n); rows map into 64
+         value-range buckets (width_bucket is monotone, so bucket order
+         == value order and ties share a bucket);
+      2. per-bucket counts (≤64 rows to the driver) → cumulative
+         offsets, broadcast back; global row_number = bucket-local
+         row_number (a PARTITIONED window sort) + bucket offset.
+
+    ntile/percent_rank/cume_dist are then pure arithmetic on the global
+    row number — the ordering key (o_totalprice, o_orderkey) is unique,
+    so rank == row_number, pct_rank = (rn-1)/(n-1), cume = rn/n, and
+    ntile(4) is the standard first-(n%4)-tiles-get-one-extra split.
+    Same output as the old single-partition form bit-for-bit (the
+    unchanged oracle pins that); scales as one shuffle on a 64-way
+    key plus two O(1) driver transfers."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    lo, hi, n = o.agg(
+        F.min("o_totalprice"), F.max("o_totalprice"), F.count("*")
+    ).first()  # driver-scalar: 3 scalars (range + cardinality)
+    n_buckets = 64
+    if hi == lo:
+        bucket = F.lit(1)
+    else:
+        # repr() round-trips doubles exactly; clamp v==hi into bucket 64.
+        bucket = F.least(
+            F.lit(n_buckets),
+            F.expr(
+                f"width_bucket(o_totalprice, {lo!r}, {hi!r}, {n_buckets})"
+            ).cast("int"),
+        )
+    b = o.withColumn("bucket", bucket)
+    counts = sorted(
+        (r["bucket"], r["cnt"])
+        for r in b.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()  # driver-scalar: ≤64 (bucket, count) rows
+    )
+    offsets, acc = [], 0
+    for bk, cnt in counts:
+        offsets.append((bk, acc))
+        acc += cnt
+    off_df = spark.createDataFrame(offsets, "bucket int, offset bigint")
+    w = Window.partitionBy("bucket").orderBy("o_totalprice", "o_orderkey")
+    ranked = (
+        b.join(F.broadcast(off_df), "bucket")
+        .withColumn("rn", F.row_number().over(w) + F.col("offset"))
+    )
+    base, rem = divmod(n, 4)
+    if base == 0:  # n < 4: tiles 1..n, one row each
+        quartile = F.col("rn").cast("int")
+    else:
+        cut = rem * (base + 1)
+        quartile = (
+            F.when(F.col("rn") <= cut, (F.col("rn") - 1) / (base + 1))
+            .otherwise(rem + (F.col("rn") - cut - 1) / base)
+            .cast("int")  # truncation == floor for non-negative
+            + 1
+        )
+    pct = (
+        F.lit(0.0) if n <= 1 else (F.col("rn") - F.lit(1.0)) / F.lit(float(n - 1))
+    )
+    return ranked.select(
         "o_orderkey",
         "o_totalprice",
-        F.ntile(4).over(w).alias("quartile"),
-        ratio(F.percent_rank().over(w)).alias("pct_rank"),
-        ratio(F.cume_dist().over(w)).alias("cume"),
+        quartile.alias("quartile"),
+        ratio(pct).alias("pct_rank"),
+        ratio(F.col("rn") / F.lit(float(n))).alias("cume"),
     )
 
 
