@@ -359,6 +359,25 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduce them; at 100 TB the same loop runs unchanged over the
     LSH candidate pairs (dedup_minhash_lsh / dedup_embedding_cosine_lsh
     output is schema-compatible: doc_a, doc_b).
+
+    Constant-factor discipline (VERDICT r3 perf #1): near-dup graphs
+    are clique-heavy (jac≥0.9 is nearly transitive — sf0.1 has ~1.9M
+    directed edges over just ~2.9k member docs), so iterating the FULL
+    edge set is waste. Two-level contraction instead:
+
+      1. ``label0(v) = min(v, neighbors(v))`` — one groupBy over the
+         symmetric edges, NO join (initial labels are the identity);
+      2. contract: edges map to ``(label0(src), label0(dst))``
+         distinct, dropping loops — a clique collapses to one node,
+         so the contracted graph is proportional to #clusters, not
+         #pairs;
+      3. HashToMin + pointer doubling iterate over the CONTRACTED
+         graph only (one checkpoint + one 8-byte action per round);
+      4. compose ``label = cc(label0(v))`` and left-join back to all
+         documents (docs in no pair are fixpoints by construction).
+
+    The component minimum m survives contraction (label0(m) = m), so
+    composing yields exactly the component-min labels the oracle pins.
     """
     # pairs persisted BEFORE the symmetric union — otherwise both union
     # branches recompute the O(n²)-screened pair join.
@@ -367,52 +386,68 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jac") >= 0.9)
         .select("doc_a", "doc_b")
     )
-    edges = pairs.union(
+    sym = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
-    # localCheckpoint per round TRUNCATES LINEAGE — without it each
-    # round's plan embeds every previous round's (join-chain recursion)
-    # and by round ~6 the logical tree is exponentially large: the
-    # first version OOM'd the driver JVM just *printing* the plan. On
-    # a cluster this would be a reliable checkpoint to object storage;
-    # in local mode the executor-block variant is the same semantics.
+    # label0 = min over neighbors ∪ self — initial labels are identity,
+    # so this is a bare partial-agg groupBy (map-side combine shrinks
+    # the shuffle to one row per member per partition).
+    # localCheckpoint TRUNCATES LINEAGE — without it each later step's
+    # plan embeds every previous one (join-chain recursion) and the
+    # logical tree grows exponentially: the first version OOM'd the
+    # driver JVM just *printing* the plan. On a cluster this would be
+    # a reliable checkpoint to object storage; in local mode the
+    # executor-block variant is the same semantics.
+    l0 = (
+        sym.groupBy("src")
+        .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
+        .withColumnRenamed("src", "doc_id")
+        .localCheckpoint()
+    )
+    # Contract over the DIRECTED pairs (half the rows of sym — the
+    # reversed duplicates contract to the same edges) and symmetrize
+    # the tiny contracted set afterwards.
+    la = l0.select(F.col("doc_id").alias("doc_a"), F.col("label").alias("lsrc"))
+    lb = l0.select(F.col("doc_id").alias("doc_b"), F.col("label").alias("ldst"))
+    ce = (
+        pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .filter(F.col("lsrc") != F.col("ldst"))
+        .select(F.col("lsrc").alias("src"), F.col("ldst").alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    cedges = ce.union(
+        ce.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # Seed with the contracted graph's own min-neighbor labels — one
+    # groupBy, and the loop starts a full propagation round ahead.
     labels = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.col("doc_id").alias("label"))
+        cedges.groupBy("src")
+        .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
+        .withColumnRenamed("src", "doc_id")
         .localCheckpoint()
     )
     # Labels strictly decrease until fixpoint, so sum(label) is a
     # convergence checksum — one tiny aggregate action per round.
     checksum = labels.agg(F.sum("label")).collect()[0][0]  # driver-scalar: one 8-byte sum
     for _ in range(20):  # >> log₂(diameter) of any dup cluster; loud fail below
-        nbr_min = (
-            edges.join(labels, edges.dst == labels.doc_id)
+        combined = (
+            cedges.join(labels, cedges.dst == labels.doc_id)
             .groupBy("src")
-            .agg(F.min("label").alias("nbr_min"))
+            .agg(F.min(F.least("label", "src")).alias("label"))
+            .withColumnRenamed("src", "doc_id")
         )
-        labels = (
-            labels.join(nbr_min, labels.doc_id == nbr_min.src, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    "label", F.coalesce("nbr_min", "label")
-                ).alias("label"),
-            )
-            .localCheckpoint()  # the doubling below reads labels TWICE
-        )
-        # Pointer doubling: label <- label(label). A join on the tiny
-        # label table itself (|docs| rows, vs the edge join above on
-        # |edges| rows), and it squares the propagation reach per
-        # round — sf0.1 converges in 4 rounds instead of 8.
-        hop = labels.select(
+        # Pointer doubling: label <- label(label) squares the
+        # propagation reach per round. `combined` is read twice and
+        # recomputed, not checkpointed — two contracted-graph joins
+        # cost less than a second materialization per round.
+        hop = combined.select(
             F.col("doc_id").alias("l_id"), F.col("label").alias("l_lab")
         )
         labels = (
-            labels.join(hop, labels.label == hop.l_id, "left")
-            .select(
-                "doc_id",
-                F.coalesce("l_lab", "label").alias("label"),
-            )
+            combined.join(hop, combined.label == hop.l_id, "left")
+            .select("doc_id", F.coalesce("l_lab", "label").alias("label"))
             .localCheckpoint()
         )
         nxt_sum = labels.agg(F.sum("label")).collect()[0][0]  # driver-scalar: one 8-byte sum
@@ -421,10 +456,21 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         checksum = nxt_sum
     else:
         raise RuntimeError("label propagation did not converge in 20 rounds")
-    return labels.select(
-        "doc_id",
-        F.col("label").alias("canonical_id"),
-        (F.col("label") != F.col("doc_id")).alias("is_dup"),
+    # Compose cc∘label0, then emit non-members (fixpoints: no edge can
+    # lower their label) via one left join instead of iterating them.
+    cc = labels.select(F.col("doc_id").alias("c_id"), F.col("label").alias("c_lab"))
+    final = l0.join(cc, l0.label == cc.c_id, "left").select(
+        "doc_id", F.coalesce("c_lab", "label").alias("label")
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(final, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", "doc_id").alias("canonical_id"),
+            (F.coalesce("label", "doc_id") != F.col("doc_id")).alias("is_dup"),
+        )
     )
 
 
