@@ -16,6 +16,8 @@ Scale design (the whole point of this section):
 
 from __future__ import annotations
 
+from collections.abc import Iterator  # resolvable if tooling evaluates hints
+
 import pandas as pd  # annotations of Arrow-batched UDFs resolve via module globals
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1161,6 +1163,15 @@ def mm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doubles are bit-identical across engines — while ROUND(·,6) can
     # straddle the half-boundary differently per engine (SURVEY
     # hard-won fact #1; diffcheck caught exactly that here).
+    # ENGINE PIN (ADVICE r3): the bit-identity additionally assumes
+    # both engines fold the element-wise sum LEFT-TO-RIGHT in index
+    # order — true for Spark's F.aggregate and DuckDB's
+    # list_aggregate('sum') on the pinned versions (pyspark 4.1.2,
+    # duckdb in-container), and re-verified every diffcheck run. If an
+    # engine upgrade switches to pairwise/Kahan summation this op's
+    # hash breaks loudly at the gate; the fix then is to round BOTH
+    # sides with ratio()/ROUND-6, accepting the half-boundary risk the
+    # current form avoids.
     return withq.select(
         "vec_id",
         F.size("emb").alias("n_dims"),
@@ -1264,7 +1275,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
     )
-    # All 8 table signatures in one Arrow matmul (array<int> column) —
+    # All 16 table signatures in one Arrow matmul (array<int> column) —
     # the unrolled per-table literal expressions this replaces cost
     # ~2s of Catalyst analysis alone (see _signature_udf).
     sig_udf = _signature_udf(_hyperplanes())

@@ -58,27 +58,32 @@ _LOADED = False
 
 # Driver-gate coverage rotation. The driver correctness report caps at
 # 50 enumeration entries per round, so enumeration order IS evidence
-# budget. r3 tiering: (0) the 5 ops that got NO driver row in r1 or r2
-# (the rotation's tier-2 tail was cut off at 3-of-8) plus the 2 r2
-# FAILs fixed this round, (1) rows-only ops whose only evidence is one
-# r2 row, (2) r2-green oracle ops, (3) r1-green ops (oldest evidence,
-# most stable code). Union of r1+r2+r3 rows then covers all 104 ops.
-_R3_NEEDS_ROW_FIRST = (
-    "sim_ann_lsh",
-    "sim_ann_ivf",
-    "mm_feature_extract",
-    "sink_bucketed_join",
-    "sink_compaction",
-    "fn_array_suite",      # r2 FAIL: array cells — fixed to array_join strings
-    "fn_map_from_json",    # r2 FAIL: same — fixed
-    "dedup_embedding_cosine_lsh",  # new in r3 — bucketed pair-dedup twin
-    "dedup_cluster_assign",        # new in r3 — connected-components dedup groups
-    "mm_image_resize",             # new in r3 — oracle-checked resize plumbing
-    "sink_orc_roundtrip",          # new in r3 — ORC interchange roundtrip
-    "text_unigram_surprisal",      # new in r3 — perplexity-style quality signal
-    "sim_batch_topk",              # new in r3 — batched top-k serving shape
-    "mm_embedding_quantize",       # new in r3 — int8 quantization metrics
-    "log_retention_prune",         # oracle added in r3 (was rows-only)
+# budget. The r1+r2+r3 row union covers all 111 ops; r4 tiering
+# (VERDICT r3 #4): (0) the r3 FAIL now fixed (mm_feature_extract, now
+# oracle-checked), the r1-era rows-only ops whose only driver rows
+# predate two rounds of refactors, and the ops whose IMPLEMENTATION
+# changed this round (win_ntile_percent two-phase rank,
+# dedup_cluster_assign contraction);
+# (1) r2-green streaming/UDF ops (stalest hash evidence); (2) r1-green
+# ops (oldest evidence, most stable code); (3) r3-green ops (freshest
+# evidence, skipped under the 50-row cap and refreshed in r5).
+_R4_NEEDS_ROW_FIRST = (
+    "mm_feature_extract",       # r3 FAIL → scalar f0..f7 + exact oracle
+    "sink_partitioned_parquet",  # r1-era rows-only evidence
+    "agg_approx_count_distinct",  # r1-era rows-only evidence
+    "agg_percentile_approx",     # r1-era rows-only evidence
+    "win_ntile_percent",         # rewritten r4: two-phase global rank
+    "dedup_cluster_assign",      # rewritten r4: graph contraction
+)
+_R2_DRIVER_GREEN = frozenset(
+    {
+        "stream_tumbling_counts", "stream_sliding_counts",
+        "stream_session_window", "stream_dedup_watermark",
+        "stream_static_join", "stream_stream_join", "stream_late_data",
+        "stream_stateful_alerts", "udf_python_scalar",
+        "udf_pandas_vectorized", "udaf_pandas_group",
+        "udtf_explode_sessions",
+    }
 )
 _R1_DRIVER_GREEN = frozenset(
     {
@@ -101,24 +106,19 @@ _R1_DRIVER_GREEN = frozenset(
         "set_intersect", "set_except",
     }
 )
-# Rows-only ops whose single driver row landed in r2 — re-run them
-# before the long r2-green oracle tail so their evidence stays fresh.
-_R2_ROWS_ONLY = frozenset(
-    {"log_retention_prune", "dedup_minhash_lsh", "dedup_simhash"}
-)
 
 
 def _enumeration_order(ops: dict[str, Operator]) -> list[str]:
-    priority = {n: i for i, n in enumerate(_R3_NEEDS_ROW_FIRST)}
+    priority = {n: i for i, n in enumerate(_R4_NEEDS_ROW_FIRST)}
 
     def tier(name: str) -> int:
         if name in priority:
             return 0
-        if name in _R2_ROWS_ONLY:
+        if name in _R2_DRIVER_GREEN:
             return 1
         if name in _R1_DRIVER_GREEN:
-            return 3
-        return 2
+            return 2
+        return 3
 
     # Stable sort: within tier 0, the explicit priority order; within
     # other tiers, registration (module build-phase) order.
