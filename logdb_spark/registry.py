@@ -58,17 +58,25 @@ _LOADED = False
 
 # Driver-gate coverage rotation. The driver correctness report caps at
 # 50 enumeration entries per round, so enumeration order IS evidence
-# budget. The r1+r2+r3 row union covers all 111 ops; r4 tiering
+# budget. The r1+r2+r3 row union covers all 111 pre-r4 ops; r4 tiering
 # (VERDICT r3 #4): (0) the r3 FAIL now fixed (mm_feature_extract, now
-# oracle-checked), the r1-era rows-only ops whose only driver rows
-# predate two rounds of refactors, and the ops whose IMPLEMENTATION
-# changed this round (win_ntile_percent two-phase rank,
+# oracle-checked), the seven r4-new SQL analytics ops (no driver row
+# yet), the r1-era rows-only ops whose only driver rows predate two
+# rounds of refactors, and the ops whose IMPLEMENTATION changed this
+# round (win_ntile_percent two-phase rank,
 # dedup_cluster_assign contraction);
 # (1) r2-green streaming/UDF ops (stalest hash evidence); (2) r1-green
 # ops (oldest evidence, most stable code); (3) r3-green ops (freshest
 # evidence, skipped under the 50-row cap and refreshed in r5).
 _R4_NEEDS_ROW_FIRST = (
     "mm_feature_extract",       # r3 FAIL → scalar f0..f7 + exact oracle
+    "sql_q4_order_priority",     # new in r4 — no driver row yet
+    "sql_q7_volume_shipping",    # new in r4
+    "sql_q8_market_share",       # new in r4
+    "sql_q14_promo_revenue",     # new in r4
+    "sql_q15_top_supplier",      # new in r4
+    "sql_q18_large_orders",      # new in r4
+    "sql_q22_idle_customers",    # new in r4
     "sink_partitioned_parquet",  # r1-era rows-only evidence
     "agg_approx_count_distinct",  # r1-era rows-only evidence
     "agg_percentile_approx",     # r1-era rows-only evidence
