@@ -198,3 +198,79 @@ def skewed_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             o, (fact.join_key == o.o_orderkey) & (fact.salt == o.salt)
         )
     )
+
+
+def sorted_parquet_write(
+    spark: SparkSession, sf_dir: str, max_records_per_file: int = 4096
+) -> str:
+    """Write events time-clustered (repartition by day + ts-sorted
+    within partitions) to a scratch dir; returns the dir so tests can
+    assert the footer stats.
+
+    Two write-time settings make the clustering VISIBLE to readers:
+    TIMESTAMP_MICROS output (INT96, the legacy default, carries no
+    min/max statistics at all — no stats, no pruning), and
+    maxRecordsPerFile so even fixture-scale data splits into several
+    files, each covering a narrow disjoint ts range (at 100 TB the
+    default 128 MB parquet block yields the same granularity as row
+    groups WITHIN each big file; fixture files are far below one
+    block, so files stand in for row groups here)."""
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    out_dir = tempfile.mkdtemp(prefix="logdb_sorted_")
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        (
+            ev.repartition(F.to_date("ts"))
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", max_records_per_file)
+            .parquet(out_dir)
+        )
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    return out_dir
+
+
+@register(
+    "sink_sorted_parquet",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               strftime(MIN(date_trunc('second', ts)),
+                        '%Y-%m-%d %H:%M:%S') AS first_ts,
+               strftime(MAX(date_trunc('second', ts)),
+                        '%Y-%m-%d %H:%M:%S') AS last_ts
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-16 00:00:00'
+        GROUP BY event_type
+    """,
+    section=SECTION,
+)
+def sink_sorted_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-clustered parquet write + stats-pruned read-back: events
+    are repartitioned by day and sorted by ts WITHIN each partition
+    before writing, so every parquet row group covers a narrow ts
+    span and a time-range scan skips row groups via min/max footer
+    stats (the poor man's Z-order for the 1-D time case — THE layout
+    lever for log data at 100 TB, where almost every query is
+    time-bounded). The read-back day-slice aggregate is oracle-checked
+    against the raw table, proving the clustered roundtrip is
+    value-exact; tests/test_plans.py asserts the physical clustering
+    via parquet footer metadata.
+    """
+    out_dir = sorted_parquet_write(spark, sf_dir)
+    back = spark.read.parquet(out_dir)
+    day = back.filter(
+        (F.col("ts") >= "2024-01-15 00:00:00") & (F.col("ts") < "2024-01-16 00:00:00")
+    )
+    from logdb_spark.functions.temporal import ts_str
+
+    return day.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        ts_str(F.min(F.date_trunc("second", "ts"))).alias("first_ts"),
+        ts_str(F.max(F.date_trunc("second", "ts"))).alias("last_ts"),
+    )

@@ -1690,3 +1690,179 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     canon = F.concat_ws(" ", F.array_sort(_TOKENS()))
     return d.select("doc_id", F.md5(canon).alias("fingerprint"))
+
+
+# --- r4 widening: pipeline ops a 100 TB training-data build runs that
+# the r1-r3 inventory didn't yet cover: scoped (per-source) dedup,
+# stopword scrubbing, benchmark decontamination, and embedding norm
+# monitoring.
+
+
+@register(
+    "dedup_within_source",
+    oracle="""
+        SELECT source, sha256(text) AS content_sha,
+               MIN(doc_id) AS keeper_doc_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY source, sha256(text)
+    """,
+    section=SECTION,
+)
+def dedup_within_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup SCOPED per source — the per-crawl/per-dump first
+    pass a pipeline runs before global dedup (cheap, and keeps
+    cross-source provenance questions separate). Keeper = min doc_id
+    per (source, content hash); group sizes feed dup-rate monitoring.
+    One partial-agg groupBy on a bounded composite key — scales as a
+    single shuffle; at 100 TB source is also the natural partition
+    column, making this shuffle-local after a partitioned write."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "source", F.sha2(F.col("text").cast("binary"), 256).alias("content_sha"),
+            "doc_id",
+        )
+        .groupBy("source", "content_sha")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+@register(
+    "text_stopword_scrub",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), c AS (
+            SELECT doc_id, toks,
+                   list_filter(toks, x -> x NOT IN ('a', 'the')) AS clean
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT)  AS n_tokens,
+               CAST(len(toks) - len(clean) AS BIGINT) AS n_removed,
+               sha256(array_to_string(clean, ' ')) AS clean_sha,
+               CAST(length(array_to_string(clean, ' ')) AS BIGINT) AS clean_chars
+        FROM c
+    """,
+    section=SECTION,
+)
+def text_stopword_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword scrubbing as a content TRANSFORM (not just the ratio
+    scoring in text_quality_filter): filter the token array against a
+    lexicon, re-join, and emit the scrubbed text's hash + size deltas
+    so the pipeline can verify the rewrite deterministically. All JVM
+    higher-order functions — map-only, no shuffle, scales linearly."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    clean = F.filter(toks, lambda t: ~t.isin("a", "the"))
+    clean_txt = F.array_join(clean, " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (F.size(toks) - F.size(clean)).cast("bigint").alias("n_removed"),
+        F.sha2(clean_txt.cast("binary"), 256).alias("clean_sha"),
+        F.length(clean_txt).cast("bigint").alias("clean_chars"),
+    )
+
+
+# Benchmark shingles a training corpus must not contain — stand-ins for
+# eval-set n-grams; real pipelines load these from the benchmark files.
+_CONTAM_BIGRAMS = (
+    "spark value",
+    "table key",
+    "query line",
+    "batch window",
+    "fast sort",
+)
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+        WITH g AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, len(string_split(text, ' '))),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i + 1])) AS grams
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(list_intersect(grams,
+                        {list(_CONTAM_BIGRAMS)})) AS BIGINT) AS n_hits,
+               len(list_intersect(grams,
+                        {list(_CONTAM_BIGRAMS)})) > 0 AS contaminated,
+               COALESCE(array_to_string(list_sort(list_intersect(grams,
+                        {list(_CONTAM_BIGRAMS)})), '|'), '') AS hits
+        FROM g
+    """,
+    section=SECTION,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag documents whose bigram shingles
+    intersect a blocklist of eval-set n-grams — the screening step
+    that keeps test data out of a training corpus. The blocklist is a
+    broadcast-sized literal array (real benchmarks: thousands of
+    shingles — still broadcastable); the scan is map-only
+    array_intersect over the same _BIGRAMS shingles the dedup kernels
+    use, so at 100 TB this rides the same single pass."""
+    d = load_table(spark, sf_dir, "documents")
+    block = F.array(*[F.lit(b) for b in _CONTAM_BIGRAMS])
+    hits = F.array_intersect(_BIGRAMS(), block)
+    return d.select(
+        "doc_id",
+        F.size(hits).cast("bigint").alias("n_hits"),
+        (F.size(hits) > 0).alias("contaminated"),
+        F.array_join(F.array_sort(hits), "|").alias("hits"),
+    )
+
+
+@register(
+    "sim_norm_stats",
+    oracle="""
+        WITH n AS (
+            SELECT label,
+                   ROUND(sqrt(list_dot_product(
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)))), 6)
+                       AS nrm
+            FROM embeddings
+        )
+        SELECT label, COUNT(*) AS n_vectors,
+               CAST(SUM(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE) AS total_norm,
+               MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
+        FROM n GROUP BY label
+    """,
+    section=SECTION,
+)
+def sim_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding norm monitoring per label — the drift/sanity check an
+    embedding store runs at ingest (unit-norm inputs ⇒ norms ≈ 1; a
+    drifting encoder shows up here first). Determinism discipline:
+    per-row norms are sequential JVM folds (exact cross-engine, same
+    pin as mm_embedding_quantize), then rounded to 6 dp and summed as
+    DECIMAL — so the cross-row aggregate is order-independent, the
+    correct posture for a partitioned 100 TB aggregation."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    from logdb_spark.functions.vector import dot
+
+    nrm = ratio(F.sqrt(dot(F.col("emb"), F.col("emb"))))
+    return (
+        e.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.col("nrm").cast("decimal(18,6)")).cast("double").alias(
+                "total_norm"
+            ),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+        )
+    )

@@ -305,3 +305,56 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("frame_end"),
         )
     )
+
+
+@register(
+    "mm_audio_window",
+    oracle="""
+        WITH audio AS (
+            SELECT doc_id, octet_length(encode(text)) AS n_bytes
+            FROM documents WHERE doc_id % 3 = 1
+        ), wins AS (
+            SELECT doc_id, n_bytes,
+                   unnest(range(0, n_bytes, 60)) AS win_start
+            FROM audio
+        )
+        SELECT doc_id,
+               CAST(win_start AS BIGINT) AS win_start,
+               CAST(LEAST(win_start + 120, n_bytes) AS BIGINT) AS win_end,
+               CAST(LEAST(win_start + 120, n_bytes) - win_start AS BIGINT)
+                   AS win_len
+        FROM wins
+    """,
+    section=SECTION,
+)
+def mm_audio_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping analysis windows over 'audio' payloads (len 120,
+    hop 60 — the 50%-overlap STFT shape): each (doc_id, offset) row is
+    an independent decode+FFT unit downstream. Same posture as
+    mm_frame_sample but OVERLAPPING — the explode(sequence) arithmetic
+    is the distributed deliverable; windows parallelize freely and
+    never pass through the driver."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
+    n_bytes = F.length(F.col("text").cast("binary")).cast("bigint")
+    return (
+        d.select(
+            "doc_id",
+            n_bytes.alias("n_bytes"),
+            F.explode(F.sequence(F.lit(0), n_bytes - 1, F.lit(60))).alias(
+                "win_start"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("win_start").cast("bigint").alias("win_start"),
+            F.least(F.col("win_start") + 120, F.col("n_bytes"))
+            .cast("bigint")
+            .alias("win_end"),
+            (
+                F.least(F.col("win_start") + 120, F.col("n_bytes"))
+                - F.col("win_start")
+            )
+            .cast("bigint")
+            .alias("win_len"),
+        )
+    )

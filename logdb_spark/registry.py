@@ -77,6 +77,12 @@ _R4_NEEDS_ROW_FIRST = (
     "sql_q15_top_supplier",      # new in r4
     "sql_q18_large_orders",      # new in r4
     "sql_q22_idle_customers",    # new in r4
+    "dedup_within_source",       # new in r4
+    "text_stopword_scrub",       # new in r4
+    "text_decontaminate",        # new in r4
+    "sim_norm_stats",            # new in r4
+    "mm_audio_window",           # new in r4
+    "sink_sorted_parquet",       # new in r4
     "sink_partitioned_parquet",  # r1-era rows-only evidence
     "agg_approx_count_distinct",  # r1-era rows-only evidence
     "agg_percentile_approx",     # r1-era rows-only evidence

@@ -175,3 +175,39 @@ def test_skew_salted_join_parity(spark):
     a = sorted(map(tuple, skewed_join_unsalted(spark, SF_SMALL).collect()))
     b = sorted(map(tuple, skewed_join_salted(spark, SF_SMALL).collect()))
     assert a and a == b
+
+
+def test_sorted_parquet_rowgroups_are_time_clustered(spark):
+    """sink_sorted_parquet's value is PHYSICAL: row-group min/max ts
+    footer stats must form (near-)disjoint ranges so a time-range scan
+    prunes row groups. Assert the stats exist (INT96 would carry none)
+    and that the summed per-group spans ≈ the dataset span — an
+    UNSORTED write makes every row group span the whole month, so the
+    sum is ~n_groups × the dataset span and this fails."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from logdb_spark.operators.layout import sorted_parquet_write
+
+    out_dir = sorted_parquet_write(spark, SF_SMALL, max_records_per_file=200)
+    intervals = []
+    for f in glob.glob(f"{out_dir}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        ts_idx = md.schema.names.index("ts")
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ts_idx).statistics
+            assert st is not None and st.min is not None, (
+                "row group lacks ts min/max stats — pruning impossible"
+            )
+            intervals.append((st.min, st.max))
+    assert len(intervals) >= 2, "expected multiple row groups"
+    total = (
+        max(hi for _, hi in intervals) - min(lo for lo, _ in intervals)
+    ).total_seconds()
+    assert total > 20 * 86400  # dataset really spans ~a month
+    summed = sum((hi - lo).total_seconds() for lo, hi in intervals)
+    assert summed <= 1.1 * total, (
+        f"row-group ranges overlap {summed/total:.1f}× the dataset span — "
+        "not time-clustered"
+    )
