@@ -344,3 +344,68 @@ def log_pivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .na.fill(0, EVENT_TYPES)
     )
+
+
+@register(
+    "log_anomaly_mad",
+    oracle="""
+        WITH h AS (
+            SELECT event_type, date_trunc('hour', ts) AS hr, COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ), med AS (
+            SELECT event_type, quantile_cont(n, 0.5) AS med
+            FROM h GROUP BY 1
+        ), dev AS (
+            SELECT h.event_type, hr, n, med, ABS(n - med) AS dev
+            FROM h JOIN med USING (event_type)
+        ), mad AS (
+            SELECT event_type, quantile_cont(dev, 0.5) AS mad
+            FROM dev GROUP BY 1
+        )
+        SELECT dev.event_type,
+               strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour,
+               n, med, mad.mad AS mad,
+               ROUND(dev / mad.mad, 6) AS score
+        FROM dev JOIN mad USING (event_type)
+        WHERE mad.mad > 0 AND dev > 3.0 * mad.mad
+    """,
+    section=SECTION,
+)
+def log_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection on hourly event-type counts: flag hours
+    where |count − median| > 3×MAD (median absolute deviation — unlike
+    mean/stddev, one outage hour can't drag its own threshold). The
+    robust twin of log_rate_spike's lag-ratio heuristic.
+
+    Exactness: counts are integers, exact medians land on .0/.5, so
+    dev, MAD, and the 3×MAD comparison are bit-identical cross-engine;
+    only the score ratio is rounded. Scale: two bounded-key aggregates
+    (per event_type) + broadcast joins of the tiny stats tables — the
+    hourly rollup is the only real shuffle, same as log_time_histogram.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    med = h.groupBy("event_type").agg(
+        F.percentile("n", F.lit(0.5)).alias("med")
+    )
+    dev = h.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile("dev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter((F.col("mad") > 0) & (F.col("dev") > 3.0 * F.col("mad")))
+        .select(
+            "event_type",
+            ts_str("hr").alias("hour"),
+            "n",
+            "med",
+            "mad",
+            ratio(F.col("dev") / F.col("mad")).alias("score"),
+        )
+    )

@@ -241,3 +241,60 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("event_date").cast("string").alias("event_date"), "n_rows")
         .orderBy("event_date")
     )
+
+
+@register(
+    "scan_schema_evolution",
+    # The oracle recomputes the expected merged view straight from the
+    # fixture table: file A rows (even event_id) never had event_type,
+    # so it surfaces as NULL after the mergeSchema read.
+    oracle="""
+        WITH merged AS (
+            SELECT event_id, user_id, value,
+                   CASE WHEN event_id % 2 = 1 THEN event_type END AS event_type
+            FROM events
+        )
+        SELECT user_id % 8 AS user_bucket,
+               COUNT(*) AS n_rows,
+               COUNT(event_type) AS n_typed,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS total_value
+        FROM merged GROUP BY user_id % 8
+    """,
+    section=SECTION,
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read: two parquet files with DIFFERENT schemas
+    (a later ingest generation added the event_type column) read as
+    one dataset via mergeSchema — old-generation rows surface the new
+    column as NULL. This is the log-store reality at 100 TB: schemas
+    drift across years of files, and the reader must union them
+    without a rewrite. The merged aggregate is oracle-checked against
+    the fixture, proving no rows or values are lost or duplicated.
+
+    Scale note: mergeSchema's footer-union pass is driver-side over
+    file FOOTERS only (parallelized by Spark internally); the data
+    scan stays columnar and splittable."""
+    ev = load_table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="logdb_evo_")
+    gen0 = ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", "value"
+    )
+    gen1 = ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    gen0.write.mode("overwrite").parquet(f"{out}/gen=0")
+    gen1.write.mode("overwrite").parquet(f"{out}/gen=1")
+    merged = spark.read.option("mergeSchema", True).parquet(
+        f"{out}/gen=0", f"{out}/gen=1"
+    )
+    from logdb_spark.functions.numeric import dec4, dround
+
+    return (
+        merged.groupBy((F.col("user_id") % 8).alias("user_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("event_type").alias("n_typed"),
+            dround(F.sum(dec4("value"))).alias("total_value"),
+        )
+    )

@@ -83,6 +83,8 @@ _R4_NEEDS_ROW_FIRST = (
     "sim_norm_stats",            # new in r4
     "mm_audio_window",           # new in r4
     "sink_sorted_parquet",       # new in r4
+    "scan_schema_evolution",     # new in r4
+    "log_anomaly_mad",           # new in r4
     "sink_partitioned_parquet",  # r1-era rows-only evidence
     "agg_approx_count_distinct",  # r1-era rows-only evidence
     "agg_percentile_approx",     # r1-era rows-only evidence
