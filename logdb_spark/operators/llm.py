@@ -951,8 +951,10 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shipped through the pair join; they rejoin after the distinct, so
     # each surviving pair is scored exactly once.
     sig_udf = _signature_udf(_pair_hyperplanes())
-    buckets = e.select(
-        "vec_id", F.posexplode(sig_udf("emb")).alias("table", "sig")
+    # Persisted: both sides of the bucket self-join read this relation —
+    # without the persist the Arrow signature matmul runs twice.
+    buckets = track_persist(
+        e.select("vec_id", F.posexplode(sig_udf("emb")).alias("table", "sig"))
     )
     x, y = buckets.alias("x"), buckets.alias("y")
     cand = (
