@@ -55,12 +55,12 @@ def main() -> int:
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 3)
         # Ops that persist() intermediates (LSH signatures, pair kernels)
-        # would otherwise accumulate cached blocks across the 104-op run.
+        # would otherwise accumulate cached blocks across the full-registry run.
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    # The driver captures only ~2.2 KB of stdout; a 104-query timing map
+    # The driver captures only ~2.2 KB of stdout; a full-registry timing map
     # (~4.5 KB) overflowed it in r1 AND r2 ("parsed": null both rounds).
     # Keep the stdout line compact — top-10 slowest only — and write the
     # full per-query map to a sidecar the judge can read.

@@ -27,11 +27,26 @@ SECTION = "2.M layout/scale techniques"
 N_SALT = 8
 
 
-@register("sink_bucketed_join", oracle=None, section=SECTION)
+@register(
+    "sink_bucketed_join",
+    # Upgraded from rows-only in r4: bucketing is a physical layout —
+    # the join aggregate must equal the plain join's, and the plan
+    # property (no exchange feeding the join) is asserted separately
+    # in tests/test_plans.py.
+    oracle="""
+        SELECT o_orderstatus,
+               COUNT(*) AS n_items,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS total_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus
+    """,
+    section=SECTION,
+)
 def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed write + co-located join (rows-only; the plan property —
-    no shuffle exchange feeding the join — is asserted in
-    tests/test_plans.py).
+    """Bucketed write + co-located join, hash-checked against the
+    plain-join oracle; the plan property — no shuffle exchange feeding
+    the join — is asserted in tests/test_plans.py.
 
     orders and lineitem are written bucketed by the join key into a
     scratch database; the subsequent join reads bucket-aligned files

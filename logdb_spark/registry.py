@@ -85,7 +85,8 @@ _R4_NEEDS_ROW_FIRST = (
     "sink_sorted_parquet",       # new in r4
     "scan_schema_evolution",     # new in r4
     "log_anomaly_mad",           # new in r4
-    "sink_partitioned_parquet",  # r1-era rows-only evidence
+    "sink_partitioned_parquet",  # oracle added r4 (was rows-only)
+    "sink_bucketed_join",        # oracle added r4 (was rows-only)
     "agg_approx_count_distinct",  # r1-era rows-only evidence
     "agg_percentile_approx",     # r1-era rows-only evidence
     "win_ntile_percent",         # rewritten r4: two-phase global rank
@@ -147,7 +148,7 @@ def _enumeration_order(ops: dict[str, Operator]) -> list[str]:
 # the NEXT operator is invoked (the consumer's action has run by then
 # in every harness: driver, diffcheck, bench, tests). register() wraps
 # every operator to release here first, bounding live cache to one
-# operator's worth across a 104-op session (ADVICE r1).
+# operator's worth across a full-registry session (ADVICE r1).
 _TRACKED_CACHES: list[DataFrame] = []
 
 
