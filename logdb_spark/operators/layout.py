@@ -289,3 +289,63 @@ def sink_sorted_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_str(F.min(F.date_trunc("second", "ts"))).alias("first_ts"),
         ts_str(F.max(F.date_trunc("second", "ts"))).alias("last_ts"),
     )
+
+
+RANGE_BUCKET_S = 300  # coarse bucket == the band width → probe ≤ 2 buckets
+
+
+@register(
+    "join_range_bucketed",
+    # Same oracle as join_interval_selfpair — bucketing is a physical
+    # rewrite of the same band join, never a semantic one.
+    oracle="""
+        WITH e AS (SELECT event_id, user_id, date_trunc('second', ts) AS ts
+                   FROM events)
+        SELECT a.user_id,
+               a.event_id AS id_a, b.event_id AS id_b,
+               CAST(epoch(b.ts) - epoch(a.ts) AS BIGINT) AS gap_s
+        FROM e a JOIN e b
+          ON a.user_id = b.user_id
+         AND a.event_id < b.event_id
+         AND b.ts >= a.ts
+         AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    """,
+    section=SECTION,
+)
+def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The range-join optimization: the same 5-minute band self-join as
+    join_interval_selfpair, but driven by a COMPOSITE equi key
+    (user_id, coarse 300 s time bucket). The probe side explodes to
+    its bucket and the next one (a band of width W spans ≤ 2 buckets
+    of width W), the join is pure equi on (user, bucket), and the
+    exact band predicate filters the ≤2× candidates after the match.
+
+    Why it matters at 100 TB: the plain band join's equi conjunct is
+    user_id alone — one hot user's whole multi-year history lands in
+    ONE join partition and the band check runs over its full cross
+    product. Adding the time bucket to the key makes partition
+    fan-out proportional to events-per-(user, 5 min) — bounded by
+    burst rate, not by history length. Same rows out, pinned by the
+    unchanged interval-join oracle.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.date_trunc("second", "ts").alias("ts")
+    )
+    bucket = (F.col("ts").cast("long") / RANGE_BUCKET_S).cast("long")
+    probe = ev.withColumn(
+        "bucket", F.explode(F.array(bucket, bucket + 1))
+    ).alias("a")
+    build = ev.withColumn("bucket", bucket).alias("b")
+    cond = (
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.event_id") < F.col("b.event_id"))
+        & (F.col("b.ts") >= F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 5 MINUTE"))
+    )
+    return probe.join(build, cond).select(
+        F.col("a.user_id").alias("user_id"),
+        F.col("a.event_id").alias("id_a"),
+        F.col("b.event_id").alias("id_b"),
+        (F.col("b.ts").cast("long") - F.col("a.ts").cast("long")).alias("gap_s"),
+    )

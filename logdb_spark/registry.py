@@ -85,6 +85,7 @@ _R4_NEEDS_ROW_FIRST = (
     "sink_sorted_parquet",       # new in r4
     "scan_schema_evolution",     # new in r4
     "log_anomaly_mad",           # new in r4
+    "join_range_bucketed",       # new in r4
     "sink_partitioned_parquet",  # oracle added r4 (was rows-only)
     "sink_bucketed_join",        # oracle added r4 (was rows-only)
     "agg_approx_count_distinct",  # r1-era rows-only evidence
