@@ -373,3 +373,32 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn") == F.ceil(0.5 * F.col("n")), F.col("value"))).alias("p50_disc"),
         F.max(F.when(F.col("rn") == F.ceil(0.9 * F.col("n")), F.col("value"))).alias("p90_disc"),
     )
+
+
+@register("agg_hll_sketch_merge", oracle=None, section=SECTION)
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches via Spark 3.5+
+    hll_sketch_agg / hll_union_agg): per-day distinct-user sketches
+    merged into a global estimate — THE incremental distinct-counting
+    pattern at 100 TB: build one sketch per partition/day at ingest,
+    union them at query time, never rescan history.
+
+    Rows-only BY DESIGN (no SQL engine reproduces the sketch bytes);
+    what the gate can't check, tests do: the merged estimate equals
+    the direct whole-corpus estimate EXACTLY (HLL register-max merge
+    is order- and partition-independent) and tracks exact distinct
+    within sketch error (tests/test_invariants.py)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.groupBy("day").agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("n_events").alias("n_events"),
+        F.hll_sketch_estimate(F.hll_union_agg("sketch"))
+        .cast("bigint")
+        .alias("distinct_users_merged"),
+    )

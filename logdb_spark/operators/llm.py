@@ -1868,3 +1868,57 @@ def sim_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("nrm").alias("max_norm"),
         )
     )
+
+
+_KEEP_BEST_ORACLE = _CLUSTER_ORACLE.replace(
+    """    SELECT doc_id, MIN(r) AS canonical_id, (MIN(r) <> doc_id) AS is_dup
+    FROM reach GROUP BY doc_id""",
+    """    , assign AS (
+        SELECT doc_id, MIN(r) AS canonical_id FROM reach GROUP BY doc_id
+    )
+    SELECT canonical_id,
+           doc_id AS keeper_doc_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(n_chars AS BIGINT) AS keeper_chars
+    FROM (
+        SELECT a.canonical_id, a.doc_id, d.n_chars,
+               COUNT(*) OVER (PARTITION BY a.canonical_id) AS n_members,
+               row_number() OVER (
+                   PARTITION BY a.canonical_id
+                   ORDER BY d.n_chars DESC, a.doc_id) AS rn
+        FROM assign a JOIN documents d ON d.doc_id = a.doc_id
+    ) WHERE rn = 1""",
+)
+
+
+@register("dedup_keep_best", oracle=_KEEP_BEST_ORACLE, section=SECTION)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's final step: pick ONE representative per
+    near-dup cluster (longest text wins, min doc_id breaks ties) —
+    the output corpus is exactly these keepers. Composes
+    dedup_cluster_assign (pairs → connected components) with a
+    per-cluster window rank over the quality signal; singleton docs
+    are their own cluster and always survive.
+
+    Scale: the window partitions by canonical_id — cluster-sized
+    partitions (bounded by dup-cluster size, not corpus size); the
+    ranking sort is partition-local. Oracle recomputes the same
+    clusters via the recursive CTE and the same argmax."""
+    assign = dedup_cluster_assign(spark, sf_dir).select("doc_id", "canonical_id")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    joined = assign.join(docs, "doc_id")
+    wc = Window.partitionBy("canonical_id")
+    wr = Window.partitionBy("canonical_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        joined.withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "canonical_id",
+            F.col("doc_id").alias("keeper_doc_id"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.col("n_chars").cast("bigint").alias("keeper_chars"),
+        )
+    )

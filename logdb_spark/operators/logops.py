@@ -409,3 +409,57 @@ def log_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio(F.col("dev") / F.col("mad")).alias("score"),
         )
     )
+
+
+@register(
+    "log_cooccurrence",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_type, date_trunc('second', ts) AS ts, event_id
+            FROM events
+        ), seq AS (
+            SELECT user_id, event_type AS next_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+            FROM e
+        ), pairs AS (
+            SELECT prev_type, next_type, COUNT(*) AS n
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, next_type
+        )
+        SELECT prev_type, next_type, n,
+               ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY prev_type), 6)
+                   AS p_next_given_prev
+        FROM pairs
+    """,
+    section=SECTION,
+)
+def log_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix: counts and conditional
+    probabilities of consecutive (prev → next) event types per user
+    stream — the Markov-chain view of user behavior (the statistical
+    big sibling of log_funnel's fixed path). One (user) window pass +
+    one bounded 5×5 aggregate; the normalizing window runs over ≤25
+    rows. Integer counts ⇒ the conditional ratio divides exact
+    integers — identical cross-engine before the ROUND."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.date_trunc("second", "ts").alias("ts"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        ratio(F.col("n") / F.sum("n").over(wp)).alias("p_next_given_prev"),
+    )

@@ -265,3 +265,36 @@ def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x) / F.size(emb)
         ).alias("mean_component"),
     )
+
+
+@register(
+    "fn_bitwise_suite",
+    oracle="""
+        SELECT event_id,
+               event_id & 255                       AS low_byte,
+               event_id | 4096                      AS with_flag,
+               xor(event_id, user_id)               AS mixed,
+               CAST(~event_id AS BIGINT)            AS inverted,
+               event_id << 3                        AS shl3,
+               event_id >> 2                        AS shr2,
+               bit_count(event_id)                  AS popcount
+        FROM events
+    """,
+    section=SECTION,
+)
+def fn_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator suite over id columns — mask/flag/shift/xor/
+    popcount, the primitives the hashing and sketch operators build
+    on (SimHash's bit_count(xor) distance is exactly this surface).
+    All JVM codegen expressions."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.col("event_id").bitwiseAND(F.lit(255)).alias("low_byte"),
+        F.col("event_id").bitwiseOR(F.lit(4096)).alias("with_flag"),
+        F.col("event_id").bitwiseXOR(F.col("user_id")).alias("mixed"),
+        F.bitwise_not(F.col("event_id")).cast("bigint").alias("inverted"),
+        F.shiftleft(F.col("event_id"), 3).alias("shl3"),
+        F.shiftright(F.col("event_id"), 2).alias("shr2"),
+        F.bit_count(F.col("event_id")).cast("bigint").alias("popcount"),
+    )

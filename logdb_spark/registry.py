@@ -86,6 +86,10 @@ _R4_NEEDS_ROW_FIRST = (
     "scan_schema_evolution",     # new in r4
     "log_anomaly_mad",           # new in r4
     "join_range_bucketed",       # new in r4
+    "fn_bitwise_suite",          # new in r4
+    "log_cooccurrence",          # new in r4
+    "dedup_keep_best",           # new in r4
+    "agg_hll_sketch_merge",      # new in r4
     "sink_partitioned_parquet",  # oracle added r4 (was rows-only)
     "sink_bucketed_join",        # oracle added r4 (was rows-only)
     "agg_approx_count_distinct",  # r1-era rows-only evidence

@@ -126,3 +126,22 @@ def test_all_registered_schemas_are_scalar_only(spark):
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):
                 bad.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
     assert not bad, f"non-scalar columns in registered ops: {bad}"
+
+
+def test_hll_sketch_merge_identity(spark):
+    """HLL register-max merge is partition/order independent: the
+    union of per-day sketches must estimate EXACTLY what one direct
+    whole-corpus sketch estimates, and both must track exact distinct
+    within sketch error."""
+    import pyspark.sql.functions as F
+
+    from logdb_spark.sources.load import load_table
+
+    merged = _run("agg_hll_sketch_merge", spark).first()["distinct_users_merged"]
+    ev = load_table(spark, SF_SMALL, "events")
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).cast("bigint")
+    ).first()[0]
+    exact = ev.select("user_id").distinct().count()
+    assert merged == direct, f"merge identity broken: {merged} != {direct}"
+    assert abs(merged - exact) <= max(2, 0.05 * exact), (merged, exact)
