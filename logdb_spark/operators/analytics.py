@@ -470,3 +470,268 @@ def sql_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name
         """,
     )
+
+
+@register(
+    "sql_q6_forecast_revenue",
+    oracle="""
+        SELECT CAST(ROUND(COALESCE(SUM(
+                   CAST(l_extendedprice AS DECIMAL(18,4))
+                 * CAST(l_discount      AS DECIMAL(18,4))), 0), 2)
+               AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount >= 0.02 AND l_discount <= 0.04
+          AND l_quantity < 24
+    """,
+    section=SECTION,
+)
+def sql_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the pure scan-filter-aggregate revenue forecast.
+    No join at all — this is the query whose whole cost is the parquet
+    scan, so at 100 TB it lives or dies on predicate pushdown +
+    column pruning (only 4 of 11 lineitem columns read; min/max row
+    group stats skip everything outside the ship-date year). The
+    discount band is closed [0.02, 0.04]: the fixture quantizes
+    l_discount to hundredths, so the band edges are exact doubles and
+    the predicate is engine-independent."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT CAST(ROUND(COALESCE(SUM(
+                   CAST(l_extendedprice AS DECIMAL(18,4))
+                 * CAST(l_discount      AS DECIMAL(18,4))), 0), 2)
+               AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount >= 0.02 AND l_discount <= 0.04
+          AND l_quantity < 24
+        """,
+    )
+
+
+@register(
+    "sql_q12_priority_shipments",
+    oracle="""
+        SELECT l_linestatus,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_linestatus
+    """,
+    section=SECTION,
+)
+def sql_q12_priority_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional two-way counts per shipment class
+    — the join + CASE-pivot aggregate surface. Adapted to the fixture
+    schema: l_linestatus stands in for l_shipmode (no shipmode
+    column) and the ship-date year for the receipt-date window (no
+    receipt/commit dates). The counts are integers, so the hash
+    comparison is exact by construction."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT l_linestatus,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_linestatus
+        """,
+    )
+
+
+@register(
+    "sql_q13_order_distribution",
+    oracle="""
+        WITH per_cust AS (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        )
+        SELECT c_count, COUNT(*) AS custdist
+        FROM per_cust
+        GROUP BY c_count
+    """,
+    section=SECTION,
+)
+def sql_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the customer-order-count histogram — a LEFT
+    OUTER join (customers with zero orders must appear at c_count=0,
+    which COUNT(o_orderkey) gives for the all-NULL group) feeding a
+    second-level aggregation. The fixture has no o_comment column, so
+    the comment-pattern exclusion is dropped; the double-aggregation
+    and outer-join-preserves-empties semantics are the surface under
+    test. Both aggregations are pure counts — exact."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        WITH per_cust AS (
+            SELECT c_custkey, COUNT(o_orderkey) AS c_count
+            FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        )
+        SELECT c_count, COUNT(*) AS custdist
+        FROM per_cust
+        GROUP BY c_count
+        """,
+    )
+
+
+@register(
+    "sql_q17_small_qty_revenue",
+    oracle="""
+        WITH pq AS (
+            SELECT l_partkey,
+                   SUM(l_quantity) AS qty_sum, COUNT(*) AS qty_n
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT CAST(ROUND(COALESCE(SUM(
+                   CAST(l_extendedprice AS DECIMAL(18,4))), 0) / 7.0, 2)
+               AS DOUBLE) AS avg_yearly
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN pq   ON pq.l_partkey = lineitem.l_partkey
+        WHERE p_brand = 'Brand#23' AND p_size < 11
+          AND l_quantity * 5.0 * qty_n < qty_sum
+    """,
+    section=SECTION,
+)
+def sql_q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: small-quantity-order revenue — lineitems below
+    20% of their part's average order quantity. The per-part average
+    is computed once (CTE) and joined back, which is exactly how the
+    correlated scalar subquery should execute at scale: one shuffle
+    to build the per-part aggregate, one equi-join, never a per-row
+    subquery. The 20%-of-average test is multiplied through
+    (qty*5*n < sum) so it compares exact integral doubles, never a
+    cross-engine double division. p_size<11 stands in for the absent
+    p_container filter."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        WITH pq AS (
+            SELECT l_partkey,
+                   SUM(l_quantity) AS qty_sum, COUNT(*) AS qty_n
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT CAST(ROUND(COALESCE(SUM(
+                   CAST(l_extendedprice AS DECIMAL(18,4))), 0) / 7.0, 2)
+               AS DOUBLE) AS avg_yearly
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN pq   ON pq.l_partkey = lineitem.l_partkey
+        WHERE p_brand = 'Brand#23' AND p_size < 11
+          AND l_quantity * 5.0 * qty_n < qty_sum
+        """,
+    )
+
+
+@register(
+    "sql_q19_bracket_revenue",
+    oracle=f"""
+        SELECT CAST(ROUND(COALESCE({_REVENUE}, 0), 2) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity >= 1  AND l_quantity <= 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity >= 10 AND l_quantity <= 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+    section=SECTION,
+)
+def sql_q19_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive bracket predicates over a join —
+    three OR'd (brand, size, quantity) brackets that the optimizer
+    must NOT turn into a cross product. Catalyst extracts the common
+    join key (p_partkey = l_partkey) out of the disjunction so this
+    stays a broadcast hash join with the brackets as a post-join
+    filter; the p_brand IN (...) superset is also inferred and pushed
+    to the part scan. Container/shipmode legs of the classic
+    predicate are dropped (absent columns); size brackets stand in."""
+    return _sql(
+        spark,
+        sf_dir,
+        f"""
+        SELECT CAST(ROUND(COALESCE({_REVENUE}, 0), 2) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity >= 1  AND l_quantity <= 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity >= 10 AND l_quantity <= 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity >= 20 AND l_quantity <= 30)
+        """,
+    )
+
+
+@register(
+    "sql_q21_waiting_suppliers",
+    oracle="""
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders      ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 10
+    """,
+    section=SECTION,
+)
+def sql_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole-blame supplier query — for finished
+    orders, find suppliers whose lineitem came back flagged ('R'
+    stands in for the absent receipt>commit lateness columns) in
+    multi-supplier orders where NO other supplier was flagged. This
+    is the classic EXISTS + NOT-EXISTS pair: Catalyst plans them as a
+    left-semi and a left-anti join on l_orderkey, both shuffle-
+    hash-joinable on the same key — no per-row subquery execution at
+    scale. The classic nation filter is dropped: the fixture's
+    sole-blame slice is sparse enough that any single-nation cut is
+    empty at test sfs, and an always-empty result is no evidence.
+    Deterministic top-10 via (numwait DESC, s_name)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders      ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_returnflag = 'R'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 10
+        """,
+    )

@@ -90,6 +90,12 @@ _R4_NEEDS_ROW_FIRST = (
     "log_cooccurrence",          # new in r4
     "dedup_keep_best",           # new in r4
     "agg_hll_sketch_merge",      # new in r4
+    "sql_q6_forecast_revenue",   # new in r4
+    "sql_q12_priority_shipments",  # new in r4
+    "sql_q13_order_distribution",  # new in r4
+    "sql_q17_small_qty_revenue",   # new in r4
+    "sql_q19_bracket_revenue",   # new in r4
+    "sql_q21_waiting_suppliers",  # new in r4
     "sink_partitioned_parquet",  # oracle added r4 (was rows-only)
     "sink_bucketed_join",        # oracle added r4 (was rows-only)
     "agg_approx_count_distinct",  # r1-era rows-only evidence
