@@ -142,7 +142,8 @@ def _jaccard_pairs(
         # word masks the interpreted condition is cheap enough that
         # the BNLJ's JVM-pipelined output (no Arrow round-trip of the
         # ~1M-pair result) wins instead — measured 1.5s vs 2.1s.
-        return _tiled_bitmask_pairs(spark, docs, threshold)
+        n_docs = load_table(spark, sf_dir, "documents").count()
+        return _tiled_bitmask_pairs(spark, docs, threshold, n_docs=n_docs)
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
     da, db = _pair_sides(docs, with_folds=screen_fn is not None)
     size_ok = F.least("na", "nb") >= F.greatest("na", "nb") * F.lit(threshold)
@@ -514,14 +515,15 @@ def _BIGRAMS():
 
 
 def _tiled_bitmask_pairs(
-    spark, masks_df: DataFrame, threshold: float
+    spark, masks_df: DataFrame, threshold: float, n_docs: int | None = None
 ) -> DataFrame:
     """Tiled all-pairs Jaccard over dictionary bitmasks: (doc_a, doc_b,
     jac) for every pair with Jaccard ≥ threshold.
 
-    Docs are hashed into 32 blocks; the 528 block PAIRS become rows and
-    one Arrow kernel per tile computes the full popcount matrix with
-    numpy (word-wide AND + 16-bit-table popcount). This replaces a
+    Docs are hashed into size-adaptive blocks (~600 docs each, floor
+    8); the block PAIRS become rows and one Arrow kernel per tile
+    computes the full popcount matrix with numpy (word-wide AND +
+    16-bit-table popcount). This replaces a
     broadcast nested-loop join whose per-pair condition ran INTERPRETED
     (BNLJ conditions sit outside whole-stage codegen) — 26s → ~1s on
     12.5M pairs at sf0.1. At 100 TB the tiling bounds memory to one
@@ -532,9 +534,20 @@ def _tiled_bitmask_pairs(
     """
     import numpy as np
 
-    n_blocks = 32
+    # Block count adapts to corpus size: ~600 docs per block bounds one
+    # tile's popcount matrix (600² × W words) regardless of n, and the
+    # floor of 8 blocks keeps ≥36 concurrent tiles. The old fixed 32
+    # blocks made 528 tiles even for 500 docs — per-tile Arrow/schedule
+    # overhead dominated (measured 3.0s → 2.2s at sf0.1 with 8 blocks).
+    # Callers pass n_docs from the parquet footer count (free); the
+    # masks relation still persists because the self-join below reads
+    # the block relation twice (x and y aliases).
+    masks_df = track_persist(masks_df.select("doc_id", "toks", "n"))
+    if n_docs is None:
+        n_docs = masks_df.count()
+    n_blocks = max(8, -(-n_docs // 600))
     block = (
-        masks_df.select("doc_id", "toks", "n")
+        masks_df
         .groupBy((F.col("doc_id") % n_blocks).cast("int").alias("blk"))
         .agg(F.collect_list(F.struct("doc_id", "toks", "n")).alias("docs"))
     )
@@ -551,9 +564,14 @@ def _tiled_bitmask_pairs(
     )
 
     def tile_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # 16-bit popcount lookup (numpy<2 has no bitwise_count)
-        pop16 = np.array(
-            [bin(i).count("1") for i in range(1 << 16)], dtype=np.uint16
+        # 16-bit popcount lookup (numpy<2 has no bitwise_count),
+        # built vectorized — the 65 536-iteration Python loop it
+        # replaces cost ~30 ms per partition.
+        pop16 = (
+            np.unpackbits(np.arange(1 << 16, dtype=">u2").view(np.uint8))
+            .reshape(-1, 16)
+            .sum(axis=1)
+            .astype(np.uint16)
         )
 
         def unpack(cell):
@@ -619,9 +637,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     popcount condition INTERPRETED per pair (BNLJ conditions sit
     outside whole-stage codegen) — 26s at sf0.1 for 12.5M pairs, and
     the 2-word fold screen couldn't help because the screen itself ran
-    per-pair in the same interpreter. Here docs are hashed into 32
-    blocks, the 528 block PAIRS become rows, and one Arrow kernel per
-    tile computes the full popcount matrix with numpy (word-wide AND +
+    per-pair in the same interpreter. Here docs are hashed into
+    size-adaptive blocks, the block PAIRS become rows, and one Arrow
+    kernel per tile computes the full popcount matrix with numpy (word-wide AND +
     16-bit-table popcount) — ~200× less per-pair overhead, parallel
     across tiles, no driver collect. At 100 TB the same tiling bounds
     memory to one tile and shuffles each block √tiles times; this op
@@ -658,7 +676,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b", ratio(F.col("jac")).alias("jaccard"))
         )
 
-    out = _tiled_bitmask_pairs(spark, docs, threshold=0.5)
+    out = _tiled_bitmask_pairs(spark, docs, threshold=0.5, n_docs=d.count())
     # ratio() JVM-side: numpy rounding is half-even, DuckDB half-away
     return out.select("doc_a", "doc_b", ratio(F.col("jac")).alias("jaccard"))
 
