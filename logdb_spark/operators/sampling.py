@@ -1,0 +1,169 @@
+"""Deterministic sampling & dataset-split operators (SURVEY.md §2.K).
+
+A training-data pipeline cannot use engine randomness for splits:
+``df.sample`` draws per-partition, so the selected set changes with
+partitioning, retries, and cluster size — a re-run of a 100 TB job
+would silently move documents between train and test. Every operator
+here keys off ``md5(doc_id)`` instead:
+
+- **Stable**: the same document lands in the same split on any
+  cluster, any partitioning, any engine (md5 is bit-identical in
+  Spark and DuckDB, which is what makes these ops hash-checkable).
+- **Consistent**: the p% sample is a superset of the q% sample for
+  q < p (threshold on the same key), so growing a sample never
+  discards previously-selected documents.
+- **Map-only where possible**: split/fold assignment touches each row
+  once with no shuffle; the exact-k variants shuffle only on the
+  stratum key or use top-k selection, never a global sort.
+
+Hex-prefix thresholds are used instead of hash-to-int conversion
+because lexicographic order on a fixed-length lowercase hex prefix
+equals numeric order — portable across engines with no bigint
+parsing. Two hex chars give 256 uniform buckets: 'cc' end-exclusive
+≈ 204/256 = 79.7% train, 'e6' ≈ 230/256 → 10.2% val, rest test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from logdb_spark.registry import register
+from logdb_spark.sources.load import load_table
+
+SECTION = "2.K sampling"
+
+# end-exclusive hex-prefix upper bounds on the first 2 hash chars
+_TRAIN_UB = "cc"  # 204/256 ≈ 79.7 %
+_VAL_UB = "e6"  # next 26/256 ≈ 10.2 %; remainder ≈ 10.1 % test
+
+
+def _hash_key(col: str = "doc_id"):
+    """Stable per-row sampling key: md5 of the decimal-string id."""
+    return F.md5(F.col(col).cast("string"))
+
+
+@register(
+    "sample_split_hash",
+    oracle=f"""
+        SELECT doc_id,
+               CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_TRAIN_UB}'
+                         THEN 'train'
+                    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_VAL_UB}'
+                         THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+    section=SECTION,
+)
+def sample_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (~80/10/10) by hash
+    prefix. Map-only — no shuffle, no state; at 100 TB this is a
+    projection fused into whatever scan precedes it, and the split is
+    reproducible byte-for-byte on any cluster layout."""
+    key2 = F.substring(_hash_key(), 1, 2)
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(key2 < _TRAIN_UB, "train")
+        .when(key2 < _VAL_UB, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "sample_kfold_assign",
+    oracle="""
+        SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                         IN ('0','1','2','3') THEN 0
+                    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                         IN ('4','5','6','7') THEN 1
+                    WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                         IN ('8','9','a','b') THEN 2
+                    ELSE 3 END AS fold,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY 1
+    """,
+    section=SECTION,
+)
+def sample_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-fold cross-validation assignment by hash nibble, summarized
+    per fold. The first hex char's 16 values map onto 4 folds by
+    range — exact quarters of the hash space, no integer parsing, so
+    the fold function is portable to any engine that can md5. The
+    per-fold rollup keeps the gate output bounded (4 rows) while
+    pinning both the assignment and the volume balance."""
+    k1 = F.substring(_hash_key(), 1, 1)
+    fold = (
+        F.when(k1.isin("0", "1", "2", "3"), 0)
+        .when(k1.isin("4", "5", "6", "7"), 1)
+        .when(k1.isin("8", "9", "a", "b"), 2)
+        .otherwise(3)
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy(fold.alias("fold"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "sample_stratified_topk",
+    oracle="""
+        SELECT lang, doc_id
+        FROM (
+            SELECT lang, doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY lang
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rn
+            FROM documents
+        )
+        WHERE rn <= 40
+    """,
+    section=SECTION,
+)
+def sample_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum sample: the 40 hash-smallest documents of
+    each language. Rate-based stratified sampling can't promise exact
+    counts; ranking the stable hash key within each stratum does, and
+    stays consistent (k+1 extends the k sample). The window partitions
+    by ``lang``, so at scale this is one shuffle on the stratum key
+    with per-partition top-k — never a global sort. ``doc_id`` breaks
+    the (improbable) md5 tie to keep rank deterministic."""
+    w = Window.partitionBy("lang").orderBy(_hash_key(), "doc_id")
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 40)
+        .select("lang", "doc_id")
+    )
+
+
+@register(
+    "sample_uniform_topk",
+    oracle="""
+        SELECT doc_id, lang, source
+        FROM documents
+        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        LIMIT 100
+    """,
+    section=SECTION,
+)
+def sample_uniform_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-100 uniform sample: the 100 hash-smallest documents
+    overall. ORDER BY + LIMIT over the hash key plans as TakeOrdered
+    (per-partition top-100, then a 100-row driver merge) — a global
+    uniform draw with no global sort and no randomness, reproducible
+    across runs and engines."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "source")
+        .orderBy(_hash_key(), "doc_id")
+        .limit(100)
+    )

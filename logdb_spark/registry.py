@@ -38,6 +38,7 @@ _OPERATOR_MODULES = [
     "logdb_spark.operators.logops",
     "logdb_spark.operators.llm",
     "logdb_spark.operators.multimodal",
+    "logdb_spark.operators.sampling",
     "logdb_spark.operators.layout",
     "logdb_spark.operators.analytics",
     "logdb_spark.operators.udfs",
@@ -96,6 +97,10 @@ _R4_NEEDS_ROW_FIRST = (
     "sql_q17_small_qty_revenue",   # new in r4
     "sql_q19_bracket_revenue",   # new in r4
     "sql_q21_waiting_suppliers",  # new in r4
+    "sample_split_hash",         # new in r4
+    "sample_kfold_assign",       # new in r4
+    "sample_stratified_topk",    # new in r4
+    "sample_uniform_topk",       # new in r4
     "sink_partitioned_parquet",  # oracle added r4 (was rows-only)
     "sink_bucketed_join",        # oracle added r4 (was rows-only)
     "agg_approx_count_distinct",  # r1-era rows-only evidence

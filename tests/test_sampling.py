@@ -1,0 +1,62 @@
+"""Property tests for the deterministic sampling family — the oracle
+gate proves value equality; these pin the SAMPLING guarantees the
+oracle can't see (fraction balance, exact-k, plan shape)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from logdb_spark.registry import all_operators
+from tests.conftest import SF_SMALL
+
+OPS = all_operators()
+
+
+def test_split_fractions_balanced(spark):
+    """~80/10/10 by hash prefix: each split within ±6 pp of target at
+    n=500 (3σ for a binomial at these rates is ~5.4 pp)."""
+    rows = OPS["sample_split_hash"].fn(spark, SF_SMALL).groupBy("split").count().collect()
+    by = {r["split"]: r["count"] for r in rows}
+    n = sum(by.values())
+    assert n == 500
+    assert abs(by["train"] / n - 0.797) < 0.06
+    assert abs(by["val"] / n - 0.102) < 0.06
+    assert abs(by["test"] / n - 0.101) < 0.06
+
+
+def test_split_deterministic(spark):
+    a = sorted(map(tuple, OPS["sample_split_hash"].fn(spark, SF_SMALL).collect()))
+    b = sorted(map(tuple, OPS["sample_split_hash"].fn(spark, SF_SMALL).collect()))
+    assert a == b
+
+
+def test_stratified_exact_k(spark):
+    """Exactly min(40, |stratum|) per language."""
+    from logdb_spark.sources.load import load_table
+
+    sizes = {
+        r["lang"]: r["count"]
+        for r in load_table(spark, SF_SMALL, "documents").groupBy("lang").count().collect()
+    }
+    got = {
+        r["lang"]: r["count"]
+        for r in OPS["sample_stratified_topk"].fn(spark, SF_SMALL).groupBy("lang").count().collect()
+    }
+    assert got == {lang: min(40, n) for lang, n in sizes.items()}
+
+
+def test_uniform_topk_plan_is_take_ordered(spark):
+    """The global k-sample must plan as TakeOrdered (per-partition
+    top-k + driver merge of k rows), never a global sort — the scale
+    guarantee this operator exists for."""
+    df = OPS["sample_uniform_topk"].fn(spark, SF_SMALL)
+    assert df.count() == 100
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "SortExec" not in plan
+
+
+def test_kfold_covers_all_docs(spark):
+    rows = OPS["sample_kfold_assign"].fn(spark, SF_SMALL).collect()
+    assert sorted(r["fold"] for r in rows) == [0, 1, 2, 3]
+    assert sum(r["n_docs"] for r in rows) == 500
