@@ -1940,3 +1940,125 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").cast("bigint").alias("keeper_chars"),
         )
     )
+
+
+_SPAN_W = 8  # words per non-overlapping dedup span
+
+_SPAN_DEDUP_ORACLE = f"""
+    WITH spans AS (
+        SELECT doc_id,
+               UNNEST(list_transform(
+                   range(0, CAST(floor(len(string_split(text, ' ')) / {_SPAN_W})
+                               AS BIGINT)),
+                   i -> array_to_string(
+                       string_split(text, ' ')[(i*{_SPAN_W}+1):(i*{_SPAN_W}+{_SPAN_W})],
+                       ' '))) AS span
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= {_SPAN_W}
+    )
+    SELECT span,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM spans
+    GROUP BY span
+    HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
+@register("text_span_dedup", oracle=_SPAN_DEDUP_ORACLE, section=SECTION)
+def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-span inventory — the scalable stand-in
+    for suffix-array substring dedup: chop every document into
+    non-overlapping 8-word spans and report each span that occurs in
+    ≥2 distinct documents (boilerplate headers, license blocks, and
+    template text surface here long before whole docs look similar).
+
+    Scale shape: explode + ONE shuffle on the span content key with
+    map-side partial aggregation — linear in corpus token count, no
+    pair join anywhere. At 100 TB the group key would be
+    ``sha2(span)`` (16 bytes instead of a ~50-byte string) with the
+    span text reattached only for the surviving duplicates; the
+    fixture keys on the text directly so the oracle pins the spans
+    themselves. The span counts feed removal downstream: a doc drops
+    the spans whose (span, n_docs) crosses policy, exactly C4's
+    repeated-line rule with spans for lines (fixture text has no
+    newlines)."""
+    toks = F.split("text", " ")
+    n_spans = F.floor(F.size(toks) / _SPAN_W).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), n_spans - 1),
+        lambda i: F.array_join(F.slice(toks, i * _SPAN_W + 1, _SPAN_W), " "),
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.size(F.split("text", " ")) >= _SPAN_W)  # sequence(0,-1) guard
+        .select("doc_id", F.explode(spans).alias("span"))
+        .groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+_REPETITION_ORACLE = """
+    WITH tg AS (
+        SELECT doc_id,
+               list_transform(
+                   range(1, len(string_split(text, ' ')) - 1),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2]) AS tris
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    )
+    SELECT doc_id,
+           CAST(len(tris) AS BIGINT) AS n_trigrams,
+           ROUND(1.0 - len(list_distinct(tris)) * 1.0 / len(tris), 6)
+               AS dup_frac,
+           (1.0 - len(list_distinct(tris)) * 1.0 / len(tris)) > 0.3
+               AS flagged
+    FROM tg
+"""
+
+
+@register("text_repetition_score", oracle=_REPETITION_ORACLE, section=SECTION)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition quality signal — the duplicate
+    word-trigram fraction (1 - distinct/total), the Gopher-style rule
+    that catches boilerplate loops and degenerate generations that
+    length/stopword filters miss; docs above 0.3 are flagged for
+    removal.
+
+    Map-only: trigrams come from two JVM zip_with folds over the
+    already-split token array (never transform+element_at, which
+    re-evaluates the split per element — see _BIGRAMS), and the
+    distinct/total ratio is array arithmetic inside the row. No
+    shuffle at any size — this is a projection at 100 TB."""
+    toks = F.split("text", " ")
+    big = F.zip_with(
+        toks,
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    tri = F.filter(
+        F.zip_with(
+            big,
+            F.slice(toks, 3, F.greatest(F.size(toks) - 2, F.lit(0))),
+            lambda ab, c: F.concat(ab, F.lit(" "), c),
+        ),
+        lambda g: g.isNotNull(),
+    )
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.size(F.split("text", " ")) >= 3)
+        .select("doc_id", tri.alias("tris"))
+    )
+    dup = 1.0 - F.size(F.array_distinct("tris")) / F.size("tris")
+    return d.select(
+        "doc_id",
+        F.size("tris").cast("bigint").alias("n_trigrams"),
+        ratio(dup).alias("dup_frac"),
+        (dup > 0.3).alias("flagged"),
+    )

@@ -101,6 +101,8 @@ _R4_NEEDS_ROW_FIRST = (
     "sample_kfold_assign",       # new in r4
     "sample_stratified_topk",    # new in r4
     "sample_uniform_topk",       # new in r4
+    "text_span_dedup",           # new in r4
+    "text_repetition_score",     # new in r4
     "sink_partitioned_parquet",  # oracle added r4 (was rows-only)
     "sink_bucketed_join",        # oracle added r4 (was rows-only)
     "agg_approx_count_distinct",  # r1-era rows-only evidence
