@@ -323,3 +323,64 @@ def join_asof_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("last_orderdate"),
         )
     )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+        SELECT event_id, user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_time,
+               o_orderkey AS matched_orderkey,
+               date_diff('day', CAST(o_orderdate AS DATE), CAST(ts AS DATE))
+                   AS days_since
+        FROM (
+            SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+                   row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+            FROM events e LEFT JOIN orders o
+              ON o.o_custkey = e.user_id
+             AND o.o_orderdate <= e.ts
+             AND o.o_orderdate >= e.ts - INTERVAL 90 DAY
+        ) WHERE rn = 1
+    """,
+    section=SECTION,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match tolerance: each event pairs with the
+    user's most recent order, but only if it happened within the last
+    90 days — older state is stale and must NOT match (the semantics
+    point-in-time feature lookups need; an unbounded as-of silently
+    serves years-old features). LEFT preservation keeps tolerance
+    misses as explicit nulls instead of dropping the event.
+
+    Same scale shape as join_asof_latest_event (equi-join on the key
+    + partition-local rank), but the tolerance bound ALSO prunes the
+    join fan-in: with time-bucketed layout only ~90 days of the right
+    side joins each event instead of all history — at 100 TB the
+    tolerance is what makes the as-of tractable, not just correct."""
+    ev = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    joined = ev.join(
+        o,
+        (o.o_custkey == ev.user_id)
+        & (o.o_orderdate <= ev.ts)
+        & (o.o_orderdate >= ev.ts - F.expr("INTERVAL 90 DAY")),
+        "left",
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            ts_str("ts").alias("event_time"),
+            F.col("o_orderkey").alias("matched_orderkey"),
+            F.datediff(F.to_date("ts"), F.to_date("o_orderdate")).alias(
+                "days_since"
+            ),
+        )
+    )

@@ -2062,3 +2062,76 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio(dup).alias("dup_frac"),
         (dup > 0.3).alias("flagged"),
     )
+
+
+_CENTROID_AFFINITY_ORACLE = """
+    WITH s AS (
+        SELECT label, i AS dim,
+               CAST(SUM(CAST(CAST(v AS DOUBLE) AS DECIMAL(12,6)))
+                    AS DOUBLE) AS sv
+        FROM (SELECT label, UNNEST(embedding) AS v,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings)
+        GROUP BY label, i
+    ),
+    arr AS (
+        SELECT label, list(sv ORDER BY dim) AS va FROM s GROUP BY label
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           ROUND(list_dot_product(a.va, b.va)
+                 / (sqrt(list_dot_product(a.va, a.va))
+                    * sqrt(list_dot_product(b.va, b.va))), 6) AS cosine
+    FROM arr a JOIN arr b ON a.label < b.label
+"""
+
+
+@register(
+    "sim_centroid_affinity", oracle=_CENTROID_AFFINITY_ORACLE, section=SECTION
+)
+def sim_centroid_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine between per-label embedding centroids — the
+    cluster-overlap report that tells a curation pipeline which label
+    pairs are near-duplicates of each other (candidates for merging)
+    before any per-document work.
+
+    Exactness at scale: a centroid is sum/n, and n cancels in cosine,
+    so the whole computation runs on per-(label, dim) SUMS — each
+    element cast to DECIMAL(12,6) so the cross-row aggregate is exact
+    and order-independent (a partitioned double-sum drifts in the
+    last ulps; decimal cannot). High-scale decimals are deliberately
+    avoided: Spark silently REDUCES the scale of an overflowing
+    decimal sum-of-products (its precision-adjustment rule), which
+    made a (18,10)-based variant disagree with DuckDB by 1e-6 —
+    (12,6) sums stay within 38 digits end-to-end and convert to
+    double exactly (≤10 significant digits). The per-pair dot runs as
+    the same sequential fold both engines pin elsewhere
+    (functions/vector.dot ≡ list_dot_product, see sim_knn_join_label).
+    Shuffles are bounded by labels × dims (640 keys here), never by
+    row count; the label-pair stage is a broadcast cross of ~10 rows.
+    """
+    dec = F.col("v").cast("double").cast("decimal(12,6)")
+    s = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.sum(dec).cast("double").alias("sv"))
+    )
+    arr = s.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "sv"))),
+            lambda x: x["sv"],
+        ).alias("va")
+    )
+    a = arr.select(F.col("label").alias("label_a"), F.col("va").alias("va_a"))
+    b = arr.select(F.col("label").alias("label_b"), F.col("va").alias("va_b"))
+    va, vb = F.col("va_a"), F.col("va_b")
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            ratio(
+                dot(va, vb) / (F.sqrt(dot(va, va)) * F.sqrt(dot(vb, vb)))
+            ).alias("cosine"),
+        )
+    )

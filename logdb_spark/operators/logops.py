@@ -463,3 +463,57 @@ def log_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         ratio(F.col("n") / F.sum("n").over(wp)).alias("p_next_given_prev"),
     )
+
+
+@register(
+    "log_dau_new_users",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+            FROM events GROUP BY user_id
+        ),
+        daily AS (
+            SELECT CAST(ts AS DATE) AS day, user_id
+            FROM events GROUP BY 1, 2
+        )
+        SELECT strftime(d.day, '%Y-%m-%d') AS day,
+               COUNT(*) AS active_users,
+               COUNT(*) FILTER (WHERE f.first_day = d.day) AS new_users,
+               COUNT(*) FILTER (WHERE f.first_day < d.day) AS returning_users
+        FROM daily d JOIN firsts f ON f.user_id = d.user_id
+        GROUP BY d.day
+    """,
+    section=SECTION,
+)
+def log_dau_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split into new vs returning — the cohort
+    query every product log pipeline runs. Two bounded aggregations
+    (distinct (day, user) and per-user first day) joined on user_id,
+    then one conditional agg per day. At 100 TB each stage shuffles
+    on user_id or day — both bounded, both partial-agg friendly; no
+    distinct-count sketch needed because the (day, user) dedup IS the
+    first groupBy."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = ev.distinct()
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        daily.join(firsts, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.count(F.when(F.col("first_day") == F.col("day"), 1)).alias(
+                "new_users"
+            ),
+            F.count(F.when(F.col("first_day") < F.col("day"), 1)).alias(
+                "returning_users"
+            ),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "active_users",
+            "new_users",
+            "returning_users",
+        )
+    )

@@ -103,6 +103,9 @@ _R4_NEEDS_ROW_FIRST = (
     "sample_uniform_topk",       # new in r4
     "text_span_dedup",           # new in r4
     "text_repetition_score",     # new in r4
+    "sim_centroid_affinity",     # new in r4
+    "join_asof_tolerance",       # new in r4
+    "log_dau_new_users",         # new in r4
     "sink_partitioned_parquet",  # oracle added r4 (was rows-only)
     "sink_bucketed_join",        # oracle added r4 (was rows-only)
     "agg_approx_count_distinct",  # r1-era rows-only evidence
