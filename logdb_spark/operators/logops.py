@@ -517,3 +517,54 @@ def log_dau_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "returning_users",
         )
     )
+
+
+@register(
+    "log_retention_cohorts",
+    oracle="""
+        WITH weekly AS (
+            SELECT user_id, date_trunc('week', ts) AS week
+            FROM events GROUP BY 1, 2
+        ),
+        cohorts AS (
+            SELECT user_id, MIN(week) AS cohort_week
+            FROM weekly GROUP BY user_id
+        )
+        SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+               CAST(date_diff('day', c.cohort_week, w.week) / 7 AS BIGINT)
+                   AS weeks_since,
+               COUNT(*) AS n_users
+        FROM weekly w JOIN cohorts c ON c.user_id = w.user_id
+        GROUP BY c.cohort_week, 2
+    """,
+    section=SECTION,
+)
+def log_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users grouped by first-seen week
+    (cohort), counted in each later week they return — the table
+    behind every retention curve. Both engines truncate weeks to
+    Monday (date_trunc('week')), and weeks_since is exact integer
+    day-difference arithmetic, never a float duration.
+
+    Scale: (user, week) dedup and the per-user min are user-keyed
+    shuffles with map-side combine; the final rollup groups on
+    (cohort_week, weeks_since) — a few hundred keys regardless of
+    input size."""
+    weekly = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("week", "ts").alias("week"))
+        .distinct()
+    )
+    cohorts = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weekly.join(cohorts, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (
+                F.datediff(F.to_date("week"), F.to_date("cohort_week")) / 7
+            )
+            .cast("bigint")
+            .alias("weeks_since"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -262,3 +262,59 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("event_type").over(w).alias("first_type"),
         F.last("event_type").over(w).alias("last_type"),
     ).distinct()
+
+
+@register(
+    "win_gap_islands",
+    oracle="""
+        WITH o AS (
+            SELECT user_id, event_type, ts, event_id,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                   row_number() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS rnt
+            FROM events
+        )
+        SELECT user_id, event_type,
+               COUNT(*) AS run_len,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS run_start,
+               strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS run_end
+        FROM o
+        GROUP BY user_id, event_type, rn - rnt
+        HAVING COUNT(*) >= 3
+    """,
+    section=SECTION,
+)
+def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of ≥3 consecutive same-type
+    events per user (three errors in a row is an incident; three
+    scattered errors are noise — ONLY a consecutive-run detector can
+    tell them apart). The classic two-rank difference trick: the
+    global-per-user rank minus the per-(user, type) rank is constant
+    exactly within a consecutive run, so one groupBy on that constant
+    reassembles the islands.
+
+    Scale: both ranks partition by user (second also by type — same
+    shuffle, finer key); no global window, no self-join, and the
+    island groupBy is a bounded-key aggregation. Both ORDER BYs carry
+    the event_id tiebreaker for cross-engine rank determinism."""
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wt = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            "ts",
+            (F.row_number().over(wu) - F.row_number().over(wt)).alias("grp"),
+        )
+        .groupBy("user_id", "event_type", "grp")
+        .agg(
+            F.count(F.lit(1)).alias("run_len"),
+            ts_str(F.min("ts")).alias("run_start"),
+            ts_str(F.max("ts")).alias("run_end"),
+        )
+        .filter(F.col("run_len") >= 3)
+        .drop("grp")
+    )

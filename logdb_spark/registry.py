@@ -106,6 +106,8 @@ _R4_NEEDS_ROW_FIRST = (
     "sim_centroid_affinity",     # new in r4
     "join_asof_tolerance",       # new in r4
     "log_dau_new_users",         # new in r4
+    "win_gap_islands",           # new in r4
+    "log_retention_cohorts",     # new in r4
     "sink_partitioned_parquet",  # oracle added r4 (was rows-only)
     "sink_bucketed_join",        # oracle added r4 (was rows-only)
     "agg_approx_count_distinct",  # r1-era rows-only evidence
