@@ -108,6 +108,7 @@ _R4_NEEDS_ROW_FIRST = (
     "log_dau_new_users",         # new in r4
     "win_gap_islands",           # new in r4
     "log_retention_cohorts",     # new in r4
+    "stream_upsert_latest",      # new in r4
     "sink_partitioned_parquet",  # oracle added r4 (was rows-only)
     "sink_bucketed_join",        # oracle added r4 (was rows-only)
     "agg_approx_count_distinct",  # r1-era rows-only evidence

@@ -372,3 +372,53 @@ def stream_stateful_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     built-in windowed aggs cannot express). Harness test proves
     batch/stream equality under multi-micro-batch replay."""
     return rolling_error_alerts(load_table(spark, sf_dir, "events"))
+
+
+def latest_per_user(events: DataFrame) -> DataFrame:
+    """Shared by batch + streaming harness: last-write-wins snapshot
+    per user — the CDC/materialized-view upsert. ``max_by`` with a
+    (ts, event_id) struct key is a declarative aggregate, so the SAME
+    expression runs as a batch groupBy and as a streaming stateful
+    aggregation (state = one row per user, updated in place)."""
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("ts", "event_type", "value"), key
+            ).alias("s")
+        )
+        .select(
+            "user_id",
+            ts_str("s.ts").alias("last_ts"),
+            F.col("s.event_type").alias("last_type"),
+            F.col("s.value").alias("last_value"),
+        )
+    )
+
+
+@register(
+    "stream_upsert_latest",
+    oracle="""
+        SELECT user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+               event_type AS last_type,
+               value AS last_value
+        FROM events
+        QUALIFY row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    section=SECTION,
+)
+def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-write-wins upsert view: each user's most recent event —
+    the standard CDC materialized view (device shadow, session state,
+    latest reading). As a stream this is a stateful aggregation whose
+    state is exactly ONE row per key with no watermark needed (new
+    data only ever replaces, never accumulates); as batch it is the
+    identical max_by groupBy. (ts, event_id) struct ordering makes
+    same-timestamp updates deterministic. Streaming equality proven
+    in tests/test_streaming.py::test_stream_upsert_latest_equals_batch.
+    At 100 TB: one shuffle on user_id with map-side partial max_by —
+    state size is keys, not events."""
+    return latest_per_user(load_table(spark, sf_dir, "events"))

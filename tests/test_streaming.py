@@ -355,3 +355,19 @@ def test_stream_corrupt_file_propagates(spark, tmp_path):
         f.write(b"not a parquet file")
     with pytest.raises(Exception):
         read_events_stream(spark, staging)
+
+
+def test_stream_upsert_latest_equals_batch(spark):
+    """Last-write-wins upsert: the streaming stateful aggregation's
+    final state must equal the batch max_by snapshot."""
+    from logdb_spark.streaming.batch_equiv import latest_per_user
+
+    stream = read_events_stream(spark, stage_events_dir(SF_SMALL))
+    streamed = run_to_memory(
+        latest_per_user(stream),
+        output_mode="complete",
+        name="upsert_latest",
+    )
+    batch = latest_per_user(load_table(spark, SF_SMALL, "events"))
+    cols = ["user_id", "last_ts", "last_type", "last_value"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
