@@ -167,3 +167,67 @@ def sample_uniform_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(_hash_key(), "doc_id")
         .limit(100)
     )
+
+
+_SHARD_CHARS = 20_000  # target payload chars per training shard
+
+
+@register(
+    "sample_shard_budget",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(floor((SUM(n_chars) OVER (
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ROWS UNBOUNDED PRECEDING) - 1) / {_SHARD_CHARS})
+                    AS BIGINT) AS shard_id
+        FROM documents
+    """,
+    section=SECTION,
+)
+def sample_shard_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-balanced training-shard manifest: documents packed into
+    shards of ~20k payload chars, in hash order (hash order = a
+    deterministic uniform shuffle, so shards are i.i.d. slices — what
+    a dataloader wants). shard_id = floor((running_chars - 1) / budget)
+    over the hash-ordered corpus: an EXACT global prefix sum.
+
+    The oracle computes it with one global window; the Spark plan must
+    NOT (single-partition sort = the scale-killer). Two-phase instead:
+    each doc hashes into one of 16 ordered buckets (first hash hex
+    char), the running sum is windowed WITHIN each bucket, and the 16
+    bucket totals cumsum into per-bucket offsets (a 16-row bounded
+    global window — the same documented-bounded pattern as
+    log_rate_spike) broadcast back. offset + within-bucket sum is the
+    exact global prefix sum with only bucket-local sorts — the
+    standard distributed scan pattern, integer-exact at any scale."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        _hash_key().alias("hkey"),
+        F.substring(_hash_key(), 1, 1).alias("bucket"),
+    )
+    win_in = (
+        Window.partitionBy("bucket")
+        .orderBy("hkey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = d.withColumn("cum_in", F.sum("n_chars").over(win_in))
+    totals = d.groupBy("bucket").agg(F.sum("n_chars").alias("btotal"))
+    # 16-row bounded global cumsum -> exclusive per-bucket offsets.
+    win_b = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.select(
+        "bucket",
+        (F.sum("btotal").over(win_b) - F.col("btotal")).alias("offset"),
+    )
+    return (
+        within.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            F.floor((F.col("offset") + F.col("cum_in") - 1) / _SHARD_CHARS)
+            .cast("bigint")
+            .alias("shard_id"),
+        )
+    )

@@ -310,3 +310,113 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.sum(dec4("value"))).alias("total_value"),
         )
     )
+
+
+@register(
+    "ingest_multiline_records",
+    oracle="""
+        WITH lls AS (
+            SELECT event_id,
+                   CASE WHEN event_type = 'error'
+                        THEN list_value(
+                            strftime(ts, '%Y-%m-%d %H:%M:%S') || '|'
+                                || CAST(user_id AS VARCHAR) || '|'
+                                || event_type || '|'
+                                || printf('%.2f', value),
+                            '  at frame_0 (event '
+                                || CAST(event_id AS VARCHAR) || ')',
+                            '  at frame_1 (event '
+                                || CAST(event_id AS VARCHAR) || ')')
+                        ELSE list_value(
+                            strftime(ts, '%Y-%m-%d %H:%M:%S') || '|'
+                                || CAST(user_id AS VARCHAR) || '|'
+                                || event_type || '|'
+                                || printf('%.2f', value))
+                   END AS ls
+            FROM events
+        ),
+        lines AS (
+            SELECT (event_id % 8) AS file_id, event_id,
+                   generate_subscripts(ls, 1) - 1 AS idx,
+                   UNNEST(ls) AS line
+            FROM lls
+        ),
+        recs AS (
+            SELECT file_id, event_id, idx, line,
+                   SUM(CASE WHEN idx = 0 THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY file_id ORDER BY event_id, idx
+                       ROWS UNBOUNDED PRECEDING) AS rec_id
+            FROM lines
+        )
+        SELECT file_id, CAST(rec_id AS BIGINT) AS rec_id,
+               string_agg(line, chr(10) ORDER BY event_id, idx) AS record,
+               COUNT(*) AS n_lines
+        FROM recs
+        GROUP BY file_id, rec_id
+    """,
+    section=SECTION,
+)
+def ingest_multiline_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiline log-record assembly — the stacktrace problem: a
+    record is an anchor line (starts with a timestamp) plus any
+    continuation lines under it, and a naive line-per-row ingest
+    shreds them. Raw lines are synthesized in-query (anchor per
+    event; two '  at frame' continuations under each error — same
+    no-raw-fixture trick as ingest_raw_loglines, scans.py:88), then
+    reassembled: a running count of anchor lines within each file, in
+    line order, IS the record id, and one groupBy stitches the lines
+    back together in order.
+
+    Scale: the window and the groupBy both partition by file — record
+    assembly never crosses a file boundary, so 100 TB of logs
+    parallelizes by file exactly like any log collector shards. The
+    in-group line order is (event_id, idx) — deterministic on both
+    engines, so the concatenated record hashes identically."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    anchor = F.concat_ws(
+        "|",
+        ts_str("ts"),
+        F.col("user_id").cast("string"),
+        "event_type",
+        F.format_string("%.2f", "value"),
+    )
+    cont = lambda k: F.concat(  # noqa: E731 - tiny local template
+        F.lit(f"  at frame_{k} (event "),
+        F.col("event_id").cast("string"),
+        F.lit(")"),
+    )
+    lines = ev.select(
+        (F.col("event_id") % 8).alias("file_id"),
+        "event_id",
+        F.posexplode(
+            F.when(
+                F.col("event_type") == "error",
+                F.array(anchor, cont(0), cont(1)),
+            ).otherwise(F.array(anchor))
+        ).alias("idx", "line"),
+    )
+    w = (
+        Window.partitionBy("file_id")
+        .orderBy("event_id", "idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    recs = lines.withColumn(
+        "rec_id", F.sum(F.when(F.col("idx") == 0, 1).otherwise(0)).over(w)
+    )
+    return (
+        recs.groupBy("file_id", "rec_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("event_id", "idx", "line"))
+                    ),
+                    lambda x: x["line"],
+                ),
+                "\n",
+            ).alias("record"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

@@ -109,6 +109,8 @@ _R4_NEEDS_ROW_FIRST = (
     "win_gap_islands",           # new in r4
     "log_retention_cohorts",     # new in r4
     "stream_upsert_latest",      # new in r4
+    "sample_shard_budget",       # new in r4
+    "ingest_multiline_records",  # new in r4
     "sink_partitioned_parquet",  # oracle added r4 (was rows-only)
     "sink_bucketed_join",        # oracle added r4 (was rows-only)
     "agg_approx_count_distinct",  # r1-era rows-only evidence
