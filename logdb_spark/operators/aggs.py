@@ -402,3 +402,41 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("distinct_users_merged"),
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    # The oracle counts distinct the ordinary way; the Spark plan
+    # computes the SAME exact answer via mergeable bitmap words —
+    # algorithm-independent equality is the point of the check.
+    oracle="""
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
+    """,
+    section=SECTION,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via mergeable bitmaps — the third point
+    on the distinct-count spectrum (exact shuffle-heavy
+    count_distinct ↔ approximate HLL): each 62-id block becomes one
+    64-bit word (bit_or of per-id bits), and popcounting the words
+    gives the exact distinct count. Unlike count_distinct, partial
+    states are tiny fixed-width integers that OR together
+    associatively — mergeable across partitions, incremental across
+    batches (store words per block, OR tomorrow's in); unlike HLL,
+    the answer is exact. Two bounded-key shuffles:
+    (type, id div 62) then (type). 62 bits per word keeps the shift
+    off the sign bit."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "event_type", (F.col("user_id") / 62).cast("bigint").alias("blk")
+        )
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(1L, cast(user_id % 62 as int)))"
+            ).alias("word")
+        )
+        .groupBy("event_type")
+        .agg(F.sum(F.bit_count("word")).alias("n_users"))
+    )

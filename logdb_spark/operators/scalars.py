@@ -298,3 +298,51 @@ def fn_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(F.col("event_id"), 2).alias("shr2"),
         F.bit_count(F.col("event_id")).cast("bigint").alias("popcount"),
     )
+
+
+@register(
+    "fn_try_suite",
+    oracle="""
+        SELECT event_id,
+               TRY_CAST(CASE WHEN event_type = 'error'
+                             THEN 'n/a' ELSE CAST(user_id AS VARCHAR) END
+                        AS INTEGER) AS t_int,
+               CASE WHEN user_id % 3 = 0 THEN NULL
+                    ELSE CAST(event_id AS DOUBLE) / (user_id % 3) END
+                   AS t_div,
+               strftime(try_strptime('2024-' || lpad(CAST(user_id % 15 AS VARCHAR), 2, '0')
+                                     || '-01', '%Y-%m-%d'),
+                        '%Y-%m-%d %H:%M:%S') AS t_ts,
+               list_value('lo', 'hi')[(user_id % 4) + 1] AS t_elem
+        FROM events
+    """,
+    section=SECTION,
+)
+def fn_try_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The error-tolerant scalar surface: try_cast / try_divide /
+    try_to_timestamp / try_element_at — every malformed input becomes
+    NULL instead of killing the job, which is the posture a 100 TB
+    ingest needs (one bad record must not fail a 10-hour stage; the
+    NULLs are then countable as a data-quality metric). Malformed
+    inputs are synthesized from event fields: a non-numeric string
+    for every 'error' event, a zero divisor for every user_id ≡ 0
+    (mod 3), month 00/13/14 date strings, and an out-of-bounds list
+    index. The oracle mirrors each with DuckDB's TRY_CAST /
+    guarded-division / try_strptime / native out-of-range list NULL —
+    pinning that both engines agree on WHICH inputs are junk."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.expr("try_cast(CASE WHEN event_type = 'error' THEN 'n/a' "
+               "ELSE CAST(user_id AS STRING) END AS INT)").alias("t_int"),
+        F.expr("try_divide(event_id, user_id % 3)").alias("t_div"),
+        F.date_format(
+            F.expr("try_to_timestamp(concat('2024-', "
+                   "lpad(cast(user_id % 15 as string), 2, '0'), '-01'), "
+                   "'yyyy-MM-dd')"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("t_ts"),
+        F.expr(
+            "try_element_at(array('lo', 'hi'), cast(user_id % 4 as int) + 1)"
+        ).alias("t_elem"),
+    )

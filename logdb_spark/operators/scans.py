@@ -420,3 +420,47 @@ def ingest_multiline_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@register(
+    "scan_partition_pruned",
+    oracle="""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS total_value
+        FROM events
+        WHERE CAST(ts AS DATE) = DATE '2024-01-05'
+        GROUP BY 1
+    """,
+    section=SECTION,
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-PRUNED readback: write day-partitioned parquet, then
+    query ONE day — the filter must resolve at the file listing
+    (PartitionFilters in the scan node, asserted in
+    tests/test_plans.py), so a year of 100 TB logs reads one day's
+    files, not 365 days' footers. The day's hourly rollup is
+    hash-checked against the fixture, proving pruning lost nothing.
+    Complements sink_partitioned_parquet (which checks the FULL
+    round trip)."""
+    from logdb_spark.functions.numeric import dec4, dround
+
+    ev = load_table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="logdb_pruned_")
+    (
+        ev.withColumn("event_date", F.to_date("ts"))
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(
+        F.col("event_date") == F.lit("2024-01-05").cast("date")
+    )
+    return (
+        back.groupBy(ts_str(F.date_trunc("hour", "ts")).alias("hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dround(F.sum(dec4("value")), 2).alias("total_value"),
+        )
+    )

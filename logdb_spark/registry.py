@@ -111,6 +111,9 @@ _R4_NEEDS_ROW_FIRST = (
     "stream_upsert_latest",      # new in r4
     "sample_shard_budget",       # new in r4
     "ingest_multiline_records",  # new in r4
+    "fn_try_suite",              # new in r4
+    "agg_bitmap_distinct",       # new in r4
+    "scan_partition_pruned",     # new in r4
     "sink_partitioned_parquet",  # oracle added r4 (was rows-only)
     "sink_bucketed_join",        # oracle added r4 (was rows-only)
     "agg_approx_count_distinct",  # r1-era rows-only evidence

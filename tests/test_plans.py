@@ -211,3 +211,13 @@ def test_sorted_parquet_rowgroups_are_time_clustered(spark):
         f"row-group ranges overlap {summed/total:.1f}× the dataset span — "
         "not time-clustered"
     )
+
+
+def test_partition_pruned_scan_filters_at_listing(spark):
+    """scan_partition_pruned's single-day filter must resolve as a
+    PartitionFilter on the readback scan (file-listing pruning), not
+    as a post-scan row filter."""
+    plan = plan_of(spark, "scan_partition_pruned")
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_lines, "no PartitionFilters in the pruned readback plan"
+    assert any("event_date" in l for l in part_lines)
