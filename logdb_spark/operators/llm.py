@@ -2135,3 +2135,74 @@ def sim_centroid_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+
+
+_CLEAN_PIPELINE_ORACLE = _CLUSTER_ORACLE.replace(
+    """    SELECT doc_id, MIN(r) AS canonical_id, (MIN(r) <> doc_id) AS is_dup
+    FROM reach GROUP BY doc_id""",
+    """    , assign AS (
+        SELECT doc_id, MIN(r) AS canonical_id FROM reach GROUP BY doc_id
+    ), keepers AS (
+        SELECT doc_id FROM (
+            SELECT a.doc_id,
+                   row_number() OVER (
+                       PARTITION BY a.canonical_id
+                       ORDER BY d.n_chars DESC, a.doc_id) AS rn
+            FROM assign a JOIN documents d ON d.doc_id = a.doc_id
+        ) WHERE rn = 1
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_docs_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+    FROM documents d
+    JOIN keepers k ON k.doc_id = d.doc_id
+    WHERE len(string_split(text, ' ')) BETWEEN 20 AND 80
+      AND len(list_filter(string_split(text, ' '),
+                          t -> t IN ('the', 'a'))) * 1.0
+              / len(string_split(text, ' ')) < 0.15
+      AND len(list_distinct(string_split(text, ' '))) * 1.0
+              / len(string_split(text, ' ')) > 0.3
+    GROUP BY lang, source""",
+)
+
+
+@register(
+    "text_clean_pipeline", oracle=_CLEAN_PIPELINE_ORACLE, section=SECTION
+)
+def text_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end cleaning job, composed from this module's own
+    stages: near-dup clusters → one keeper per cluster (longest text,
+    dedup_keep_best's rule) → heuristic quality gate
+    (text_quality_filter's thresholds) → the kept-corpus report per
+    (lang, source). This is the operator a data curator actually
+    schedules; everything else in §2.K is a stage of it, and the
+    oracle recomputes the WHOLE composition (recursive-CTE clusters +
+    keeper argmax + quality predicates) so the stages are pinned to
+    compose correctly, not just to work alone.
+
+    Scale: inherits each stage's shape — bucketed pair finding +
+    contracted label propagation (dedup_cluster_assign), cluster-local
+    keeper rank, map-only quality predicates, and a final
+    low-cardinality (lang, source) rollup. A left-semi join applies
+    the keeper set without widening rows."""
+    keepers = dedup_keep_best(spark, sf_dir).select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin("the", "a")))
+    quality = (
+        n_tokens.between(20, 80)
+        & (n_stop * F.lit(1.0) / n_tokens < 0.15)
+        & (F.size(F.array_distinct(toks)) * F.lit(1.0) / n_tokens > 0.3)
+    )
+    return (
+        d.filter(quality)
+        .join(keepers, "doc_id", "left_semi")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_chars").cast("bigint").alias("chars_kept"),
+        )
+    )

@@ -114,6 +114,7 @@ _R4_NEEDS_ROW_FIRST = (
     "fn_try_suite",              # new in r4
     "agg_bitmap_distinct",       # new in r4
     "scan_partition_pruned",     # new in r4
+    "text_clean_pipeline",       # new in r4
     "sink_partitioned_parquet",  # oracle added r4 (was rows-only)
     "sink_bucketed_join",        # oracle added r4 (was rows-only)
     "agg_approx_count_distinct",  # r1-era rows-only evidence

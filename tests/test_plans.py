@@ -121,6 +121,7 @@ NESTED_LOOP_ALLOWED = {
     "sim_ann_ivf",  # 1-row probe broadcast
     "stream_late_data",  # 1-row watermark scalar broadcast
     "sim_knn_join_label",  # K=10 centroid broadcast cross join
+    "sim_centroid_affinity",  # 10-label centroid pair enumeration (broadcast)
 }
 
 
