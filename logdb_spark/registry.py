@@ -71,6 +71,8 @@ _LOADED = False
 # evidence, skipped under the 50-row cap and refreshed in r5).
 _R4_NEEDS_ROW_FIRST = (
     "mm_feature_extract",       # r3 FAIL → scalar f0..f7 + exact oracle
+    "win_ntile_percent",         # rewritten r4: two-phase global rank
+    "dedup_cluster_assign",      # rewritten r4: graph contraction
     "sql_q4_order_priority",     # new in r4 — no driver row yet
     "sql_q7_volume_shipping",    # new in r4
     "sql_q8_market_share",       # new in r4
@@ -117,10 +119,11 @@ _R4_NEEDS_ROW_FIRST = (
     "text_clean_pipeline",       # new in r4
     "sink_partitioned_parquet",  # oracle added r4 (was rows-only)
     "sink_bucketed_join",        # oracle added r4 (was rows-only)
-    "agg_approx_count_distinct",  # r1-era rows-only evidence
-    "agg_percentile_approx",     # r1-era rows-only evidence
-    "win_ntile_percent",         # rewritten r4: two-phase global rank
-    "dedup_cluster_assign",      # rewritten r4: graph contraction
+    # r1-era rows-only refreshes — lowest tier-0 priority: if the
+    # 50-row cap cuts anywhere, it should cut HERE (green-but-stale),
+    # never on a new or rewritten op above.
+    "agg_approx_count_distinct",
+    "agg_percentile_approx",
 )
 _R2_DRIVER_GREEN = frozenset(
     {
