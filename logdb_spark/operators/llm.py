@@ -2206,3 +2206,130 @@ def text_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("chars_kept"),
         )
     )
+
+
+_BIGRAM_LM_ORACLE = """
+    WITH toks AS (
+        SELECT string_split(text, ' ') AS t FROM documents
+    ), big AS (
+        SELECT t[i] AS w1, t[i+1] AS w2
+        FROM toks, (SELECT UNNEST(range(1, 200)) AS i)
+        WHERE i < len(t)
+    ), cnt AS (
+        SELECT w1, w2, COUNT(*) AS n12 FROM big GROUP BY w1, w2
+    ), tot AS (
+        SELECT w1, SUM(n12) AS n1 FROM cnt GROUP BY w1
+    )
+    SELECT c.w1, c.w2,
+           CAST(c.n12 AS BIGINT) AS n12,
+           ROUND(c.n12 * 1.0 / t.n1, 6) AS p_cond
+    FROM cnt c JOIN tot t ON t.w1 = c.w1
+    WHERE c.n12 >= 20
+"""
+
+
+@register("text_bigram_lm", oracle=_BIGRAM_LM_ORACLE, section=SECTION)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language-model table: P(w2 | w1) = n(w1,w2)/n(w1·)
+    for every bigram seen ≥20 times — the statistics LM-based quality
+    scorers (and the unigram-surprisal op's natural extension) train
+    from. Two aggregations on bounded keys: bigram counts (map-side
+    combine collapses repeats before the shuffle) and left-word
+    totals; the totals derive FROM the bigram counts, so the corpus
+    is read once. At 100 TB the vocabulary bounds both keys —
+    corpus size only raises the counts.
+
+    The oracle's range-join bigram enumeration (DuckDB lacks zip-style
+    list slicing in this form) caps documents at 200 tokens; fixture
+    docs are ≤~80 tokens, so the cap is inert — the Spark side uses
+    the usual zip_with fold with no cap."""
+    toks = F.split("text", " ")
+    grams = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        lambda g: g["w2"].isNotNull(),
+    )
+    cnt = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(grams).alias("g"))
+        .groupBy(F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n12"))
+    )
+    cnt = track_persist(cnt)  # feeds both the totals agg and the join
+    tot = cnt.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    return (
+        cnt.join(tot, "w1")
+        .filter(F.col("n12") >= 20)
+        .select(
+            "w1",
+            "w2",
+            F.col("n12").cast("bigint").alias("n12"),
+            ratio(F.col("n12") * F.lit(1.0) / F.col("n1")).alias("p_cond"),
+        )
+    )
+
+
+_OOV_ORACLE = """
+    WITH tok AS (
+        SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS w
+        FROM documents
+    ), vocab AS (
+        SELECT w FROM (
+            SELECT w, COUNT(*) AS n,
+                   row_number() OVER (ORDER BY COUNT(*) DESC, w) AS rnk
+            FROM tok GROUP BY w
+        ) WHERE rnk <= 24
+    ), per_doc AS (
+        SELECT t.doc_id, t.lang,
+               COUNT(*) AS n_tok,
+               COUNT(*) FILTER (WHERE v.w IS NULL) AS n_oov
+        FROM tok t LEFT JOIN vocab v ON v.w = t.w
+        GROUP BY t.doc_id, t.lang
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           ROUND(SUM(n_oov) * 1.0 / SUM(n_tok), 6) AS oov_rate
+    FROM per_doc
+    GROUP BY lang
+"""
+
+
+@register("text_oov_rate", oracle=_OOV_ORACLE, section=SECTION)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per language against the corpus's own
+    top-24 token vocabulary — the coverage check run before fixing a
+    tokenizer vocab (a language whose OOV rate spikes is about to be
+    shredded into bytes). Vocabulary selection is a bounded global
+    top-k (vocab-sized ranking, the documented-bounded pattern of the
+    token-id assignment at llm.py); the vocab then BROADCASTS into a
+    left join against the token stream — at 100 TB the token side
+    never shuffles, which is the entire point of a fixed-vocab
+    design. Ranking ties break lexicographically on the token for
+    cross-engine determinism."""
+    tok = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    wv = Window.orderBy(F.col("n").desc(), "w")  # vocab-bounded ranking
+    vocab = (
+        freq.withColumn("rnk", F.row_number().over(wv))
+        .filter(F.col("rnk") <= 24)
+        .select("w", F.lit(True).alias("in_vocab"))
+    )
+    per_doc = (
+        tok.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+        )
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        ratio(F.sum("n_oov") * F.lit(1.0) / F.sum("n_tok")).alias("oov_rate"),
+    )
