@@ -222,3 +222,22 @@ def test_partition_pruned_scan_filters_at_listing(spark):
     part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert part_lines, "no PartitionFilters in the pruned readback plan"
     assert any("event_date" in l for l in part_lines)
+
+
+def test_oov_vocab_join_is_broadcast(spark):
+    """text_oov_rate's scale claim: the vocabulary joins the token
+    stream as a broadcast — the token side must never shuffle into a
+    sort-merge join."""
+    plan = plan_of(spark, "text_oov_rate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_stratified_sample_has_no_global_sort(spark):
+    """sample_stratified_topk ranks within the lang stratum — a
+    single-partition global Sort would be the scale-killer."""
+    df = OPS["sample_stratified_topk"].fn(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # window sort is fine (partition-local after hash exchange on lang);
+    # a global Sort with no partitioning shows as Exchange SinglePartition
+    assert "SinglePartition" not in plan

@@ -60,3 +60,28 @@ def test_kfold_covers_all_docs(spark):
     rows = OPS["sample_kfold_assign"].fn(spark, SF_SMALL).collect()
     assert sorted(r["fold"] for r in rows) == [0, 1, 2, 3]
     assert sum(r["n_docs"] for r in rows) == 500
+
+
+def test_shard_budget_packing_properties(spark):
+    """Shards are contiguous from 0 and every shard's payload stays
+    within one document of the 20k-char budget (the floor-rule bound:
+    a shard closes only when the running sum crosses the budget)."""
+    from pyspark.sql import functions as F
+
+    from logdb_spark.sources.load import load_table
+
+    assign = OPS["sample_shard_budget"].fn(spark, SF_SMALL)
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "n_chars")
+    per_shard = (
+        assign.join(docs, "doc_id")
+        .groupBy("shard_id")
+        .agg(F.sum("n_chars").alias("chars"), F.count("*").alias("n"))
+        .collect()
+    )
+    ids = sorted(r["shard_id"] for r in per_shard)
+    assert ids == list(range(len(ids)))
+    max_doc = docs.agg(F.max("n_chars")).first()[0]
+    for r in per_shard:
+        if r["shard_id"] != ids[-1]:  # last shard may be short
+            assert r["chars"] >= 20_000 - max_doc
+        assert r["chars"] <= 20_000 + max_doc
