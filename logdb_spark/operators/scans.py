@@ -464,3 +464,42 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.sum(dec4("value")), 2).alias("total_value"),
         )
     )
+
+
+@register(
+    "ingest_python_datasource",
+    oracle="""
+        SELECT (1103515245 * i + 12345) % 2147483648 % 10 AS bucket,
+               COUNT(*) AS n,
+               CAST(SUM((1103515245 * i + 12345) % 2147483648) AS BIGINT)
+                   AS total_val,
+               CAST(MIN(i) AS BIGINT) AS first_row
+        FROM (SELECT UNNEST(range(0, 10000)) AS i)
+        GROUP BY 1
+    """,
+    section=SECTION,
+)
+def ingest_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom source connector via the Python DataSource API
+    (sources/synthlog.py): the reader plans one InputPartition per
+    shard and Spark runs each shard's read() on an executor — the
+    extension point for sources with no built-in reader. The
+    generated rows are a deterministic LCG of the row index, so the
+    oracle reproduces the whole dataset from range() arithmetic and
+    the per-bucket rollup pins that every shard produced exactly its
+    slice (a missing/duplicated InputPartition shifts n and
+    total_val)."""
+    from logdb_spark.sources.synthlog import register_synthlog
+
+    register_synthlog(spark)
+    df = (
+        spark.read.format("synthlog")
+        .option("rows", "10000")
+        .option("partitions", "8")
+        .load()
+    )
+    return df.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("val").cast("bigint").alias("total_val"),
+        F.min("row_id").cast("bigint").alias("first_row"),
+    )
