@@ -503,3 +503,43 @@ def ingest_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("val").cast("bigint").alias("total_val"),
         F.min("row_id").cast("bigint").alias("first_row"),
     )
+
+
+@register(
+    "sink_python_datasource",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS total_value
+        FROM events GROUP BY event_type
+    """,
+    section=SECTION,
+)
+def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom sink connector via the Python DataSource API
+    (sources/jsonshard.py): one JSONL shard per task plus the writer
+    COMMIT PROTOCOL — write() returns a per-task commit message,
+    commit() finalizes a manifest only after every task succeeded, and
+    abort() rolls acknowledged shards back; that protocol is what
+    makes a custom sink safe under retries and speculation. The
+    round trip (write through the sink, read the shards back, roll up
+    per type) hash-checks against the fixture, proving every
+    partition was delivered exactly once."""
+    from logdb_spark.sources.jsonshard import register_jsonshard
+
+    register_jsonshard(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    out = tempfile.mkdtemp(prefix="logdb_jsonshard_")
+    ev.write.format("jsonshard").option("path", out).mode("append").save()
+    back = spark.read.schema(
+        "event_id bigint, user_id bigint, event_type string, value double"
+    ).json(out + "/part-*.jsonl")
+    from logdb_spark.functions.numeric import dec4, dround
+
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dround(F.sum(dec4("value")), 2).alias("total_value"),
+    )

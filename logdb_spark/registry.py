@@ -120,6 +120,7 @@ _R4_NEEDS_ROW_FIRST = (
     "text_bigram_lm",            # new in r4
     "text_oov_rate",             # new in r4
     "ingest_python_datasource",  # new in r4
+    "sink_python_datasource",    # new in r4
     "sink_partitioned_parquet",  # oracle added r4 (was rows-only)
     "sink_bucketed_join",        # oracle added r4 (was rows-only)
     # r1-era rows-only refreshes — lowest tier-0 priority: if the

@@ -1,0 +1,84 @@
+"""A custom batch SINK via the Python DataSource API (Spark 4).
+
+``jsonshard`` writes one JSONL shard per task and implements the
+writer commit protocol: each task's ``write()`` returns a
+WriterCommitMessage naming its shard and row count, and ``commit()``
+runs exactly once on the driver AFTER every task succeeded — the
+all-or-nothing contract that makes a custom sink safe under task
+retries and speculative execution (an aborted attempt's message
+never reaches commit, so its shard is never acknowledged). At 100 TB
+the same three methods wrap any idempotent upstream store: write one
+shard per task, acknowledge in the commit message, finalize a
+manifest in commit().
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+class _ShardCommit(WriterCommitMessage):
+    def __init__(self, path: str, n: int):
+        self.path = path
+        self.n = n
+
+
+class _JsonShardWriter(DataSourceWriter):
+    def __init__(self, options):
+        self.dir = options["path"]
+
+    def write(self, rows):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(self.dir, f"part-{pid:05d}.jsonl")
+        n = 0
+        with open(path, "w") as f:
+            for row in rows:
+                f.write(json.dumps(row.asDict(), sort_keys=True) + "\n")
+                n += 1
+        return _ShardCommit(path, n)
+
+    def commit(self, messages):
+        manifest = {
+            "files": sorted(os.path.basename(m.path) for m in messages),
+            "rows": sum(m.n for m in messages),
+        }
+        with open(os.path.join(self.dir, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f, sort_keys=True)
+
+    def abort(self, messages):
+        for m in messages:  # roll back acknowledged shards
+            try:
+                os.remove(m.path)
+            except OSError:
+                pass
+
+
+class JsonShardDataSource(DataSource):
+    """df.write.format("jsonshard").option("path", dir).save()"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonshard"
+
+    def writer(self, schema, overwrite):
+        return _JsonShardWriter(self.options)
+
+
+_REGISTERED_SESSIONS: set[int] = set()
+
+
+def register_jsonshard(spark) -> None:
+    """Idempotent per-session registration."""
+    key = id(spark)
+    if key not in _REGISTERED_SESSIONS:
+        spark.dataSource.register(JsonShardDataSource)
+        _REGISTERED_SESSIONS.add(key)
