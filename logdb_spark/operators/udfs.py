@@ -228,3 +228,61 @@ def udtf_explode_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM v_user_epochs, LATERAL explode_sessions(user_id, epochs) s
         """
     )
+
+
+@register(
+    "udtf_parse_keyvals",
+    oracle="""
+        WITH lines AS (
+            SELECT event_id,
+                   'type=' || event_type || ';user=' ||
+                       CAST(user_id AS VARCHAR) || ';val=' ||
+                       printf('%.2f', value) AS line
+            FROM events
+        )
+        SELECT event_id,
+               string_split(kv, '=')[1] AS key,
+               string_split(kv, '=')[2] AS val
+        FROM (SELECT event_id, UNNEST(string_split(line, ';')) AS kv
+              FROM lines)
+    """,
+    section=SECTION,
+)
+def udtf_parse_keyvals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second UDTF surface: the logfmt parser — one ``k=v;k=v`` line
+    in, one (key, value) row out per field, applied LATERALLY so each
+    input row fans out independently (the table-function shape regex
+    extraction can't give when the field set varies per line). Lines
+    are synthesized in-query from events (the no-raw-fixture trick).
+    A UDTF runs row-at-a-time in Python — correct for surface parity,
+    and the paired oracle (split + unnest, fully relational) is the
+    proof the scale path stays JVM-side, exactly like
+    udf_python_scalar's CASE-expression twin."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="event_id bigint, key string, val string")
+    class ParseKeyVals:
+        def eval(self, event_id: int, line: str):
+            if line is None:
+                return
+            for kv in line.split(";"):
+                if "=" in kv:
+                    k, _, v = kv.partition("=")
+                    yield event_id, k, v
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.concat(
+            F.lit("type="), F.col("event_type"),
+            F.lit(";user="), F.col("user_id").cast("string"),
+            F.lit(";val="), F.format_string("%.2f", "value"),
+        ).alias("line"),
+    )
+    ev.createOrReplaceTempView("v_kv_lines")
+    spark.udtf.register("parse_keyvals", ParseKeyVals)
+    return spark.sql(
+        """
+        SELECT s.event_id, s.key, s.val
+        FROM v_kv_lines, LATERAL parse_keyvals(event_id, line) s
+        """
+    )
