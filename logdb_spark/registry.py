@@ -122,6 +122,7 @@ _R4_NEEDS_ROW_FIRST = (
     "ingest_python_datasource",  # new in r4
     "sink_python_datasource",    # new in r4
     "udtf_parse_keyvals",        # new in r4
+    "stream_python_datasource",  # new in r4
     "sink_partitioned_parquet",  # oracle added r4 (was rows-only)
     "sink_bucketed_join",        # oracle added r4 (was rows-only)
     # r1-era rows-only refreshes — lowest tier-0 priority: if the

@@ -21,7 +21,12 @@ generated source oracle-checkable.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _LCG_A = 1103515245
 _LCG_C = 12345
@@ -65,6 +70,47 @@ class SynthLogDataSource(DataSource):
 
     def reader(self, schema):
         return _SynthLogReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return _SynthLogStreamReader(self.options)
+
+
+class _SynthLogStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the same source: the OFFSET contract.
+
+    ``initialOffset`` → ``read(start)`` → next offset is the whole
+    exactly-once story of a custom streaming source: the engine
+    persists the returned offset to the checkpoint log BEFORE the
+    batch commits, and ``readBetweenOffsets`` must replay any
+    [start, end) range bit-identically on recovery. The LCG rows are
+    a pure function of the row index, so replay determinism is by
+    construction — which is exactly the property a real upstream
+    (Kafka offsets, file sequence numbers, change streams) must
+    provide for end-to-end exactly-once.
+    """
+
+    def __init__(self, options):
+        self.rows = int(options.get("rows", 10_000))
+        self.batch = int(options.get("batch", 2_500))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def _slice(self, start: int, end: int):
+        return iter(
+            [
+                (i, (_LCG_A * i + _LCG_C) % _LCG_M, ((_LCG_A * i + _LCG_C) % _LCG_M) % 10)
+                for i in range(start, end)
+            ]
+        )
+
+    def read(self, start):
+        pos = start["pos"]
+        end = min(pos + self.batch, self.rows)
+        return self._slice(pos, end), {"pos": end}
+
+    def readBetweenOffsets(self, start, end):
+        return self._slice(start["pos"], end["pos"])
 
 
 _REGISTERED_SESSIONS: set[int] = set()

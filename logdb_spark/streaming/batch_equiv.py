@@ -422,3 +422,41 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB: one shuffle on user_id with map-side partial max_by —
     state size is keys, not events."""
     return latest_per_user(load_table(spark, sf_dir, "events"))
+
+
+@register(
+    "stream_python_datasource",
+    oracle="""
+        SELECT (1103515245 * i + 12345) % 2147483648 % 10 AS bucket,
+               COUNT(*) AS n,
+               CAST(MAX((1103515245 * i + 12345) % 2147483648) AS BIGINT)
+                   AS max_val
+        FROM (SELECT UNNEST(range(0, 6000)) AS i)
+        GROUP BY 1
+    """,
+    section=SECTION,
+)
+def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STREAMING source via the Python DataSource API
+    (sources/synthlog.py::_SynthLogStreamReader): the offset contract
+    — initialOffset → read(start) → next offset, with
+    readBetweenOffsets replaying any committed range bit-identically
+    on recovery — is the entire exactly-once story of a streaming
+    connector. Batch form here (same per-bucket rollup over the batch
+    reader); tests/test_streaming.py::
+    test_stream_python_datasource_equals_batch runs the REAL
+    streaming reader through micro-batches (rows=6000 in batches of
+    1500) into a complete-mode aggregation and asserts equality."""
+    from logdb_spark.sources.synthlog import register_synthlog
+
+    register_synthlog(spark)
+    df = (
+        spark.read.format("synthlog")
+        .option("rows", "6000")
+        .option("partitions", "8")
+        .load()
+    )
+    return df.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("val").cast("bigint").alias("max_val"),
+    )

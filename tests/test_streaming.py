@@ -371,3 +371,56 @@ def test_stream_upsert_latest_equals_batch(spark):
     batch = latest_per_user(load_table(spark, SF_SMALL, "events"))
     cols = ["user_id", "last_ts", "last_type", "last_value"]
     assert _rows(streamed, cols) == _rows(batch, cols)
+
+
+def test_stream_python_datasource_equals_batch(spark):
+    """The custom Python streaming source must deliver exactly the
+    batch reader's rows across its micro-batches (offset contract:
+    no gap, no overlap between consecutive read() calls)."""
+    import time
+
+    from logdb_spark.registry import all_operators
+    from logdb_spark.sources.synthlog import register_synthlog
+
+    register_synthlog(spark)
+    sdf = (
+        spark.readStream.format("synthlog")
+        .option("rows", "6000")
+        .option("batch", "1500")
+        .load()
+    )
+    agg = sdf.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("val").cast("bigint").alias("max_val"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("synthlog_stream")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            got = spark.sql(
+                "select coalesce(sum(n), 0) c from synthlog_stream"
+            ).first()["c"]
+            if got == 6000:
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    streamed = sorted(
+        tuple(r)
+        for r in spark.sql(
+            "select bucket, n, max_val from synthlog_stream"
+        ).collect()
+    )
+    batch_op = all_operators()["stream_python_datasource"]
+    batch = sorted(
+        tuple(r)
+        for r in batch_op.fn(spark, SF_SMALL)
+        .select("bucket", "n", "max_val")
+        .collect()
+    )
+    assert streamed == batch
