@@ -99,6 +99,11 @@ _R4_NEEDS_ROW_FIRST = (
     "sql_q17_small_qty_revenue",   # new in r4
     "sql_q19_bracket_revenue",   # new in r4
     "sql_q21_waiting_suppliers",  # new in r4
+    "ingest_python_datasource",  # new in r4
+    "sink_python_datasource",    # new in r4
+    "udtf_parse_keyvals",        # new in r4
+    "stream_python_datasource",  # new in r4
+    "text_clean_pipeline",       # new in r4
     "sample_split_hash",         # new in r4
     "sample_kfold_assign",       # new in r4
     "sample_stratified_topk",    # new in r4
@@ -116,18 +121,17 @@ _R4_NEEDS_ROW_FIRST = (
     "fn_try_suite",              # new in r4
     "agg_bitmap_distinct",       # new in r4
     "scan_partition_pruned",     # new in r4
-    "text_clean_pipeline",       # new in r4
     "text_bigram_lm",            # new in r4
     "text_oov_rate",             # new in r4
-    "ingest_python_datasource",  # new in r4
-    "sink_python_datasource",    # new in r4
-    "udtf_parse_keyvals",        # new in r4
-    "stream_python_datasource",  # new in r4
     "sink_partitioned_parquet",  # oracle added r4 (was rows-only)
     "sink_bucketed_join",        # oracle added r4 (was rows-only)
-    # r1-era rows-only refreshes — lowest tier-0 priority: if the
-    # 50-row cap cuts anywhere, it should cut HERE (green-but-stale),
-    # never on a new or rewritten op above.
+    # Below this line sits past the driver's 50-row cap this round
+    # (tier-0 has ~57 entries): three late-r4 ops whose evidence is
+    # local-only until the r5 rotation (scan_partition_pruned,
+    # text_bigram_lm, text_oov_rate — each diffcheck-green at sf0.01
+    # with plan/property tests), then the r1-era green-but-stale
+    # refreshes. If the cap must cut, it cuts HERE, never on the
+    # DataSource trilogy / composite / rewritten ops above.
     "agg_approx_count_distinct",
     "agg_percentile_approx",
 )
