@@ -384,3 +384,52 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+        WITH keyed AS (
+            SELECT event_id,
+                   CASE WHEN event_type = 'error' THEN NULL
+                        ELSE user_id % 16 END AS k,
+                   value
+            FROM events
+        )
+        SELECT a.k AS k,
+               COUNT(*) AS n_pairs,
+               CAST(MIN(a.event_id) AS BIGINT) AS first_a
+        FROM keyed a JOIN keyed b
+          ON a.k IS NOT DISTINCT FROM b.k
+         AND a.event_id < b.event_id
+         AND b.event_id - a.event_id <= 3
+        GROUP BY a.k
+    """,
+    section=SECTION,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of silently dropping — the join a
+    pipeline needs when NULL is a real category ('unattributed') and
+    regular equi-join semantics would make those rows vanish.
+    Spark plans ``<=>`` as a hash join (the null-safe comparison is
+    still an equality on a coalesced key), not a nested loop; the
+    near-window guard (id distance ≤ 3) bounds the NULL-key group's
+    self-pair fan-out exactly like any hot-key bound."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.col("user_id") % 16)
+        .alias("k"),
+    )
+    a, b = ev.alias("a"), ev.alias("b")
+    joined = a.join(
+        b,
+        F.col("a.k").eqNullSafe(F.col("b.k"))
+        & (F.col("a.event_id") < F.col("b.event_id"))
+        & (F.col("b.event_id") - F.col("a.event_id") <= 3),
+    )
+    return joined.groupBy(F.col("a.k").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("a.event_id").cast("bigint").alias("first_a"),
+    )

@@ -568,3 +568,46 @@ def log_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "log_unpivot_metrics",
+    oracle="""
+        WITH wide AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   COUNT(*) FILTER (WHERE event_type = 'error')    AS errors,
+                   COUNT(*) FILTER (WHERE event_type = 'click')    AS clicks,
+                   COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchases
+            FROM events GROUP BY 1
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day, metric,
+               CAST(n AS BIGINT) AS n
+        FROM wide
+        UNPIVOT (n FOR metric IN (errors, clicks, purchases))
+    """,
+    section=SECTION,
+)
+def log_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT — the inverse of log_pivot_types: a wide per-day metric
+    table melts back to (day, metric, n) rows, the long form every
+    metrics store and alerting rule engine consumes. Spark expresses
+    it as ``stack()``; both the pivot and the melt are map-only over
+    the already-aggregated (bounded) wide table, so the only shuffle
+    is the day rollup that built it."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = ev.groupBy(
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("errors"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias(
+            "purchases"
+        ),
+    )
+    return wide.select(
+        "day",
+        F.expr(
+            "stack(3, 'errors', errors, 'clicks', clicks, "
+            "'purchases', purchases) AS (metric, n)"
+        ),
+    )

@@ -104,6 +104,8 @@ _R4_NEEDS_ROW_FIRST = (
     "udtf_parse_keyvals",        # new in r4
     "stream_python_datasource",  # new in r4
     "text_clean_pipeline",       # new in r4
+    "log_unpivot_metrics",       # new in r4
+    "join_null_safe",            # new in r4
     "sample_split_hash",         # new in r4
     "sample_kfold_assign",       # new in r4
     "sample_stratified_topk",    # new in r4
@@ -126,10 +128,11 @@ _R4_NEEDS_ROW_FIRST = (
     "sink_partitioned_parquet",  # oracle added r4 (was rows-only)
     "sink_bucketed_join",        # oracle added r4 (was rows-only)
     # Below this line sits past the driver's 50-row cap this round
-    # (tier-0 has ~57 entries): three late-r4 ops whose evidence is
-    # local-only until the r5 rotation (scan_partition_pruned,
-    # text_bigram_lm, text_oov_rate — each diffcheck-green at sf0.01
-    # with plan/property tests), then the r1-era green-but-stale
+    # (tier-0 has ~59 entries): five late-r4 ops whose evidence is
+    # local-only until the r5 rotation (fn_try_suite,
+    # agg_bitmap_distinct, scan_partition_pruned, text_bigram_lm,
+    # text_oov_rate — each diffcheck-green at sf0.01 with
+    # plan/property tests), then the r1-era green-but-stale
     # refreshes. If the cap must cut, it cuts HERE, never on the
     # DataSource trilogy / composite / rewritten ops above.
     "agg_approx_count_distinct",
