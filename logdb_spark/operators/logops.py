@@ -611,3 +611,57 @@ def log_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'purchases', purchases) AS (metric, n)"
         ),
     )
+
+
+@register(
+    "log_attribution_last_touch",
+    oracle="""
+        WITH marked AS (
+            SELECT event_id, user_id, event_type, ts,
+                   last_value(CASE WHEN event_type IN ('click', 'signup')
+                                   THEN event_id END IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS touch_id
+            FROM events
+        )
+        SELECT event_id AS purchase_id, user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS purchase_time,
+               touch_id
+        FROM marked
+        WHERE event_type = 'purchase'
+    """,
+    section=SECTION,
+)
+def log_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credited to the user's
+    most recent PRECEDING click or signup (NULL when nothing
+    preceded) — the marketing-attribution query behind every
+    conversion report. The interesting surface is
+    ``last_value(..., ignoreNulls) OVER (... AND 1 PRECEDING)``: one
+    user-partitioned window pass carries the latest touch forward
+    without a self-join or an as-of join — at 100 TB that is one
+    shuffle on user_id instead of an events×events join. The frame
+    ends at 1 PRECEDING so a click and a purchase sharing a
+    timestamp cannot self-attribute."""
+    ev = load_table(spark, sf_dir, "events")
+    touch = F.when(
+        F.col("event_type").isin("click", "signup"), F.col("event_id")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ev.withColumn(
+            "touch_id", F.last(touch, ignorenulls=True).over(w)
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            ts_str("ts").alias("purchase_time"),
+            "touch_id",
+        )
+    )
