@@ -85,3 +85,29 @@ def test_shard_budget_packing_properties(spark):
         if r["shard_id"] != ids[-1]:  # last shard may be short
             assert r["chars"] >= 20_000 - max_doc
         assert r["chars"] <= 20_000 + max_doc
+
+
+def test_hash_split_consistency_superset(spark):
+    """The consistency guarantee: a sample at a LOWER threshold is a
+    strict subset of the same sample at a higher one (growing the
+    train fraction never moves a doc OUT of train) — this is the
+    property engine-randomness sampling cannot give."""
+    from pyspark.sql import functions as F
+
+    from logdb_spark.operators.sampling import _hash_key
+    from logdb_spark.sources.load import load_table
+
+    d = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", F.substring(_hash_key(), 1, 2).alias("k2")
+    )
+    at_40pct = {r["doc_id"] for r in d.filter(F.col("k2") < "66").collect()}
+    at_80pct = {r["doc_id"] for r in d.filter(F.col("k2") < "cc").collect()}
+    assert at_40pct < at_80pct  # strict subset
+    # and the op's train split IS the 80% set
+    train = {
+        r["doc_id"]
+        for r in OPS["sample_split_hash"].fn(spark, SF_SMALL)
+        .filter(F.col("split") == "train")
+        .collect()
+    }
+    assert train == at_80pct
