@@ -543,3 +543,102 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dround(F.sum(dec4("value")), 2).alias("total_value"),
     )
+
+
+@register(
+    "scan_constraint_audit",
+    oracle="""
+        SELECT 'lineitem_orphan' AS rule,
+               CAST((SELECT COUNT(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                       WHERE o.o_orderkey = l.l_orderkey))
+                    AS BIGINT) AS n_violations
+        UNION ALL
+        SELECT 'lineitem_nonpositive_price',
+               CAST((SELECT COUNT(*) FROM lineitem
+                     WHERE l_extendedprice <= 0) AS BIGINT)
+        UNION ALL
+        SELECT 'lineitem_discount_range',
+               CAST((SELECT COUNT(*) FROM lineitem
+                     WHERE l_discount < 0 OR l_discount > 0.5) AS BIGINT)
+        UNION ALL
+        SELECT 'orders_null_custkey',
+               CAST((SELECT COUNT(*) FROM orders
+                     WHERE o_custkey IS NULL) AS BIGINT)
+        UNION ALL
+        SELECT 'orders_orphan_customer',
+               CAST((SELECT COUNT(*) FROM orders o
+                     WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                       WHERE c.c_custkey = o.o_custkey))
+                    AS BIGINT)
+        UNION ALL
+        SELECT 'events_value_negative',
+               CAST((SELECT COUNT(*) FROM events
+                     WHERE value < 0) AS BIGINT)
+    """,
+    section=SECTION,
+)
+def scan_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint audit — the deequ-style validation a
+    pipeline runs BEFORE trusting an ingest: referential integrity
+    (orphan lineitems / orders), domain bounds (non-positive prices,
+    discount range), and null checks, reported as one
+    (rule, n_violations) table the gate can alert on.
+
+    Scale shape: each referential rule is a LEFT ANTI join on the
+    foreign key (the dimension side broadcasts when small); the
+    domain/null rules are conditional aggregates fused into ONE scan
+    per table. The rules all reduce to counts, so the whole audit
+    returns a handful of rows regardless of input size — a 100 TB
+    audit ships 6 numbers to the driver."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+
+    def one(rule: str, cnt_df) -> DataFrame:
+        return cnt_df.select(
+            F.lit(rule).alias("rule"),
+            F.count(F.lit(1)).cast("bigint").alias("n_violations"),
+        )
+
+    orphan_li = one(
+        "lineitem_orphan",
+        li.join(o, li.l_orderkey == o.o_orderkey, "left_anti"),
+    )
+    # domain rules on lineitem fuse into one scan / one aggregate
+    li_domain = li.agg(
+        F.count(F.when(F.col("l_extendedprice") <= 0, 1))
+        .cast("bigint")
+        .alias("nonpos"),
+        F.count(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.5), 1)
+        )
+        .cast("bigint")
+        .alias("disc"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lineitem_nonpositive_price").alias("rule"),
+                    F.col("nonpos").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("lineitem_discount_range").alias("rule"),
+                    F.col("disc").alias("n_violations"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.rule", "r.n_violations")
+    null_cust = one("orders_null_custkey", o.filter(F.col("o_custkey").isNull()))
+    orphan_o = one(
+        "orders_orphan_customer",
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti"),
+    )
+    neg_val = one("events_value_negative", ev.filter(F.col("value") < 0))
+    return (
+        orphan_li.unionAll(li_domain)
+        .unionAll(null_cust)
+        .unionAll(orphan_o)
+        .unionAll(neg_val)
+    )
