@@ -665,3 +665,65 @@ def log_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "touch_id",
         )
     )
+
+
+@register(
+    "log_slo_burn_rate",
+    oracle="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS hour,
+                   CAST(floor(epoch(ts) / 21600) AS BIGINT) AS win6,
+                   COUNT(*) AS n,
+                   COUNT(*) FILTER (WHERE event_type = 'error') AS err
+            FROM events GROUP BY 1, 2
+        ),
+        sixly AS (
+            SELECT win6, SUM(n) AS n6, SUM(err) AS err6
+            FROM hourly GROUP BY win6
+        )
+        SELECT strftime(h.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+               ROUND(h.err * 1.0 / h.n, 6) AS rate_1h,
+               ROUND(s.err6 * 1.0 / s.n6, 6) AS rate_6h,
+               ROUND((h.err * 1.0 / h.n) / 0.20, 6) AS burn_1h,
+               (h.err * 1.0 / h.n > 0.20 * 1.05
+                AND s.err6 * 1.0 / s.n6 > 0.20 * 1.01) AS page
+        FROM hourly h JOIN sixly s ON s.win6 = h.win6
+    """,
+    section=SECTION,
+)
+def log_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn rate — the SRE paging rule: page only
+    when BOTH the fast window (1 h) and the slow window (6 h) burn
+    above the error-budget line, so a brief blip (fast only) and a
+    slowly-digesting old incident (slow only) both stay quiet. The
+    6 h rates aggregate FROM the hourly partials (no second scan),
+    and the windows align by integer epoch division — both engines
+    compute identical bucket ids. Budget math stays in exact integer
+    counts until the final rounded ratios; the 20% SLO line matches
+    the fixture's ~20% error share so the flag actually exercises
+    both branches."""
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            F.floor(F.col("ts").cast("long") / 21600)
+            .cast("bigint")
+            .alias("win6"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("err"),
+        )
+    )
+    sixly = hourly.groupBy("win6").agg(
+        F.sum("n").alias("n6"), F.sum("err").alias("err6")
+    )
+    r1 = F.col("err") * F.lit(1.0) / F.col("n")
+    r6 = F.col("err6") * F.lit(1.0) / F.col("n6")
+    return hourly.join(sixly, "win6").select(
+        ts_str("hour").alias("hour"),
+        ratio(r1).alias("rate_1h"),
+        ratio(r6).alias("rate_6h"),
+        ratio(r1 / F.lit(0.20)).alias("burn_1h"),
+        ((r1 > 0.20 * 1.05) & (r6 > 0.20 * 1.01)).alias("page"),
+    )
