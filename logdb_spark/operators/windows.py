@@ -318,3 +318,39 @@ def win_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("run_len") >= 3)
         .drop("grp")
     )
+
+
+@register(
+    "win_rolling_median",
+    oracle="""
+        SELECT event_id, user_id,
+               ROUND(median(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6)
+                   AS med_10
+        FROM events
+    """,
+    section=SECTION,
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT median of the last 10 events per user — the
+    robust moving statistic (a single spike drags a moving AVERAGE,
+    the median shrugs it off). The surface under test is an arbitrary
+    aggregate inside a window frame — ``percentile(...) OVER (ROWS
+    BETWEEN ...)`` — not just the sum/avg/rank built-ins; Spark
+    evaluates the exact percentile per frame. Partitioned by user
+    with the (ts, event_id) tiebreak, so the frame sort stays
+    partition-local; both engines interpolate even-count medians as
+    the midpoint of the same two doubles, so the 6-dp round hashes
+    identically."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        ratio(F.expr("percentile(value, 0.5)").over(w)).alias("med_10"),
+    )

@@ -109,6 +109,7 @@ _R4_NEEDS_ROW_FIRST = (
     "log_attribution_last_touch",  # new in r4
     "scan_constraint_audit",     # new in r4
     "log_slo_burn_rate",         # new in r4
+    "win_rolling_median",        # new in r4
     "sample_split_hash",         # new in r4
     "sample_kfold_assign",       # new in r4
     "sample_stratified_topk",    # new in r4
