@@ -440,3 +440,135 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum(F.bit_count("word")).alias("n_users"))
     )
+
+
+@register(
+    "agg_corr_regression",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+               ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+               ROUND(regr_intercept(l_extendedprice, l_quantity), 6)
+                   AS intercept,
+               ROUND(covar_pop(l_extendedprice, l_quantity), 6) AS cov_pop
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    section=SECTION,
+)
+def agg_corr_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group — Pearson correlation, OLS
+    slope/intercept, population covariance of (price, quantity).
+    All four are single-pass co-moment aggregates (Welford-style
+    partial states that merge associatively), so the plan is one
+    bounded-key shuffle with map-side partials — the same shape as
+    ``agg_stats``. 6-dp rounding is the cross-engine float
+    discipline (SURVEY §0.2.1): both engines accumulate co-moments
+    in double with ulp-level order sensitivity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        ratio(F.corr("l_extendedprice", "l_quantity")).alias("price_qty_corr"),
+        ratio(F.regr_slope("l_extendedprice", "l_quantity")).alias("slope"),
+        ratio(F.regr_intercept("l_extendedprice", "l_quantity")).alias(
+            "intercept"
+        ),
+        ratio(F.covar_pop("l_extendedprice", "l_quantity")).alias("cov_pop"),
+    )
+
+
+@register(
+    "agg_weighted_stats",
+    # Weighted sums run in exact DECIMAL. Precisions are sized so the
+    # triple product w·x·x stays inside DECIMAL(38) on BOTH engines
+    # with zero precision loss: w is DECIMAL(6,2) (qty ≤ 50), x is
+    # DECIMAL(12,2) (price < 1e10), so w·x·x is ≤ DECIMAL(32,6) —
+    # under Spark's p1+p2+1 widening AND DuckDB's p1+p2, no rounding
+    # anywhere. Only the final divisions drop to double, dividing
+    # identical exact numerators/denominators on both engines.
+    oracle="""
+        SELECT l_returnflag,
+               CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(6,2))), 2)
+                    AS DOUBLE) AS total_weight,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(6,2))
+                              * CAST(l_extendedprice AS DECIMAL(12,2)))
+                          AS DOUBLE)
+                     / CAST(SUM(CAST(l_quantity AS DECIMAL(6,2)))
+                            AS DOUBLE), 6) AS weighted_mean_price,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(6,2))
+                              * CAST(l_extendedprice AS DECIMAL(12,2))
+                              * CAST(l_extendedprice AS DECIMAL(12,2)))
+                          AS DOUBLE)
+                     / CAST(SUM(CAST(l_quantity AS DECIMAL(6,2)))
+                            AS DOUBLE)
+                     - POW(CAST(SUM(CAST(l_quantity AS DECIMAL(6,2))
+                                    * CAST(l_extendedprice AS DECIMAL(12,2)))
+                                AS DOUBLE)
+                           / CAST(SUM(CAST(l_quantity AS DECIMAL(6,2)))
+                                  AS DOUBLE), 2), 2) AS weighted_var_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    section=SECTION,
+)
+def agg_weighted_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-aware mean/variance — training pipelines weight documents
+    by quality or sampling probability, and the statistics must use
+    Σwx/Σw, not plain avg. All three weighted sums (Σw, Σwx, Σwx²)
+    accumulate in exact decimal — order-independent, mergeable across
+    partitions — so the single shuffle carries three exact partials
+    per group and the double division happens once per group at the
+    end. Variance via E[x²]−E[x]² on exact sums (the two-pass form
+    would need a second shuffle)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = F.col("l_quantity").cast("decimal(6,2)")
+    x = F.col("l_extendedprice").cast("decimal(12,2)")
+    sw = F.sum(w)
+    swx = F.sum(w * x)
+    swxx = F.sum(w * x * x)
+    wmean = swx.cast("double") / sw.cast("double")
+    return li.groupBy("l_returnflag").agg(
+        dround(sw).alias("total_weight"),
+        ratio(wmean).alias("weighted_mean_price"),
+        F.round(
+            swxx.cast("double") / sw.cast("double") - F.pow(wmean, 2), 2
+        ).alias("weighted_var_price"),
+    )
+
+
+@register(
+    "agg_entropy",
+    oracle="""
+        WITH c AS (
+            SELECT CAST(ts AS DATE) AS day, event_type,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               CAST(SUM(n) AS BIGINT) AS n_events,
+               ROUND(ln(SUM(n)) - SUM(n * ln(n)) / SUM(n), 6)
+                   AS type_entropy
+        FROM c GROUP BY day
+    """,
+    section=SECTION,
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the event-type mix per day — a drift/skew
+    monitor (a day whose traffic collapses onto one type stands out
+    immediately). Two bounded-key aggregations: (day, type) counts
+    — ≤ 31×5 groups — then entropy per day from the 5 per-type
+    probabilities. No window needed on the Spark side: the second
+    groupBy computes Σn and -Σ n·ln(n) in one pass and composes
+    entropy as ln(N) - Σn·ln(n)/N (algebraically identical to
+    -Σp·ln p, but needs only associative sums)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return counts.groupBy("day").agg(
+        F.sum("n").alias("n_events"),
+        ratio(
+            F.log(F.sum("n"))
+            - F.sum(F.col("n") * F.log("n")) / F.sum("n")
+        ).alias("type_entropy"),
+    )

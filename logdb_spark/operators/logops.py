@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from logdb_spark.functions.numeric import ratio
+from logdb_spark.functions.numeric import dec4, dround, ratio
 from logdb_spark.functions.temporal import ts_str
 from logdb_spark.registry import register
 from logdb_spark.sources.load import load_table
@@ -726,4 +726,77 @@ def log_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio(r6).alias("rate_6h"),
         ratio(r1 / F.lit(0.20)).alias("burn_1h"),
         ((r1 > 0.20 * 1.05) & (r6 > 0.20 * 1.01)).alias("page"),
+    )
+
+
+@register(
+    "log_gap_fill",
+    oracle="""
+        WITH f AS (
+            SELECT date_trunc('hour', ts) AS hh,
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2)
+                        AS DOUBLE) AS rev,
+                   COUNT(*) AS n
+            FROM events
+            WHERE event_type = 'purchase' AND value > 150
+            GROUP BY 1
+        ), g AS (
+            SELECT UNNEST(generate_series((SELECT MIN(hh) FROM f),
+                                          (SELECT MAX(hh) FROM f),
+                                          INTERVAL 1 HOUR)) AS hh
+        )
+        SELECT strftime(g.hh, '%Y-%m-%d %H:%M:%S') AS hour,
+               CAST(COALESCE(f.n, 0) AS BIGINT) AS n_events,
+               (f.n IS NULL) AS is_gap,
+               last_value(f.rev IGNORE NULLS)
+                   OVER (ORDER BY g.hh
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS revenue_filled
+        FROM g LEFT JOIN f ON g.hh = f.hh
+    """,
+    section=SECTION,
+)
+def log_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense time-series regularization: hourly revenue of large
+    purchases (value > 150 — rare enough that many hours are empty
+    at every fixture SF), re-gridded onto EVERY hour between the
+    first and last observation with forward-filled values — the
+    prerequisite for any downstream rolling/forecast op, which
+    assumes one row per tick.
+
+    Scale shape: the heavy input collapses to ≤720 hourly rows in
+    ONE shuffle with map-side partials; the grid is generated from a
+    1-row min/max aggregate via ``sequence`` + ``explode`` (no
+    driver loop, no crossJoin); the forward-fill window orders ≤720
+    post-aggregation rows — bounded by the time span, never by input
+    size (the same bounded-global-window posture as log_rate_spike).
+    At 100 TB nothing changes but the partial-agg fan-in. Revenue
+    sums run in exact decimal (dec4/dround) so both engines fill
+    identical values."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 150))
+        .groupBy(F.date_trunc("hour", "ts").alias("hh"))
+        .agg(
+            dround(F.sum(dec4("value"))).alias("rev"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    grid = (
+        hourly.agg(F.min("hh").alias("lo"), F.max("hh").alias("hi"))
+        .select(
+            F.explode(
+                F.expr("sequence(lo, hi, interval 1 hour)")
+            ).alias("hh")
+        )
+    )
+    w = Window.orderBy("hh").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        grid.join(hourly, "hh", "left")
+        .select(
+            ts_str(F.col("hh")).alias("hour"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+            F.col("n").isNull().alias("is_gap"),
+            F.last("rev", ignorenulls=True).over(w).alias("revenue_filled"),
+        )
     )

@@ -231,3 +231,55 @@ def sample_shard_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("shard_id"),
         )
     )
+
+
+_ES_K = 200  # sample size for the weighted draw
+
+
+@register(
+    "sample_importance_weighted",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id, n_chars,
+                   ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                                              1, 8) AS BIGINT) + 0.5)
+                      / 4294967296.0) / n_chars AS es_key
+            FROM documents
+        )
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+               ROUND(es_key, 6) AS es_key
+        FROM keyed
+        ORDER BY es_key DESC, doc_id
+        LIMIT {_ES_K}
+    """,
+    section=SECTION,
+)
+def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — Efraimidis–Spirakis
+    A-Res: each doc draws a deterministic uniform u from its md5 and
+    scores ``ln(u)/w`` (equivalent to ranking u^{{1/w}}); the top-k
+    scores ARE a weighted sample, here weighted by document length —
+    how a pipeline over-samples long/high-quality documents with a
+    single scan and zero coordination.
+
+    Scale: the score is a map-only projection off the same md5 key
+    every sampling op uses (deterministic across clusters and
+    engines); selection is top-k (TakeOrderedAndProject: per-partition
+    heaps + driver merge of k rows), never a global sort. The uniform
+    is (hash32 + 0.5)/2^32 — strictly inside (0,1), so ln() is finite;
+    weights are n_chars ≥ 1 by fixture construction. ln() last-ulp
+    differences across engines cannot reorder draws: scores are
+    continuous with gaps ≫ 1 ulp at the k-boundary."""
+    docs = load_table(spark, sf_dir, "documents")
+    u32 = F.conv(F.substring(_hash_key(), 1, 8), 16, 10).cast("bigint")
+    u = (u32 + F.lit(0.5)) / F.lit(4294967296.0)
+    es = F.log(u) / F.col("n_chars")
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            F.round(es, 6).alias("es_key"),
+        )
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(_ES_K)
+    )

@@ -346,3 +346,48 @@ def fn_try_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "try_element_at(array('lo', 'hi'), cast(user_id % 4 as int) + 1)"
         ).alias("t_elem"),
     )
+
+
+@register(
+    "fn_struct_suite",
+    # The oracle reconstructs each derived column from the flat base
+    # table: struct build→access must round-trip to the original
+    # column, and DuckDB's to_json(struct_pack(...)) prints the same
+    # compact {"k":v} form as Spark's to_json(struct(...)) — the JSON
+    # string itself is hash-pinned, not just the extracted fields.
+    oracle="""
+        SELECT o_orderkey,
+               to_json(struct_pack(
+                   key := o_orderkey,
+                   pri := o_orderpriority,
+                   d := strftime(o_orderdate, '%Y-%m-%d'))) AS as_json,
+               o_orderpriority AS pri_field,
+               strftime(o_orderdate, '%Y-%m-%d') AS d_from_json,
+               o_orderkey AS nested_key
+        FROM orders
+    """,
+    section=SECTION,
+)
+def fn_struct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCT surface: build a named struct, serialize it with
+    ``to_json``, read a field back out of the JSON string with a
+    JSONPath, and access a field through two levels of struct
+    nesting. All pure Catalyst expressions — CreateNamedStruct /
+    StructsToJson / GetJsonObject / GetStructField fuse into one
+    whole-stage-codegen projection, map-only at any scale. Dates are
+    stringified BEFORE entering the struct so both engines serialize
+    the identical value (SURVEY §0.2.2 precision discipline)."""
+    o = load_table(spark, sf_dir, "orders")
+    s = F.struct(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderpriority").alias("pri"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+    )
+    nested = F.struct(s.alias("inner"), F.lit(1).alias("v"))
+    return o.select(
+        "o_orderkey",
+        F.to_json(s).alias("as_json"),
+        s.getField("pri").alias("pri_field"),
+        F.get_json_object(F.to_json(s), "$.d").alias("d_from_json"),
+        nested.getField("inner").getField("key").alias("nested_key"),
+    )

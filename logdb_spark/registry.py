@@ -132,13 +132,20 @@ _R4_NEEDS_ROW_FIRST = (
     "sink_partitioned_parquet",  # oracle added r4 (was rows-only)
     "sink_bucketed_join",        # oracle added r4 (was rows-only)
     # Below this line sits past the driver's 50-row cap this round
-    # (tier-0 has ~59 entries): five late-r4 ops whose evidence is
+    # (tier-0 has ~59 entries): late-r4 ops whose evidence is
     # local-only until the r5 rotation (fn_try_suite,
     # agg_bitmap_distinct, scan_partition_pruned, text_bigram_lm,
-    # text_oov_rate — each diffcheck-green at sf0.01 with
-    # plan/property tests), then the r1-era green-but-stale
-    # refreshes. If the cap must cut, it cuts HERE, never on the
-    # DataSource trilogy / composite / rewritten ops above.
+    # text_oov_rate, and the six final-session additions below —
+    # each diffcheck-green at sf0.01 with plan/property tests), then
+    # the r1-era green-but-stale refreshes. If the cap must cut, it
+    # cuts HERE, never on the DataSource trilogy / composite /
+    # rewritten ops above.
+    "agg_corr_regression",       # new late-r4
+    "agg_weighted_stats",        # new late-r4
+    "agg_entropy",               # new late-r4
+    "log_gap_fill",              # new late-r4
+    "sample_importance_weighted",  # new late-r4
+    "fn_struct_suite",           # new late-r4
     "agg_approx_count_distinct",
     "agg_percentile_approx",
 )
