@@ -101,3 +101,47 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _typed_user_days(spark, sf_dir, "view").subtract(
         _typed_user_days(spark, sf_dir, "error")
     )
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+        SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day
+        FROM events WHERE event_type = 'view'
+        INTERSECT ALL
+        SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day
+        FROM events WHERE event_type = 'click'
+    """,
+    section=SECTION,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset semantics: a (user, day) pair that
+    views 3× and clicks 2× appears min(3,2)=2 times, preserving
+    event multiplicity that the distinct variant erases. Plans as a
+    partial-count aggregate on each side + one equi-shuffle on the
+    full row key (Spark's IntersectAll rewrite) — same scale shape
+    as a distinct intersect, never a pairwise join."""
+    return _typed_user_days(spark, sf_dir, "view").intersectAll(
+        _typed_user_days(spark, sf_dir, "click")
+    )
+
+
+@register(
+    "set_except_all",
+    oracle="""
+        SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day
+        FROM events WHERE event_type = 'view'
+        EXCEPT ALL
+        SELECT user_id, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day
+        FROM events WHERE event_type = 'click'
+    """,
+    section=SECTION,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference: each (user, day) survives
+    max(n_left − n_right, 0) times, the bag-algebra complement of
+    INTERSECT ALL (together they partition the left multiset). Same
+    single-shuffle aggregate rewrite as above."""
+    return _typed_user_days(spark, sf_dir, "view").exceptAll(
+        _typed_user_days(spark, sf_dir, "click")
+    )

@@ -354,3 +354,126 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         ratio(F.expr("percentile(value, 0.5)").over(w)).alias("med_10"),
     )
+
+
+@register(
+    "win_running_distinct",
+    oracle="""
+        WITH flagged AS (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN row_number() OVER (
+                            PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) = 1
+                        THEN 1 ELSE 0 END AS first_seen
+            FROM events
+        )
+        SELECT event_id, user_id,
+               CAST(SUM(first_seen) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n_types_so_far
+        FROM flagged
+    """,
+    section=SECTION,
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) — a window surface Spark (and SQL
+    generally) has no direct form for, decomposed into two
+    partition-local passes: flag each row that is the FIRST time its
+    (user, event_type) pair appears, then running-sum the flags per
+    user. Both windows partition on user-scoped keys, so each is one
+    bounded shuffle and a partition-local sort; nothing global. The
+    (ts, event_id) tiebreak makes first-occurrence deterministic
+    under timestamp collisions. At 100 TB the same two windows
+    co-partition: one exchange on user_id serves both (Catalyst
+    reuses the exchange when the second window's keys prefix the
+    first's)."""
+    ev = load_table(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    first_seen = F.when(F.row_number().over(w_first) == 1, 1).otherwise(0)
+    flagged = ev.select(
+        "event_id", "user_id", "ts", first_seen.alias("first_seen")
+    )
+    return flagged.select(
+        "event_id",
+        "user_id",
+        F.sum("first_seen").over(w_run).cast("bigint").alias("n_types_so_far"),
+    )
+
+
+@register(
+    "win_ewma",
+    # Both engines fold the SAME ≤24-element list in the SAME index
+    # order (Spark `aggregate` and DuckDB `list_sum` are sequential
+    # left folds), over identical inputs (hourly sums are exact
+    # decimal before the double drop) — the 6-dp round absorbs any
+    # residual pow() ulp difference.
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type,
+                   date_trunc('hour', ts) AS hh,
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2)
+                        AS DOUBLE) AS rev
+            FROM events GROUP BY 1, 2
+        ), framed AS (
+            SELECT event_type, hh, rev,
+                   list(rev) OVER (
+                       PARTITION BY event_type ORDER BY hh
+                       ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS lst
+            FROM hourly
+        )
+        SELECT event_type,
+               strftime(hh, '%Y-%m-%d %H:%M:%S') AS hour,
+               rev,
+               ROUND(
+                   list_sum(list_transform(range(1, len(lst) + 1),
+                            i -> lst[i] * pow(0.7, len(lst) - i)))
+                   / list_sum(list_transform(range(1, len(lst) + 1),
+                              i -> pow(0.7, len(lst) - i))), 6) AS ewma_24h
+        FROM framed
+    """,
+    section=SECTION,
+)
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α=0.3, normalized
+    weights — pandas ``ewm(adjust=True)`` semantics) of hourly
+    revenue per event type over a trailing 24-hour frame. EWMA's
+    recursive definition has no associative aggregate form, so the
+    scalable shape is: collapse the raw stream to bounded hourly
+    rows FIRST (one shuffle, map-side partials), then materialize
+    each ≤24-element frame with a windowed ``collect_list`` and fold
+    it JVM-side with ``aggregate``/``zip_with`` lambdas — per-type
+    partitions of ≤720 rows, arrays of ≤24 floats, no Python. The
+    frame list is intermediate only; output cells stay scalar
+    (SURVEY §7.3.5)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hh")
+    ).agg(dround(F.sum(dec4("value"))).alias("rev"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hh")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    framed = hourly.withColumn("lst", F.collect_list("rev").over(w))
+    num = F.expr(
+        "aggregate(zip_with(lst, sequence(1, size(lst)),"
+        " (x, i) -> x * pow(0.7, size(lst) - i)), 0D, (a, b) -> a + b)"
+    )
+    den = F.expr(
+        "aggregate(transform(sequence(1, size(lst)),"
+        " i -> pow(0.7, size(lst) - i)), 0D, (a, b) -> a + b)"
+    )
+    return framed.select(
+        "event_type",
+        ts_str(F.col("hh")).alias("hour"),
+        "rev",
+        ratio(num / den).alias("ewma_24h"),
+    )

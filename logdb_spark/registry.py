@@ -146,6 +146,10 @@ _R4_NEEDS_ROW_FIRST = (
     "log_gap_fill",              # new late-r4
     "sample_importance_weighted",  # new late-r4
     "fn_struct_suite",           # new late-r4
+    "win_running_distinct",      # new late-r4
+    "win_ewma",                  # new late-r4
+    "set_intersect_all",         # new late-r4
+    "set_except_all",            # new late-r4
     "agg_approx_count_distinct",
     "agg_percentile_approx",
 )
