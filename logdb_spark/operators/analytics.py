@@ -735,3 +735,73 @@ def sql_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 10
         """,
     )
+
+
+_SPIKES_SQL = """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hh, COUNT(*) AS n
+        FROM events WHERE event_type = 'error' GROUP BY 1
+    )
+    SELECT hh, n FROM hourly
+    WHERE n >= (SELECT 1.2 * AVG(n) FROM hourly)
+"""
+
+_SPIKE_CHAIN_CORE = """
+WITH RECURSIVE chain AS (
+    SELECT s.hh AS anchor_hh, s.hh AS hh, s.n AS n, 1 AS depth
+    FROM spikes s LEFT JOIN spikes p ON p.hh = s.hh - INTERVAL 1 HOUR
+    WHERE p.hh IS NULL
+    UNION ALL
+    SELECT c.anchor_hh, s.hh, s.n, c.depth + 1
+    FROM chain c JOIN spikes s ON s.hh = c.hh + INTERVAL 1 HOUR
+)
+SELECT {fmt_anchor} AS run_start, {fmt_hh} AS hour,
+       CAST(n AS BIGINT) AS n_errors, CAST(depth AS INT) AS depth
+FROM chain
+"""
+
+
+@register(
+    "sql_recursive_spike_chain",
+    # Same recursion, with the spikes relation inlined as a CTE (the
+    # Spark side materializes it first — see docstring).
+    oracle=_SPIKE_CHAIN_CORE.replace(
+        "WITH RECURSIVE chain AS (",
+        f"WITH RECURSIVE spikes AS ({_SPIKES_SQL}), chain AS (",
+    ).format(
+        fmt_anchor="strftime(anchor_hh, '%Y-%m-%d %H:%M:%S')",
+        fmt_hh="strftime(hh, '%Y-%m-%d %H:%M:%S')",
+    ),
+    section=SECTION,
+)
+def sql_recursive_spike_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE through the SQL entry point (Spark 4 recursive
+    CTE): maximal runs of consecutive error-spike hours, walked as a
+    recursion — anchors are spike hours with no spiking predecessor
+    (anti self-join), each step extends the run one hour and
+    increments depth. The same islands that win_gap_islands derives
+    with rank arithmetic fall out of genuine iteration here, which is
+    the surface under test; Spark executes each recursive step as one
+    bounded join over the ≤720-row spikes relation, and the spike
+    threshold (1.2× the mean hourly error count) keeps runs short —
+    measured max depth 7 across fixture SFs, far under the recursion
+    limit. The oracle is the SAME recursive SQL modulo the timestamp
+    format function — DuckDB executes its own WITH RECURSIVE over the
+    identical relation.
+
+    The ≤720-row spikes relation is materialized (localCheckpoint)
+    BEFORE the recursion: Spark's UnionLoop re-evaluates referenced
+    relations each iteration, so without this every recursive step
+    would re-scan events and re-aggregate — materializing first cut
+    the op ~4× locally and, at 100 TB, turns per-step cost from a
+    full-table scan into a tiny-relation join."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    spark.sql(_SPIKES_SQL).localCheckpoint().createOrReplaceTempView(
+        "spikes"
+    )
+    return spark.sql(
+        _SPIKE_CHAIN_CORE.format(
+            fmt_anchor="date_format(anchor_hh, 'yyyy-MM-dd HH:mm:ss')",
+            fmt_hh="date_format(hh, 'yyyy-MM-dd HH:mm:ss')",
+        )
+    )

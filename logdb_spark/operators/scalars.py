@@ -391,3 +391,46 @@ def fn_struct_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object(F.to_json(s), "$.d").alias("d_from_json"),
         nested.getField("inner").getField("key").alias("nested_key"),
     )
+
+
+@register(
+    "fn_variant_json",
+    oracle="""
+        SELECT event_id,
+               CAST(CASE WHEN event_id % 7 <> 0 THEN 1 ELSE 0 END
+                    AS INT) AS parse_ok,
+               CASE WHEN event_id % 7 <> 0
+                    THEN CAST(json_extract_string(props, '$.k') AS INT)
+               END AS k_int,
+               CASE WHEN event_id % 7 <> 0
+                    THEN json_extract_string(props, '$.k')
+               END AS k_str,
+               CAST(NULL AS INT) AS missing_path
+        FROM events
+    """,
+    section=SECTION,
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT surface (Spark 4): parse the JSON props
+    column into a VARIANT, extract typed values by JSONPath, and
+    prove junk-tolerance — every 7th row is deterministically
+    corrupted before parsing, and ``try_parse_json`` must yield NULL
+    for it rather than fail the stage (the schema-on-read posture a
+    log engine needs: one bad record cannot kill a 100 TB scan).
+    VariantGet is a Catalyst expression over the binary variant
+    encoding — map-only, codegen-fused, no Python. The VARIANT itself
+    stays intermediate; output cells are the extracted scalars
+    (SURVEY §7.3.5). Oracle re-derives the same values with DuckDB's
+    JSON extraction on the uncorrupted rows."""
+    ev = load_table(spark, sf_dir, "events")
+    corrupted = F.when(
+        F.col("event_id") % 7 == 0, F.lit("{not json")
+    ).otherwise(F.col("props"))
+    v = F.try_parse_json(corrupted)
+    return ev.select(
+        "event_id",
+        v.isNotNull().cast("int").alias("parse_ok"),
+        F.variant_get(v, "$.k", "int").alias("k_int"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.variant_get(v, "$.missing", "int").alias("missing_path"),
+    )

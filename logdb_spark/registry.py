@@ -150,6 +150,8 @@ _R4_NEEDS_ROW_FIRST = (
     "win_ewma",                  # new late-r4
     "set_intersect_all",         # new late-r4
     "set_except_all",            # new late-r4
+    "sql_recursive_spike_chain",  # new late-r4
+    "fn_variant_json",           # new late-r4
     "agg_approx_count_distinct",
     "agg_percentile_approx",
 )
