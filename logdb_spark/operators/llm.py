@@ -2333,3 +2333,124 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("bigint").alias("n_tokens"),
         ratio(F.sum("n_oov") * F.lit(1.0) / F.sum("n_tok")).alias("oov_rate"),
     )
+
+
+@register(
+    "dedup_fuzzy_edit",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, substring(text, 1, 40) AS pre,
+                   substring(text, 1, 4) AS blk
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(levenshtein(a.pre, b.pre) AS INT) AS edit_dist
+        FROM d a JOIN d b
+          ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.pre, b.pre) <= 10
+    """,
+    section=SECTION,
+)
+def dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup detection — the dedup family's third
+    similarity measure (set Jaccard and embedding cosine miss
+    character-level mutations: OCR noise, typo farms, template fills).
+    Classic blocked fuzzy join: candidates must share a 4-char prefix
+    block, so the self-join is an equi-shuffle on the block key —
+    never an all-pairs cross — and each candidate pair pays one
+    bounded ``levenshtein(threshold=10)`` (Spark's threshold form
+    abandons the DP early once the bound is exceeded; the oracle's
+    plain levenshtein agrees on every surviving pair). Comparison is
+    over 40-char prefixes: O(40²) per pair, independent of document
+    length.
+
+    At 100 TB the block key is the scale knob: longer prefixes or
+    (prefix, length-bucket) composite keys shrink blocks
+    quadratically; hot blocks salt like any skewed join
+    (join_skew_salted). The fixture's 4-char blocks cut candidate
+    pairs ~30× while keeping every fixture near-dup pair in-block."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring("text", 1, 40).alias("pre"),
+        F.substring("text", 1, 4).alias("blk"),
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"), F.col("pre").alias("pre_a"), "blk"
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"), F.col("pre").alias("pre_b"), "blk"
+    )
+    ed = F.levenshtein("pre_a", "pre_b", 10)
+    return (
+        a.join(b, "blk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("edit_dist", ed)
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= 10))
+        .select("doc_a", "doc_b", F.col("edit_dist").cast("int"))
+    )
+
+
+@register(
+    "sample_mixture_weights",
+    oracle="""
+        WITH b AS (
+            SELECT lang,
+                   COUNT(*) AS n_docs,
+                   SUM(n_chars) AS n_chars
+            FROM documents GROUP BY lang
+        ), t AS (
+            SELECT SUM(n_chars) AS total,
+                   SUM(n_chars) * 1.0 / COUNT(*) AS target
+            FROM b
+        )
+        SELECT lang,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               ROUND(n_chars * 1.0 / t.total, 6) AS current_share,
+               ROUND(1.0 / (SELECT COUNT(*) FROM b), 6) AS target_share,
+               ROUND(LEAST(t.target / n_chars, 1.0), 6) AS sampling_rate,
+               CAST(n_chars > t.target AS BOOLEAN) AS downsampled
+        FROM b, t
+    """,
+    section=SECTION,
+)
+def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture rebalancing plan — the step between corpus audit
+    and sampling: given the observed per-language char mass, derive
+    the per-bucket DOWNSAMPLING rate that moves the mixture toward
+    equal language shares without upsampling (rate capped at 1;
+    under-represented languages keep everything — the conservative
+    policy real pretraining mixtures use before resorting to epoch
+    repetition). Feed the rates into sample_split_hash-style
+    hash-threshold selection for a deterministic realization.
+
+    One bounded-key aggregation (languages), then arithmetic against
+    a broadcast 1-row total — no window, no second scan. At 100 TB
+    the plan is identical: the bucket table is KB-sized regardless of
+    corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    t = b.agg(
+        F.sum("n_chars").alias("total"),
+        (F.sum("n_chars") * F.lit(1.0) / F.count(F.lit(1))).alias("target"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    return (
+        b.join(F.broadcast(t))  # 1-row totals — broadcast, not a shuffle
+        .select(
+            "lang",
+            F.col("n_docs").cast("bigint"),
+            F.col("n_chars").cast("bigint"),
+            ratio(F.col("n_chars") * F.lit(1.0) / F.col("total")).alias(
+                "current_share"
+            ),
+            ratio(F.lit(1.0) / F.col("n_langs")).alias("target_share"),
+            ratio(
+                F.least(F.col("target") / F.col("n_chars"), F.lit(1.0))
+            ).alias("sampling_rate"),
+            (F.col("n_chars") > F.col("target")).alias("downsampled"),
+        )
+    )

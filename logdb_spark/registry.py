@@ -152,6 +152,8 @@ _R4_NEEDS_ROW_FIRST = (
     "set_except_all",            # new late-r4
     "sql_recursive_spike_chain",  # new late-r4
     "fn_variant_json",           # new late-r4
+    "dedup_fuzzy_edit",          # new late-r4
+    "sample_mixture_weights",    # new late-r4
     "agg_approx_count_distinct",
     "agg_percentile_approx",
 )

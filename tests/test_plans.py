@@ -122,6 +122,7 @@ NESTED_LOOP_ALLOWED = {
     "stream_late_data",  # 1-row watermark scalar broadcast
     "sim_knn_join_label",  # K=10 centroid broadcast cross join
     "sim_centroid_affinity",  # 10-label centroid pair enumeration (broadcast)
+    "sample_mixture_weights",  # 1-row corpus-totals broadcast
 }
 
 
