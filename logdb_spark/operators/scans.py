@@ -642,3 +642,84 @@ def scan_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(orphan_o)
         .unionAll(neg_val)
     )
+
+
+@register(
+    "ingest_csv_permissive",
+    # Which rows are corrupted is a deterministic function of
+    # event_id, so the oracle reproduces the whole malformed-ingest
+    # outcome from the clean parquet: good rows aggregate normally,
+    # corrupt rows only count.
+    oracle="""
+        SELECT CAST(COUNT(*) FILTER (WHERE event_id % 11 <> 0) AS BIGINT)
+                   AS n_good,
+               CAST(COUNT(*) FILTER (WHERE event_id % 11 = 0) AS BIGINT)
+                   AS n_corrupt,
+               CAST(SUM(user_id) FILTER (WHERE event_id % 11 <> 0)
+                    AS BIGINT) AS sum_users,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4)))
+                          FILTER (WHERE event_id % 11 <> 0), 2)
+                    AS DOUBLE) AS sum_value
+        FROM events
+    """,
+    section=SECTION,
+)
+def ingest_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input ingestion: write events as CSV with every 11th
+    record deliberately mangled (non-numeric value field), read back
+    under PERMISSIVE mode with a ``_corrupt_record`` column, and
+    prove the contract a log engine lives by — bad lines land in the
+    quarantine column and count, good lines parse fully, and NOTHING
+    fails the job (contrast FAILFAST, where one junk line kills a
+    100 TB ingest). The corrupt rows park as raw text for later
+    forensics; here they are counted and the parsed remainder is
+    aggregated, hash-pinned against the clean source.
+
+    Scale: text write + schema'd CSV scan are both splittable and
+    embarrassingly parallel; the PERMISSIVE parse is per-row with no
+    state. One final single-row aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="logdb_badcsv_")
+    # The junk must sit in a column the query PARSES: Spark's CSV
+    # reader prunes unreferenced columns, and a cast failure in a
+    # pruned column never marks the record corrupt (a pipe-mangled
+    # first field sailed through when only user_id/value were read).
+    # So corrupt rows carry a non-numeric VALUE field.
+    line = F.when(
+        F.col("event_id") % 11 == 0,
+        F.concat_ws(
+            ",",
+            F.col("event_id").cast("string"),
+            F.col("user_id").cast("string"),
+            F.lit("CORRUPT"),
+        ),
+    ).otherwise(
+        F.concat_ws(
+            ",",
+            F.col("event_id").cast("string"),
+            F.col("user_id").cast("string"),
+            F.col("value").cast("string"),
+        )
+    )
+    ev.select(line.alias("value")).write.mode("overwrite").text(out)
+    back = (
+        spark.read.schema(
+            "event_id bigint, user_id bigint, value double, "
+            "_corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+    )
+    from logdb_spark.functions.numeric import dec4, dround
+
+    # A pipe-mangled line parses as a 1-field record: event_id comes
+    # out non-null but user_id/value are null AND the raw line is
+    # quarantined — corruptness is _corrupt_record IS NOT NULL.
+    is_bad = F.col("_corrupt_record").isNotNull()
+    return back.agg(
+        F.count(F.when(~is_bad, 1)).alias("n_good"),
+        F.count(F.when(is_bad, 1)).alias("n_corrupt"),
+        F.sum(F.when(~is_bad, F.col("user_id"))).alias("sum_users"),
+        dround(F.sum(F.when(~is_bad, dec4("value")))).alias("sum_value"),
+    )
