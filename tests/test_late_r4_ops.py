@@ -1,0 +1,129 @@
+"""Semantic property pins for the late-r4 operators — cross-validation
+beyond the DuckDB oracle (which is covered by test_correctness's
+parametrized sweep): each test pins a property the oracle comparison
+alone cannot express (bias direction, equivalence to an independent
+formulation, bound tightness).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from logdb_spark.operators.aggs import agg_entropy
+from logdb_spark.operators.llm import dedup_fuzzy_edit, sample_mixture_weights
+from logdb_spark.operators.sampling import sample_importance_weighted
+from logdb_spark.operators.windows import win_ewma
+from logdb_spark.sources.load import load_table
+from tests.conftest import SF_SMALL
+
+
+def test_importance_sample_is_length_biased(spark):
+    """The whole point of weighted sampling: the sample must
+    over-represent long documents. Pin that the sample's mean weight
+    exceeds the corpus mean n_chars by a real margin."""
+    sample = sample_importance_weighted(spark, SF_SMALL)
+    s_mean = sample.agg(F.avg("weight")).first()[0]
+    c_mean = (
+        load_table(spark, SF_SMALL, "documents")
+        .agg(F.avg("n_chars"))
+        .first()[0]
+    )
+    assert s_mean > c_mean * 1.05, (s_mean, c_mean)
+
+
+def test_ewma_matches_pandas_ewm(spark):
+    """The docstring claims pandas ewm(alpha=0.3, adjust=True)
+    semantics — prove it against pandas itself on one series."""
+    import pandas as pd
+
+    out = (
+        win_ewma(spark, SF_SMALL)
+        .filter(F.col("event_type") == "error")
+        .orderBy("hour")
+        .toPandas()
+    )
+    # pandas ewm over the same hourly series, restricted to the same
+    # trailing-24 frame by recomputing per position on the window
+    rev = out["rev"].to_numpy()
+    for i in (0, 5, len(rev) - 1):
+        lo = max(0, i - 23)
+        expect = (
+            pd.Series(rev[lo : i + 1]).ewm(alpha=0.3, adjust=True).mean().iloc[-1]
+        )
+        assert abs(out["ewma_24h"].iloc[i] - round(expect, 6)) <= 1e-6, i
+
+
+def test_fuzzy_edit_pairs_are_within_threshold_and_unique(spark):
+    """Every reported pair must be orderable (a<b), unique, and at
+    edit distance ≤ 10 under an independent python DP."""
+    rows = dedup_fuzzy_edit(spark, SF_SMALL).collect()
+    docs = {
+        r["doc_id"]: r["text"][:40]
+        for r in load_table(spark, SF_SMALL, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    seen = set()
+    assert rows, "fixture must produce at least one fuzzy pair"
+    for r in rows:
+        assert r["doc_a"] < r["doc_b"]
+        assert (r["doc_a"], r["doc_b"]) not in seen
+        seen.add((r["doc_a"], r["doc_b"]))
+        assert r["edit_dist"] == lev(docs[r["doc_a"]], docs[r["doc_b"]])
+        assert r["edit_dist"] <= 10
+
+
+def test_recursive_chain_depth_equals_island_position(spark):
+    """The recursion must agree with the rank-arithmetic islands
+    derivation: within each run, depth is the 1-based position of the
+    hour after the anchor."""
+    from logdb_spark.operators.analytics import sql_recursive_spike_chain
+
+    rows = sql_recursive_spike_chain(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        from datetime import datetime
+
+        fmt = "%Y-%m-%d %H:%M:%S"
+        delta = datetime.strptime(r["hour"], fmt) - datetime.strptime(
+            r["run_start"], fmt
+        )
+        assert delta.total_seconds() == (r["depth"] - 1) * 3600
+
+
+def test_entropy_bounds(spark):
+    """Shannon entropy of a ≤5-outcome distribution lies in
+    [0, ln 5]."""
+    rows = agg_entropy(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r["type_entropy"] <= math.log(5) + 1e-9
+
+
+def test_mixture_rates_are_conservative(spark):
+    """No upsampling (rate ≤ 1), under-represented languages keep
+    everything (rate == 1 exactly when share < target), and the
+    post-sampling mass never exceeds the original."""
+    rows = sample_mixture_weights(spark, SF_SMALL).collect()
+    total = sum(r["n_chars"] for r in rows)
+    kept = 0.0
+    for r in rows:
+        assert 0 < r["sampling_rate"] <= 1.0
+        if r["current_share"] < r["target_share"]:
+            assert r["sampling_rate"] == 1.0
+        kept += r["sampling_rate"] * r["n_chars"]
+    assert kept <= total + 1e-6
