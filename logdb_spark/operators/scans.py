@@ -723,3 +723,61 @@ def ingest_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~is_bad, F.col("user_id"))).alias("sum_users"),
         dround(F.sum(F.when(~is_bad, dec4("value")))).alias("sum_value"),
     )
+
+
+@register(
+    "scan_dynamic_partition_pruning",
+    # The dim's qualifying days are a deterministic property of the
+    # fixture, so the oracle recomputes the whole join directly.
+    oracle="""
+        WITH dim AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS day
+            FROM events WHERE event_type = 'purchase' AND value > 250
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               COUNT(*) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events e JOIN dim ON CAST(e.ts AS DATE) = dim.day
+        GROUP BY 1
+    """,
+    section=SECTION,
+)
+def scan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning — the scale feature static pruning
+    can't give you: the interesting days are not a literal in the
+    query but the output of a dimension-side filter (days that saw a
+    large purchase), so the fact scan's partition filter is a RUNTIME
+    subquery. Catalyst plants a DynamicPruningExpression on the
+    partitioned fact's listing, fed by the broadcast dim — at 100 TB
+    the fact reads only the qualifying days' files, without the user
+    ever naming them. tests/test_plans.py asserts the
+    `dynamicpruning` filter is present in this op's fact scan.
+
+    The fact is staged day-partitioned (the sink layout every log
+    store uses — same layout as scan_partition_pruned); the dim is a
+    ~dozen-row derived day list, well under the broadcast threshold,
+    which is what makes DPP fire."""
+    ev = load_table(spark, sf_dir, "events")
+    out = tempfile.mkdtemp(prefix="logdb_dpp_")
+    (
+        ev.withColumn("day", F.to_date("ts"))
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(out)
+    )
+    fact = spark.read.parquet(out)
+    dim = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & (F.col("value") > 250)
+        )
+        .select(F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    return (
+        fact.join(F.broadcast(dim), "day")
+        .groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )

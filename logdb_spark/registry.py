@@ -155,6 +155,7 @@ _R4_NEEDS_ROW_FIRST = (
     "dedup_fuzzy_edit",          # new late-r4
     "sample_mixture_weights",    # new late-r4
     "ingest_csv_permissive",     # new late-r4
+    "scan_dynamic_partition_pruning",  # new late-r4
     "agg_approx_count_distinct",
     "agg_percentile_approx",
 )

@@ -225,6 +225,17 @@ def test_partition_pruned_scan_filters_at_listing(spark):
     assert any("event_date" in l for l in part_lines)
 
 
+def test_dynamic_partition_pruning_fires(spark):
+    """scan_dynamic_partition_pruning's fact scan must carry a RUNTIME
+    partition filter (dynamicpruning expression fed by the broadcast
+    dim) — without it the op reads every day's files and the scale
+    claim is false."""
+    plan = plan_of(spark, "scan_dynamic_partition_pruning")
+    assert "dynamicpruning" in plan.lower(), (
+        "no DynamicPruningExpression in the fact scan"
+    )
+
+
 def test_oov_vocab_join_is_broadcast(spark):
     """text_oov_rate's scale claim: the vocabulary joins the token
     stream as a broadcast — the token side must never shuffle into a
