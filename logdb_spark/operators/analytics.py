@@ -805,3 +805,45 @@ def sql_recursive_spike_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
             fmt_hh="date_format(hh, 'yyyy-MM-dd HH:mm:ss')",
         )
     )
+
+
+_LATERAL_CORE = """
+    SELECT c_custkey, o_orderkey, {fmt_date} AS order_date,
+           CAST(o_totalprice AS DOUBLE) AS total_price
+    FROM customer,
+    LATERAL (
+        SELECT o_orderkey, o_orderdate, o_totalprice
+        FROM orders
+        WHERE o_custkey = c_custkey
+        ORDER BY o_orderdate DESC, o_orderkey
+        LIMIT 2
+    ) recent
+    WHERE c_nationkey = 7
+"""
+
+
+@register(
+    "join_lateral_topn",
+    oracle=_LATERAL_CORE.format(
+        fmt_date="strftime(o_orderdate, '%Y-%m-%d')"
+    ),
+    section=SECTION,
+)
+def join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — the SQL surface for per-row
+    top-N lookups (each customer's 2 most recent orders): the inner
+    query references the outer row, orders, and limits. Catalyst
+    decorrelates this into a window-rank over one equi-shuffle on
+    o_custkey — NOT per-row subquery execution — so the plan is
+    identical in shape to topk_per_group at any scale; the LATERAL
+    form is what users write when the per-key limit logic lives in
+    SQL. Deterministic under date ties via the o_orderkey tiebreak;
+    one-nation slice keeps fixture output bounded. DuckDB executes
+    the same LATERAL text as the oracle."""
+    return _sql(
+        spark,
+        sf_dir,
+        _LATERAL_CORE.format(
+            fmt_date="date_format(o_orderdate, 'yyyy-MM-dd')"
+        ),
+    )

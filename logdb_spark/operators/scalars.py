@@ -434,3 +434,51 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.k", "string").alias("k_str"),
         F.variant_get(v, "$.missing", "int").alias("missing_path"),
     )
+
+
+@register(
+    "fn_url_suite",
+    # The URL is constructed from flat columns, so the oracle derives
+    # every extracted component directly from those columns — the
+    # check pins that Spark's parse_url agrees with the construction.
+    oracle="""
+        SELECT doc_id,
+               source || '.example.com' AS url_host,
+               '/docs/' || CAST(doc_id AS VARCHAR) AS url_path,
+               'lang=' || lang || '&sz=' || CAST(n_chars AS VARCHAR)
+                   AS url_query,
+               lang AS q_lang,
+               CAST(n_chars AS VARCHAR) AS q_sz,
+               'https' AS url_proto
+        FROM documents
+    """,
+    section=SECTION,
+)
+def fn_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing surface — the log-analytics staple (every access
+    log carries request URLs): build a URL from fixture columns, then
+    take it apart with ``parse_url`` (HOST / PATH / QUERY / PROTOCOL
+    and per-key QUERY extraction). All Catalyst expressions in one
+    map-only codegen projection; the oracle reconstructs each
+    component from the flat columns, so a parse_url regression cannot
+    hide behind a matching inverse."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&sz="),
+        F.col("n_chars").cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("url_host"),
+        F.parse_url(url, F.lit("PATH")).alias("url_path"),
+        F.parse_url(url, F.lit("QUERY")).alias("url_query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("q_lang"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("sz")).alias("q_sz"),
+        F.parse_url(url, F.lit("PROTOCOL")).alias("url_proto"),
+    )

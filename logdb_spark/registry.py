@@ -156,6 +156,8 @@ _R4_NEEDS_ROW_FIRST = (
     "sample_mixture_weights",    # new late-r4
     "ingest_csv_permissive",     # new late-r4
     "scan_dynamic_partition_pruning",  # new late-r4
+    "join_lateral_topn",         # new late-r4
+    "fn_url_suite",              # new late-r4
     "agg_approx_count_distinct",
     "agg_percentile_approx",
 )
