@@ -447,3 +447,84 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.min("a.event_id").cast("bigint").alias("first_a"),
     )
+
+
+_BLOOM_BITS = 65536  # 2^16-bit filter -> 1024 broadcastable words
+
+
+@register(
+    "join_bloom_prefilter",
+    # The bloom is a PREFILTER: false positives are removed by the
+    # exact semi join, so the result set equals the plain semi join
+    # the oracle computes — equality IS the no-false-negative proof.
+    oracle="""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS total_price
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'BUILDING')
+        GROUP BY o_orderpriority
+    """,
+    section=SECTION,
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit bloom-filter semi join — the runtime-filter pattern
+    spelled out as an operator (Spark's adaptive runtime bloom does
+    this invisibly; a log engine exposes it because pre-shuffle
+    pruning is THE lever when the fact side is 100 TB and the dim
+    filter is selective). Three stages:
+
+      1. Build: dimension keys hash into a 2^16-bit bloom stored as
+         1024 bit_or-merged 64-bit words — a mergeable, fixed-width
+         aggregate (same posture as agg_bitmap_distinct), KB-sized
+         regardless of dim cardinality.
+      2. Prefilter: the fact joins the BROADCAST word table on word
+         index and keeps rows whose bit is set — map-side, before
+         any fact shuffle; only survivors (true matches + ~n/2^16
+         false positives) reach the join.
+      3. Verify: an exact broadcast semi join removes false
+         positives, so results are exact — the oracle's plain
+         semi join must match bit-for-bit.
+
+    At scale stage 2 is where the win lives: the fact shuffle carries
+    the bloom's survivors, not the whole table."""
+    from logdb_spark.functions.numeric import dec4, dround
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dim = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    idx_d = F.pmod(F.xxhash64("c_custkey"), F.lit(_BLOOM_BITS))
+    words = (
+        dim.select(
+            (idx_d / 64).cast("bigint").alias("widx"),
+            (idx_d % 64).cast("int").alias("bit"),
+        )
+        .groupBy("widx")
+        .agg(F.expr("bit_or(shiftleft(1L, bit))").alias("word"))
+    )
+    idx_f = F.pmod(F.xxhash64("o_custkey"), F.lit(_BLOOM_BITS))
+    fact = orders.select(
+        "o_custkey",
+        "o_orderpriority",
+        "o_totalprice",
+        (idx_f / 64).cast("bigint").alias("widx"),
+        (idx_f % 64).cast("int").alias("bit"),
+    )
+    survivors = (
+        fact.join(F.broadcast(words), "widx")
+        .filter(
+            F.expr("(word & shiftleft(1L, bit)) != 0")
+        )
+        .drop("widx", "bit")
+    )
+    exact = survivors.join(
+        F.broadcast(dim),
+        survivors.o_custkey == dim.c_custkey,
+        "left_semi",
+    )
+    return exact.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dround(F.sum(dec4("o_totalprice"))).alias("total_price"),
+    )

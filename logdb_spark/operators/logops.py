@@ -800,3 +800,116 @@ def log_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("rev", ignorenulls=True).over(w).alias("revenue_filled"),
         )
     )
+
+
+@register(
+    "log_seasonal_baseline",
+    oracle="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS hh,
+                   EXTRACT(HOUR FROM ts) AS hod,
+                   COUNT(*) AS n
+            FROM events WHERE event_type = 'error' GROUP BY 1, 2
+        ), base AS (
+            SELECT hod, AVG(n) AS expected FROM hourly GROUP BY hod
+        )
+        SELECT strftime(hh, '%Y-%m-%d %H:%M:%S') AS hour,
+               CAST(h.n AS BIGINT) AS n_errors,
+               ROUND(b.expected, 6) AS expected,
+               ROUND(h.n - b.expected, 6) AS residual,
+               (h.n > 2 * b.expected) AS anomalous
+        FROM hourly h JOIN base b ON h.hod = b.hod
+    """,
+    section=SECTION,
+)
+def log_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly baseline — the fix for the failure
+    mode of flat thresholds (log_rate_spike, log_anomaly_mad): error
+    traffic has a daily shape, and 3 AM's normal is not 3 PM's. Per
+    hour-of-day expected counts (a 24-row profile) join back to each
+    actual hour; the residual against the right seasonal slot drives
+    the anomaly flag. Two bounded aggregations (≤720 hourly rows,
+    24 profile rows) + one broadcast join of the profile — at 100 TB
+    only the partial-agg fan-in grows. The profile join key (hod) is
+    derived, so Catalyst broadcasts the 24-row side."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("hh"),
+            F.hour("ts").alias("hod"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    base = hourly.groupBy("hod").agg(F.avg("n").alias("expected"))
+    return hourly.join(F.broadcast(base), "hod").select(
+        ts_str(F.col("hh")).alias("hour"),
+        F.col("n").cast("bigint").alias("n_errors"),
+        ratio("expected").alias("expected"),
+        ratio(F.col("n") - F.col("expected")).alias("residual"),
+        (F.col("n") > 2 * F.col("expected")).alias("anomalous"),
+    )
+
+
+@register(
+    "log_change_point",
+    # Both engines fold the SAME hourly list in the SAME order; DuckDB
+    # lacks an explicit-seed fold, so the oracle prepends the 0.0 seed
+    # (list_reduce's first element is its accumulator seed).
+    oracle="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS hh, COUNT(*) AS n
+            FROM events WHERE event_type = 'error' GROUP BY 1
+        ), mu AS (SELECT AVG(n) AS mu FROM hourly),
+        framed AS (
+            SELECT hh, n, mu.mu,
+                   list(CAST(n AS DOUBLE)) OVER (
+                       ORDER BY hh
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS lst
+            FROM hourly, mu
+        )
+        SELECT strftime(hh, '%Y-%m-%d %H:%M:%S') AS hour,
+               CAST(n AS BIGINT) AS n_errors,
+               ROUND(list_reduce(list_prepend(0.0, lst),
+                     (acc, x) -> greatest(0.0, acc + x - 1.5 * mu)), 6)
+                   AS cusum,
+               (list_reduce(list_prepend(0.0, lst),
+                     (acc, x) -> greatest(0.0, acc + x - 1.5 * mu))
+                > 3 * mu) AS alarm
+        FROM framed
+    """,
+    section=SECTION,
+)
+def log_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over the hourly error series —
+    the sequential statistic S_t = max(0, S_{t-1} + x_t − 1.5µ) that
+    flags a sustained upward LEVEL SHIFT (spike detectors reset every
+    hour; CUSUM accumulates small persistent excess until it crosses
+    3µ). The recurrence is non-associative, so the scalable shape is
+    the same as win_ewma: the series is first collapsed to
+    calendar-bounded hourly rows, then each prefix is folded JVM-side
+    (`aggregate` lambda over a growing collect_list frame — ≤720
+    elements, O(720²) adds total, constant at any input size).
+    Hours with zero errors are absent from the series (documented;
+    compose with log_gap_fill for a strictly regular grid)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("hh"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    mu = hourly.agg(F.avg("n").alias("mu"))
+    w = Window.orderBy("hh").rowsBetween(Window.unboundedPreceding, 0)
+    framed = hourly.join(F.broadcast(mu)).withColumn(
+        "lst", F.collect_list(F.col("n").cast("double")).over(w)
+    )
+    cusum = F.expr(
+        "aggregate(lst, 0D, (acc, x) -> greatest(0D, acc + x - 1.5 * mu))"
+    )
+    return framed.select(
+        ts_str(F.col("hh")).alias("hour"),
+        F.col("n").cast("bigint").alias("n_errors"),
+        ratio(cusum).alias("cusum"),
+        (cusum > 3 * F.col("mu")).alias("alarm"),
+    )

@@ -158,6 +158,9 @@ _R4_NEEDS_ROW_FIRST = (
     "scan_dynamic_partition_pruning",  # new late-r4
     "join_lateral_topn",         # new late-r4
     "fn_url_suite",              # new late-r4
+    "log_seasonal_baseline",     # new late-r4
+    "log_change_point",          # new late-r4
+    "join_bloom_prefilter",      # new late-r4
     "agg_approx_count_distinct",
     "agg_percentile_approx",
 )

@@ -127,3 +127,41 @@ def test_mixture_rates_are_conservative(spark):
             assert r["sampling_rate"] == 1.0
         kept += r["sampling_rate"] * r["n_chars"]
     assert kept <= total + 1e-6
+
+
+def test_bloom_prefilter_actually_prunes(spark):
+    """The bloom stage must pass all true matches (guaranteed by the
+    oracle equality) while pruning a real fraction of non-matching
+    fact rows before the exact join."""
+    from logdb_spark.operators.joins import _BLOOM_BITS  # noqa: F401
+    from logdb_spark.sources.load import load_table
+    import logdb_spark.operators.joins as J
+
+    cust = load_table(spark, SF_SMALL, "customer")
+    orders = load_table(spark, SF_SMALL, "orders")
+    dim = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    idx_d = F.pmod(F.xxhash64("c_custkey"), F.lit(J._BLOOM_BITS))
+    words = (
+        dim.select(
+            (idx_d / 64).cast("bigint").alias("widx"),
+            (idx_d % 64).cast("int").alias("bit"),
+        )
+        .groupBy("widx")
+        .agg(F.expr("bit_or(shiftleft(1L, bit))").alias("word"))
+    )
+    idx_f = F.pmod(F.xxhash64("o_custkey"), F.lit(J._BLOOM_BITS))
+    fact = orders.select(
+        "o_custkey",
+        (idx_f / 64).cast("bigint").alias("widx"),
+        (idx_f % 64).cast("int").alias("bit"),
+    )
+    n_fact = fact.count()
+    n_surv = (
+        fact.join(F.broadcast(words), "widx")
+        .filter(F.expr("(word & shiftleft(1L, bit)) != 0"))
+        .count()
+    )
+    n_true = orders.join(
+        F.broadcast(dim), orders.o_custkey == dim.c_custkey, "left_semi"
+    ).count()
+    assert n_true <= n_surv < n_fact, (n_true, n_surv, n_fact)

@@ -123,6 +123,7 @@ NESTED_LOOP_ALLOWED = {
     "sim_knn_join_label",  # K=10 centroid broadcast cross join
     "sim_centroid_affinity",  # 10-label centroid pair enumeration (broadcast)
     "sample_mixture_weights",  # 1-row corpus-totals broadcast
+    "log_change_point",  # 1-row mean broadcast feeding the CUSUM fold
 }
 
 
