@@ -781,3 +781,111 @@ def scan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@register(
+    "ingest_syslog_priority",
+    # PRI encode/decode is pure arithmetic on fixture columns, so the
+    # oracle recomputes facility/severity straight from the source —
+    # the check pins that the parse inverts the encode exactly.
+    oracle="""
+        SELECT event_id,
+               CAST((16 + user_id % 8) * 8
+                    + CASE event_type WHEN 'error' THEN 3
+                                      WHEN 'purchase' THEN 5
+                                      ELSE 6 END AS INT) AS pri,
+               CAST(16 + user_id % 8 AS INT) AS facility,
+               CAST(CASE event_type WHEN 'error' THEN 3
+                                    WHEN 'purchase' THEN 5
+                                    ELSE 6 END AS INT) AS severity,
+               CASE CASE event_type WHEN 'error' THEN 3
+                                    WHEN 'purchase' THEN 5
+                                    ELSE 6 END
+                    WHEN 3 THEN 'err' WHEN 5 THEN 'notice'
+                    ELSE 'info' END AS severity_name
+        FROM events
+    """,
+    section=SECTION,
+)
+def ingest_syslog_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 5424 syslog PRI ingestion — the log-collector entry path:
+    build ``<PRI>`` headers (priority = facility×8 + severity, local
+    facilities 16-23, severity from the event type), then parse them
+    back with regexp + integer arithmetic (facility = pri div 8,
+    severity = pri mod 8) and name the severity level. The encode →
+    parse → decode loop is all codegen expressions, map-only; the
+    oracle recomputes both fields from the source columns so a
+    div/mod slip cannot cancel itself out."""
+    ev = load_table(spark, sf_dir, "events")
+    severity = (
+        F.when(F.col("event_type") == "error", 3)
+        .when(F.col("event_type") == "purchase", 5)
+        .otherwise(6)
+    )
+    facility = (16 + F.col("user_id") % 8).cast("int")
+    line = F.concat(
+        F.lit("<"),
+        (facility * 8 + severity).cast("string"),
+        F.lit(">1 "),
+        ts_str("ts"),
+        F.lit(" host app - - - msg"),
+    )
+    pri = F.regexp_extract(line, r"^<(\d+)>", 1).cast("int")
+    sev = pri % 8
+    return ev.select(
+        "event_id",
+        pri.alias("pri"),
+        (pri / 8).cast("int").alias("facility"),
+        sev.alias("severity"),
+        F.when(sev == 3, "err")
+        .when(sev == 5, "notice")
+        .otherwise("info")
+        .alias("severity_name"),
+    )
+
+
+_FW_SPEC = (  # (name, start 1-based, width) — classic fixed-width layout
+    ("rec_id", 1, 10),
+    ("rec_user", 11, 8),
+    ("rec_type", 19, 10),
+    ("rec_value", 29, 12),
+)
+
+
+@register(
+    "ingest_fixed_width",
+    oracle="""
+        SELECT event_id AS rec_id,
+               user_id AS rec_user,
+               event_type AS rec_type,
+               CAST(printf('%.2f', value) AS DOUBLE) AS rec_value
+        FROM events
+    """,
+    section=SECTION,
+)
+def ingest_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width record ingestion — the mainframe/legacy-feed format
+    log stores still receive: columns live at byte offsets, not
+    behind delimiters. Encode events as right-padded fixed-width
+    lines (lpad for numerics, rpad for text), then slice fields back
+    out by (start, width) spec with ``substring`` + trim + cast. All
+    map-only codegen; at scale the text file splits by line like any
+    CSV. The oracle recomputes each typed field from the source —
+    an off-by-one in any offset shifts a column and fails the hash."""
+    ev = load_table(spark, sf_dir, "events")
+    line = F.concat(
+        F.lpad(F.col("event_id").cast("string"), 10, " "),
+        F.lpad(F.col("user_id").cast("string"), 8, " "),
+        F.rpad(F.col("event_type"), 10, " "),
+        F.lpad(F.format_string("%.2f", "value"), 12, " "),
+    )
+    fields = {
+        name: F.trim(F.substring(line, start, width))
+        for name, start, width in _FW_SPEC
+    }
+    return ev.select(
+        fields["rec_id"].cast("bigint").alias("rec_id"),
+        fields["rec_user"].cast("bigint").alias("rec_user"),
+        fields["rec_type"].alias("rec_type"),
+        fields["rec_value"].cast("double").alias("rec_value"),
+    )

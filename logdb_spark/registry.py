@@ -161,6 +161,8 @@ _R4_NEEDS_ROW_FIRST = (
     "log_seasonal_baseline",     # new late-r4
     "log_change_point",          # new late-r4
     "join_bloom_prefilter",      # new late-r4
+    "ingest_syslog_priority",    # new late-r4
+    "ingest_fixed_width",        # new late-r4
     "agg_approx_count_distinct",
     "agg_percentile_approx",
 )
