@@ -528,3 +528,69 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dround(F.sum(dec4("o_totalprice"))).alias("total_price"),
     )
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+        SELECT event_id, user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS error_time,
+               next_purchase_id, next_purchase_time,
+               ROUND(next_value, 6) AS next_value
+        FROM (
+            SELECT e.event_id, e.user_id, e.ts,
+                   p.event_id AS next_purchase_id,
+                   strftime(p.ts, '%Y-%m-%d %H:%M:%S')
+                       AS next_purchase_time,
+                   p.value AS next_value,
+                   row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY p.ts, p.event_id) AS rn
+            FROM events e
+            JOIN events p
+              ON p.user_id = e.user_id AND p.ts > e.ts
+             AND p.event_type = 'purchase'
+            WHERE e.event_type = 'error'
+        ) WHERE rn = 1
+    """,
+    section=SECTION,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — the mirror of join_asof_latest_event: for
+    each error event, the same user's NEXT purchase strictly after it
+    (time-to-next-action: does the user still buy after hitting an
+    error?). Same emulation as the backward form — equi-join on the
+    user key with the time bound as a join-condition filter, then a
+    per-error rank taking the earliest future match; (ts, event_id)
+    tiebreak for determinism. Errors with no later purchase drop
+    (inner semantics), exactly as the oracle joins. Scale posture
+    identical to the backward form: pre-bucket both sides on
+    (key, time-bucket) and the rank sort is partition-local."""
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    pur = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    joined = err.join(
+        pur, (pur.p_user == err.user_id) & (pur.p_ts > err.ts)
+    )
+    w = Window.partitionBy("event_id").orderBy("p_ts", "p_id")
+    from logdb_spark.functions.numeric import ratio
+
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            ts_str("ts").alias("error_time"),
+            F.col("p_id").alias("next_purchase_id"),
+            ts_str("p_ts").alias("next_purchase_time"),
+            ratio("p_value").alias("next_value"),
+        )
+    )

@@ -2454,3 +2454,70 @@ def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_chars") > F.col("target")).alias("downsampled"),
         )
     )
+
+
+_CHUNK_W = 16  # tokens per chunk
+_CHUNK_STRIDE = 12  # 4-token overlap between consecutive chunks
+
+
+@register(
+    "text_chunk_splitter",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents
+            WHERE len(string_split(text, ' ')) > {_CHUNK_W - _CHUNK_STRIDE}
+        )
+        SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+               CAST(i * {_CHUNK_STRIDE} + 1 AS BIGINT) AS token_start,
+               array_to_string(
+                   toks[(i*{_CHUNK_STRIDE}+1):(i*{_CHUNK_STRIDE}+{_CHUNK_W})],
+                   ' ') AS chunk,
+               CAST(least({_CHUNK_W},
+                          len(toks) - i*{_CHUNK_STRIDE}) AS INT)
+                   AS n_tokens
+        FROM d, UNNEST(range(0,
+            CAST(ceil((len(toks) - {_CHUNK_W - _CHUNK_STRIDE})
+                      / {_CHUNK_STRIDE}.0) AS BIGINT))) t(i)
+    """,
+    section=SECTION,
+)
+def text_chunk_splitter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/embedding chunking — the step between cleaning and
+    encoding: split every document into {w}-token chunks with a
+    {o}-token overlap (stride {s}), emitting (doc, chunk_idx,
+    token_start, chunk text, actual token count). Pure JVM array
+    ops: split once, `explode(sequence)` one row per chunk,
+    `slice` + `array_join` per chunk — map-only, linear in token
+    count, no shuffle anywhere; at 100 TB this fuses into the scan
+    that feeds the encoder. The trailing chunk keeps its short tail
+    (n_tokens < {w}) rather than dropping text — the policy RAG
+    pipelines want, pinned by the oracle's identical slicing.""".format(
+        w=_CHUNK_W, o=_CHUNK_W - _CHUNK_STRIDE, s=_CHUNK_STRIDE
+    )
+    n_chunks = F.ceil(
+        (F.size("toks") - F.lit(_CHUNK_W - _CHUNK_STRIDE))
+        / F.lit(float(_CHUNK_STRIDE))
+    ).cast("int")
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") > _CHUNK_W - _CHUNK_STRIDE)
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("i"),
+        )
+    )
+    start = F.col("i") * _CHUNK_STRIDE + 1
+    return d.select(
+        "doc_id",
+        F.col("i").cast("int").alias("chunk_idx"),
+        start.cast("bigint").alias("token_start"),
+        F.array_join(F.slice("toks", start, _CHUNK_W), " ").alias("chunk"),
+        F.least(
+            F.lit(_CHUNK_W), F.size("toks") - F.col("i") * _CHUNK_STRIDE
+        )
+        .cast("int")
+        .alias("n_tokens"),
+    )

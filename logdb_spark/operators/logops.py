@@ -913,3 +913,80 @@ def log_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio(cusum).alias("cusum"),
         (cusum > 3 * F.col("mu")).alias("alarm"),
     )
+
+
+@register(
+    "log_apdex_score",
+    oracle="""
+        SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_requests,
+               CAST(COUNT(*) FILTER (WHERE value <= 50) AS BIGINT)
+                   AS n_satisfied,
+               CAST(COUNT(*) FILTER (WHERE value > 50 AND value <= 200)
+                    AS BIGINT) AS n_tolerating,
+               ROUND((COUNT(*) FILTER (WHERE value <= 50)
+                      + 0.5 * COUNT(*) FILTER (WHERE value > 50
+                                               AND value <= 200))
+                     / COUNT(*), 6) AS apdex
+        FROM events WHERE event_type = 'view'
+        GROUP BY 1
+    """,
+    section=SECTION,
+)
+def log_apdex_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apdex — the SRE satisfaction index: treating view-event values
+    as latencies, score = (satisfied + tolerating/2) / total with
+    T=50 (satisfied ≤ T, tolerating ≤ 4T). One conditional aggregate
+    per day — a single bounded-key shuffle with map-side partials,
+    the same shape as log_error_rate; the three counts are integers,
+    so only the final ratio needs the ROUND-6 discipline."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "view"
+    )
+    sat = F.count(F.when(F.col("value") <= 50, 1))
+    tol = F.count(F.when((F.col("value") > 50) & (F.col("value") <= 200), 1))
+    n = F.count(F.lit(1))
+    return ev.groupBy(
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        n.alias("n_requests"),
+        sat.alias("n_satisfied"),
+        tol.alias("n_tolerating"),
+        ratio((sat + 0.5 * tol) / n).alias("apdex"),
+    )
+
+
+_TAIL_KEEP_PCT_HEX = "1a"  # keep ~10% (26/256) of non-error traces
+
+
+@register(
+    "log_tail_sampling",
+    oracle=f"""
+        SELECT event_id, user_id, event_type,
+               (event_type = 'error') AS kept_for_error
+        FROM events
+        WHERE event_type = 'error'
+           OR substring(md5(CAST(event_id AS VARCHAR)), 1, 2)
+              < '{_TAIL_KEEP_PCT_HEX}'
+    """,
+    section=SECTION,
+)
+def log_tail_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail-based trace sampling — the observability-pipeline policy:
+    keep EVERY error trace, plus a deterministic ~10% of ordinary
+    traffic for baseline context. The sample key is the same
+    md5-prefix device as the §2.K samplers (partitioning-stable, no
+    engine randomness, and the 10% is a fixed subset — re-running
+    never moves a kept trace). Map-only: one fused filter in the
+    scan, no shuffle, no state; at 100 TB this is the ingest-side
+    cost gate that decides what the store retains."""
+    ev = load_table(spark, sf_dir, "events")
+    key2 = F.substring(F.md5(F.col("event_id").cast("string")), 1, 2)
+    return ev.filter(
+        (F.col("event_type") == "error") | (key2 < _TAIL_KEEP_PCT_HEX)
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (F.col("event_type") == "error").alias("kept_for_error"),
+    )

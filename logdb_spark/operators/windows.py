@@ -477,3 +477,52 @@ def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rev",
         ratio(num / den).alias("ewma_24h"),
     )
+
+
+@register(
+    "win_percent_of_total",
+    oracle="""
+        WITH n AS (
+            SELECT n_name,
+                   CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2)
+                        AS DOUBLE) AS nation_bal
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        )
+        SELECT n_name, nation_bal,
+               ROUND(nation_bal / SUM(nation_bal) OVER (), 6)
+                   AS pct_of_total,
+               CAST(rank() OVER (ORDER BY nation_bal DESC, n_name)
+                    AS INT) AS bal_rank
+        FROM n
+    """,
+    section=SECTION,
+)
+def win_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution analysis — each nation's share of total customer
+    balance plus its rank: the report every dashboard opens with.
+    The window runs over the AGGREGATED relation (25 nation rows),
+    not the raw fact — aggregate first, window the bounded result —
+    so the empty-frame global window touches 25 rows no matter how
+    large the input (the same bounded-global-window posture as
+    log_rate_spike). Balances sum in exact decimal before the
+    double drop."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    n = (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(dround(F.sum(dec4("c_acctbal"))).alias("nation_bal"))
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_rank = Window.orderBy(F.col("nation_bal").desc(), "n_name")
+    return n.select(
+        "n_name",
+        "nation_bal",
+        ratio(F.col("nation_bal") / F.sum("nation_bal").over(w_all)).alias(
+            "pct_of_total"
+        ),
+        F.rank().over(w_rank).cast("int").alias("bal_rank"),
+    )

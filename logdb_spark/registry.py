@@ -163,6 +163,11 @@ _R4_NEEDS_ROW_FIRST = (
     "join_bloom_prefilter",      # new late-r4
     "ingest_syslog_priority",    # new late-r4
     "ingest_fixed_width",        # new late-r4
+    "join_asof_forward",         # new late-r4
+    "text_chunk_splitter",       # new late-r4
+    "log_apdex_score",           # new late-r4
+    "log_tail_sampling",         # new late-r4
+    "win_percent_of_total",      # new late-r4
     "agg_approx_count_distinct",
     "agg_percentile_approx",
 )
