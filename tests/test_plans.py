@@ -254,3 +254,27 @@ def test_stratified_sample_has_no_global_sort(spark):
     # window sort is fine (partition-local after hash exchange on lang);
     # a global Sort with no partitioning shows as Exchange SinglePartition
     assert "SinglePartition" not in plan
+
+
+def test_bloom_prefilter_is_all_broadcast(spark):
+    """join_bloom_prefilter's joins (bloom words + exact verify) must
+    both broadcast — the fact side shuffles only for the final
+    aggregate, never for a join."""
+    plan = plan_of(spark, "join_bloom_prefilter")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_chunk_splitter_is_map_only(spark):
+    """text_chunk_splitter's scale claim: split + explode + slice with
+    NO shuffle — the plan must contain no Exchange at all."""
+    plan = plan_of(spark, "text_chunk_splitter")
+    assert "Exchange" not in plan, "chunking must not shuffle"
+
+
+def test_tail_sampling_is_map_only(spark):
+    """log_tail_sampling is one fused filter: no Exchange, no join,
+    no aggregate in the plan."""
+    plan = plan_of(spark, "log_tail_sampling")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
