@@ -990,3 +990,48 @@ def log_tail_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         (F.col("event_type") == "error").alias("kept_for_error"),
     )
+
+
+@register(
+    "log_user_growth_curve",
+    oracle="""
+        WITH first_day AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+            FROM events GROUP BY user_id
+        ), daily AS (
+            SELECT day, COUNT(*) AS new_users
+            FROM first_day GROUP BY day
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               CAST(new_users AS BIGINT) AS new_users,
+               CAST(SUM(new_users) OVER (
+                   ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cumulative_users
+        FROM daily
+    """,
+    section=SECTION,
+)
+def log_user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User growth curve — the cumulative-distinct arrival metric
+    every product dashboard tracks: per day, how many users appeared
+    for the FIRST time, and the running total of users ever seen.
+    Computing cumulative distinct directly would need a growing state
+    set; the scalable decomposition is min-day per user (one
+    user-keyed shuffle with map-side partial min) → daily counts
+    (calendar-bounded) → running sum over ≤31 rows (the bounded
+    global window posture). Same first-occurrence trick as
+    win_running_distinct, at corpus grain."""
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("day")
+    )
+    daily = first_day.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
+    )

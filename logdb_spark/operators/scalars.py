@@ -482,3 +482,50 @@ def fn_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY"), F.lit("sz")).alias("q_sz"),
         F.parse_url(url, F.lit("PROTOCOL")).alias("url_proto"),
     )
+
+
+@register(
+    "fn_null_suite",
+    oracle="""
+        SELECT event_id,
+               COALESCE(NULLIF(event_type, 'view'), 'filtered')
+                   AS type_or_filtered,
+               NULLIF(user_id % 10, 0) AS decile_nonzero,
+               COALESCE(NULLIF(user_id % 10, 0), -1) AS decile_defaulted,
+               CASE WHEN isnan(CASE WHEN user_id % 10 = 0
+                                    THEN CAST('NaN' AS DOUBLE)
+                                    ELSE value END)
+                    THEN 0.0 ELSE ROUND(value, 6) END AS value_nan_guarded,
+               (value IS NOT DISTINCT FROM value) AS self_ndistinct
+        FROM events
+    """,
+    section=SECTION,
+)
+def fn_null_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling scalar surface: NULLIF (sentinel → NULL),
+    COALESCE chains (NULL → default), nanvl over an injected NaN —
+    Spark's nanvl vs the oracle's isnan CASE; NULL and NaN are
+    DIFFERENT (nanvl passes NULL through untouched, which this op's
+    first draft tripped over) — and null-safe equality
+    through IS NOT DISTINCT FROM. Every expression is a codegen
+    conditional in one map-only projection; these are the scalars a
+    log pipeline leans on hardest, since real feeds are full of
+    sentinel zeros and NaNs that must become NULLs BEFORE aggregation
+    (a NaN entering a sum poisons it; a NULL is skipped)."""
+    ev = load_table(spark, sf_dir, "events")
+    decile = F.nullif(F.col("user_id") % 10, F.lit(0))
+    return ev.select(
+        "event_id",
+        F.coalesce(
+            F.nullif(F.col("event_type"), F.lit("view")), F.lit("filtered")
+        ).alias("type_or_filtered"),
+        decile.alias("decile_nonzero"),
+        F.coalesce(decile, F.lit(-1)).alias("decile_defaulted"),
+        F.nanvl(
+            F.when(
+                F.col("user_id") % 10 == 0, F.lit(float("nan"))
+            ).otherwise(F.round("value", 6)),
+            F.lit(0.0),
+        ).alias("value_nan_guarded"),
+        F.col("value").eqNullSafe(F.col("value")).alias("self_ndistinct"),
+    )

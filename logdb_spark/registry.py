@@ -132,7 +132,7 @@ _R4_NEEDS_ROW_FIRST = (
     "sink_partitioned_parquet",  # oracle added r4 (was rows-only)
     "sink_bucketed_join",        # oracle added r4 (was rows-only)
     # Below this line sits past the driver's 50-row cap this round
-    # (tier-0 has ~59 entries): late-r4 ops whose evidence is
+    # (tier-0 now far exceeds the cap): late-r4 ops whose evidence is
     # local-only until the r5 rotation (fn_try_suite,
     # agg_bitmap_distinct, scan_partition_pruned, text_bigram_lm,
     # text_oov_rate, and the six final-session additions below —
@@ -168,6 +168,8 @@ _R4_NEEDS_ROW_FIRST = (
     "log_apdex_score",           # new late-r4
     "log_tail_sampling",         # new late-r4
     "win_percent_of_total",      # new late-r4
+    "fn_null_suite",             # new late-r4
+    "log_user_growth_curve",     # new late-r4
     "agg_approx_count_distinct",
     "agg_percentile_approx",
 )
