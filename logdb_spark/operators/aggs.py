@@ -572,3 +572,43 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.sum(F.col("n") * F.log("n")) / F.sum("n")
         ).alias("type_entropy"),
     )
+
+
+@register(
+    "agg_histogram_logscale",
+    oracle="""
+        WITH b AS (
+            SELECT CAST(floor(ln(value) / ln(2)) AS INT) AS log2_bucket,
+                   value
+            FROM events WHERE value > 0
+        )
+        SELECT log2_bucket,
+               CAST(ROUND(pow(2, log2_bucket), 6) AS DOUBLE) AS bucket_lo,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(ROUND(value, 6)) AS DOUBLE) AS min_v,
+               CAST(MAX(ROUND(value, 6)) AS DOUBLE) AS max_v
+        FROM b GROUP BY log2_bucket
+    """,
+    section=SECTION,
+)
+def agg_histogram_logscale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two (HDR-histogram-shaped) value distribution — the
+    latency-histogram bucketing observability systems standardize on:
+    linear bins (log_value_histogram) waste resolution on the tail,
+    log2 bins give constant RELATIVE error across six orders of
+    magnitude. Bucket id = floor(log2(value)) — pure arithmetic, so
+    the groupBy key is derived map-side and the shuffle carries ≤~64
+    buckets regardless of input volume; bucket bounds recompute from
+    the id (no need to carry them through the aggregate). Both
+    engines compute the bucket via ln(value)/ln(2): Spark's log2()
+    and a literal ln-ratio can disagree by one ulp AT exact powers of
+    two, so the op uses the SAME ln-ratio expression the oracle
+    does."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    bucket = F.floor(F.log("value") / F.log(F.lit(2.0))).cast("int")
+    return ev.groupBy(bucket.alias("log2_bucket")).agg(
+        ratio(F.pow(F.lit(2.0), F.col("log2_bucket"))).alias("bucket_lo"),
+        F.count(F.lit(1)).alias("n"),
+        F.min(ratio("value")).alias("min_v"),
+        F.max(ratio("value")).alias("max_v"),
+    )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from logdb_spark.functions.numeric import dec4, dround
+from logdb_spark.functions.numeric import dec4, dround, ratio
 from logdb_spark.functions.temporal import ts_str
 from logdb_spark.registry import register
 from logdb_spark.sources.load import load_table
@@ -593,4 +593,49 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
             ts_str("p_ts").alias("next_purchase_time"),
             ratio("p_value").alias("next_value"),
         )
+    )
+
+
+@register(
+    "join_reconciliation_audit",
+    oracle="""
+        WITH l AS (SELECT DISTINCT user_id FROM events),
+             r AS (SELECT DISTINCT c_custkey FROM customer)
+        SELECT
+            CAST(COUNT(*) FILTER (WHERE user_id IS NOT NULL
+                                    AND c_custkey IS NOT NULL) AS BIGINT)
+                AS n_matched,
+            CAST(COUNT(*) FILTER (WHERE c_custkey IS NULL) AS BIGINT)
+                AS n_left_only,
+            CAST(COUNT(*) FILTER (WHERE user_id IS NULL) AS BIGINT)
+                AS n_right_only,
+            ROUND(COUNT(*) FILTER (WHERE user_id IS NOT NULL
+                                     AND c_custkey IS NOT NULL)
+                  * 1.0 / COUNT(*), 6) AS match_rate
+        FROM l FULL OUTER JOIN r ON user_id = c_custkey
+    """,
+    section=SECTION,
+)
+def join_reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconciliation audit — the data-engineering health check run
+    after every sync: how many keys match between two systems, how
+    many exist only on each side, and the match rate. One full-outer
+    join over DEDUPLICATED key sets (distinct first, so the join is
+    key-to-key and its output is bounded by total distinct keys, not
+    row products), then a single conditional aggregate over the null
+    pattern. At 100 TB both distincts are partial-agg shuffles and
+    the audit output is exactly one row."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    l = ev.select("user_id").distinct()
+    r = cust.select("c_custkey").distinct()
+    j = l.join(r, l.user_id == r.c_custkey, "full_outer")
+    matched = F.count(
+        F.when(F.col("user_id").isNotNull() & F.col("c_custkey").isNotNull(), 1)
+    )
+    return j.agg(
+        matched.alias("n_matched"),
+        F.count(F.when(F.col("c_custkey").isNull(), 1)).alias("n_left_only"),
+        F.count(F.when(F.col("user_id").isNull(), 1)).alias("n_right_only"),
+        ratio(matched * 1.0 / F.count(F.lit(1))).alias("match_rate"),
     )

@@ -1035,3 +1035,66 @@ def log_user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_users").cast("bigint").alias("new_users"),
         F.sum("new_users").over(w).cast("bigint").alias("cumulative_users"),
     )
+
+
+@register(
+    "log_error_budget_burndown",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   COUNT(*) AS n_total,
+                   COUNT(*) FILTER (WHERE event_type = 'error') AS n_err
+            FROM events GROUP BY 1
+        ), budget AS (
+            SELECT CAST(floor(SUM(n_total) * 0.20) AS BIGINT) AS allowed
+            FROM daily
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               CAST(n_err AS BIGINT) AS n_errors,
+               CAST(SUM(n_err) OVER (
+                   ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cumulative_errors,
+               CAST(allowed AS BIGINT) AS budget,
+               CAST(allowed - SUM(n_err) OVER (
+                   ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS budget_remaining,
+               (SUM(n_err) OVER (
+                   ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                > allowed) AS exhausted
+        FROM daily, budget
+    """,
+    section=SECTION,
+)
+def log_error_budget_burndown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-budget burn-DOWN — the monthly SRE ledger that
+    complements the instantaneous burn RATE (log_slo_burn_rate): the
+    period's budget is 20% of total requests (the fixture error rate
+    makes that threshold bite mid-month), and each day reports
+    cumulative errors against it until exhaustion. One calendar-
+    bounded daily aggregate, a 1-row budget broadcast, and a ≤31-row
+    running sum — the bounded-global-window posture throughout; at
+    100 TB only the partial-agg fan-in grows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_err"),
+    )
+    budget = daily.agg(
+        F.floor(F.sum("n_total") * 0.20).cast("bigint").alias("allowed")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum("n_err").over(w)
+    return (
+        daily.join(F.broadcast(budget))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n_err").cast("bigint").alias("n_errors"),
+            cum.cast("bigint").alias("cumulative_errors"),
+            F.col("allowed").cast("bigint").alias("budget"),
+            (F.col("allowed") - cum).cast("bigint").alias("budget_remaining"),
+            (cum > F.col("allowed")).alias("exhausted"),
+        )
+    )

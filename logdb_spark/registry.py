@@ -170,6 +170,9 @@ _R4_NEEDS_ROW_FIRST = (
     "win_percent_of_total",      # new late-r4
     "fn_null_suite",             # new late-r4
     "log_user_growth_curve",     # new late-r4
+    "agg_histogram_logscale",    # new late-r4
+    "join_reconciliation_audit",  # new late-r4
+    "log_error_budget_burndown",  # new late-r4
     "agg_approx_count_distinct",
     "agg_percentile_approx",
 )

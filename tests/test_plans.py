@@ -124,6 +124,7 @@ NESTED_LOOP_ALLOWED = {
     "sim_centroid_affinity",  # 10-label centroid pair enumeration (broadcast)
     "sample_mixture_weights",  # 1-row corpus-totals broadcast
     "log_change_point",  # 1-row mean broadcast feeding the CUSUM fold
+    "log_error_budget_burndown",  # 1-row budget broadcast
 }
 
 
