@@ -1098,3 +1098,61 @@ def log_error_budget_burndown(spark: SparkSession, sf_dir: str) -> DataFrame:
             (cum > F.col("allowed")).alias("exhausted"),
         )
     )
+
+
+@register(
+    "log_alert_suppress",
+    oracle="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS hh, COUNT(*) AS n
+            FROM events WHERE event_type = 'error' GROUP BY 1
+        ), spikes AS (
+            SELECT hh, n FROM hourly
+            WHERE n >= (SELECT 1.2 * AVG(n) FROM hourly)
+        ), grp AS (
+            SELECT hh, n,
+                   hh - INTERVAL 1 HOUR * row_number()
+                       OVER (ORDER BY hh) AS island
+            FROM spikes
+        )
+        SELECT strftime(MIN(hh), '%Y-%m-%d %H:%M:%S') AS incident_start,
+               strftime(MAX(hh), '%Y-%m-%d %H:%M:%S') AS incident_end,
+               CAST(COUNT(*) AS INT) AS n_hours,
+               CAST(MAX(n) AS BIGINT) AS peak_errors,
+               CAST(SUM(n) AS BIGINT) AS total_errors
+        FROM grp GROUP BY island
+    """,
+    section=SECTION,
+)
+def log_alert_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert-storm suppression — page ONCE per incident, not once per
+    spiking hour: consecutive spike hours collapse into a single
+    incident row (start, end, duration, peak, total). The islands
+    trick (hour minus rank = constant within a run) groups
+    consecutive hours with ONE window + one aggregate over the ≤720
+    post-aggregation spike rows — the same runs the recursive-CTE op
+    walks iteratively, derived here the closed-form way; both shapes
+    are pinned against each other by construction (same spikes
+    relation, same 1.2×mean threshold). Calendar-bounded at any
+    input size."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("hh"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    thr = hourly.agg((F.avg("n") * 1.2).alias("thr"))
+    spikes = hourly.join(F.broadcast(thr)).filter(F.col("n") >= F.col("thr"))
+    w = Window.orderBy("hh")
+    grp = spikes.withColumn(
+        "island",
+        F.col("hh")
+        - F.make_interval(hours=F.row_number().over(w)),
+    )
+    return grp.groupBy("island").agg(
+        ts_str(F.min("hh")).alias("incident_start"),
+        ts_str(F.max("hh")).alias("incident_end"),
+        F.count(F.lit(1)).cast("int").alias("n_hours"),
+        F.max("n").cast("bigint").alias("peak_errors"),
+        F.sum("n").cast("bigint").alias("total_errors"),
+    ).drop("island")

@@ -358,3 +358,76 @@ def mm_audio_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("win_len"),
         )
     )
+
+
+_N_PARTS = 3  # multipart chunk count per payload
+
+
+@register(
+    "mm_multipart_assembly",
+    # Reassembly must reproduce the ORIGINAL payload bit-for-bit: the
+    # oracle computes the expected sha straight from the source text,
+    # so a lost, duplicated, or mis-ordered part fails the hash.
+    oracle="""
+        SELECT doc_id,
+               CAST(3 AS INT) AS n_parts,
+               sha256(text) AS assembled_sha,
+               (sha256(text) = sha256(text)) AS intact
+        FROM documents
+    """,
+    section=SECTION,
+)
+def mm_multipart_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multipart-upload reassembly — how large media objects actually
+    arrive: each payload lands as N ordered parts (split here into 3
+    deterministic byte ranges), and the store must reassemble them in
+    part order and verify the checksum before accepting the object.
+    The shape: explode to parts (what the wire delivers) → ONE
+    shuffle on doc_id with `sort_array(collect_list(struct(part_idx,
+    bytes)))` — the struct sort restores part order inside the
+    aggregate, no window needed — → concat + sha verify against the
+    source-side checksum. Per-key state is one object's parts, so
+    executors never hold more than a payload; at 100 TB the same
+    plan reassembles billion-object uploads."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
+    part_len = F.ceil(n / _N_PARTS).cast("int")
+    parts = docs.select(
+        "doc_id",
+        F.sha2(F.col("text").cast("binary"), 256).alias("src_sha"),
+        F.explode(F.sequence(F.lit(0), F.lit(_N_PARTS - 1))).alias("part_idx"),
+        "text",
+        part_len.alias("plen"),
+    ).select(
+        "doc_id",
+        "src_sha",
+        "part_idx",
+        F.substring(
+            "text", F.col("part_idx") * F.col("plen") + 1, F.col("plen")
+        ).alias("part_bytes"),
+    )
+    assembled = (
+        parts.groupBy("doc_id", "src_sha")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("part_idx", "part_bytes"))
+            ).alias("ordered"),
+        )
+        .select(
+            "doc_id",
+            F.size("ordered").cast("int").alias("n_parts"),
+            F.sha2(
+                F.array_join(
+                    F.transform("ordered", lambda s: s.part_bytes), ""
+                ).cast("binary"),
+                256,
+            ).alias("assembled_sha"),
+            "src_sha",
+        )
+    )
+    return assembled.select(
+        "doc_id",
+        "n_parts",
+        "assembled_sha",
+        (F.col("assembled_sha") == F.col("src_sha")).alias("intact"),
+    )

@@ -526,3 +526,55 @@ def win_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.rank().over(w_rank).cast("int").alias("bal_rank"),
     )
+
+
+@register(
+    "win_vwap_running",
+    # Both running sums accumulate in exact DECIMAL inside the frame,
+    # so partitioned execution and engine choice cannot perturb them;
+    # only the final per-row division drops to double (ROUND 6).
+    oracle="""
+        SELECT event_id, user_id,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))
+                              * CAST(json_extract_string(props, '$.k')
+                                     AS BIGINT)) OVER w AS DOUBLE)
+                     / NULLIF(CAST(SUM(CAST(json_extract_string(props, '$.k')
+                                            AS BIGINT)) OVER w AS DOUBLE),
+                              0.0),
+                     6) AS vwap
+        FROM events
+        WHERE event_type = 'purchase'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    section=SECTION,
+)
+def win_vwap_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running volume-weighted average — VWAP, the anchored weighted
+    mean every trading/pricing dashboard keeps: per user, cumulative
+    Σ(price×volume)/Σ(volume) over purchases in time order (volume =
+    the props payload's k). TWO running sums COMPOSED per row — a
+    shape plain running_sum doesn't cover — sharing one
+    user-partitioned window, so Catalyst evaluates both in a single
+    WindowExec pass over one exchange. Weighted sums run in exact
+    decimal (order-independent, partition-safe); the division is the
+    only double op."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    num = F.sum(dec4("value") * k).over(w).cast("double")
+    # NULLIF guards the zero-volume prefix (a user whose first
+    # purchases carry k=0): both engines emit NULL there instead of
+    # Spark's ANSI divide-by-zero error / IEEE inf.
+    den = F.nullif(F.sum(k).over(w).cast("double"), F.lit(0.0))
+    return ev.select(
+        "event_id",
+        "user_id",
+        ratio(num / den).alias("vwap"),
+    )

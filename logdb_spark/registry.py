@@ -173,6 +173,9 @@ _R4_NEEDS_ROW_FIRST = (
     "agg_histogram_logscale",    # new late-r4
     "join_reconciliation_audit",  # new late-r4
     "log_error_budget_burndown",  # new late-r4
+    "log_alert_suppress",        # new late-r4
+    "mm_multipart_assembly",     # new late-r4
+    "win_vwap_running",          # new late-r4
     "agg_approx_count_distinct",
     "agg_percentile_approx",
 )

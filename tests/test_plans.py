@@ -125,6 +125,7 @@ NESTED_LOOP_ALLOWED = {
     "sample_mixture_weights",  # 1-row corpus-totals broadcast
     "log_change_point",  # 1-row mean broadcast feeding the CUSUM fold
     "log_error_budget_burndown",  # 1-row budget broadcast
+    "log_alert_suppress",  # 1-row spike-threshold broadcast
 }
 
 
