@@ -612,3 +612,45 @@ def agg_histogram_logscale(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(ratio("value")).alias("min_v"),
         F.max(ratio("value")).alias("max_v"),
     )
+
+
+@register(
+    "agg_skew_kurtosis",
+    # Spark's skewness/kurtosis are POPULATION moments (g1, excess
+    # g2); DuckDB's built-ins are bias-corrected sample statistics
+    # and do NOT match. The oracle therefore rebuilds Spark's
+    # definition from two-pass centered sums — mean first, then
+    # E[(x−µ)^k] — which agrees with Spark's online central-moment
+    # accumulation to well inside the 6-dp round.
+    oracle="""
+        WITH m AS (
+            SELECT event_type, AVG(value) AS mu FROM events GROUP BY 1
+        )
+        SELECT e.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(AVG(POW(value - mu, 3))
+                     / POW(AVG(POW(value - mu, 2)), 1.5), 6) AS skew,
+               ROUND(AVG(POW(value - mu, 4))
+                     / POW(AVG(POW(value - mu, 2)), 2) - 3, 6)
+                   AS excess_kurtosis
+        FROM events e JOIN m USING (event_type)
+        GROUP BY e.event_type
+    """,
+    section=SECTION,
+)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment distribution monitoring — skewness and excess
+    kurtosis per event type, the tail-shape statistics that catch a
+    drifting value distribution before the mean moves (a latency
+    distribution growing a heavy tail shows in g2 first). Single-pass
+    mergeable central-moment aggregates (Spark maintains M2/M3/M4
+    online, merging across partitions) — one bounded-key shuffle,
+    same plan shape as agg_stats. The oracle's two-pass centered-sum
+    reconstruction pins the POPULATION definition Spark uses (DuckDB's
+    own skewness/kurtosis are bias-corrected and differ)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        ratio(F.skewness("value")).alias("skew"),
+        ratio(F.kurtosis("value")).alias("excess_kurtosis"),
+    )

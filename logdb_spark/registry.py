@@ -176,6 +176,7 @@ _R4_NEEDS_ROW_FIRST = (
     "log_alert_suppress",        # new late-r4
     "mm_multipart_assembly",     # new late-r4
     "win_vwap_running",          # new late-r4
+    "agg_skew_kurtosis",         # new late-r4
     "agg_approx_count_distinct",
     "agg_percentile_approx",
 )
