@@ -9,7 +9,7 @@ with the identical ROUND in the oracle (SURVEY.md §0.2.1).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from logdb_spark.functions.numeric import dec4, dround, money, ratio
@@ -653,4 +653,67 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         ratio(F.skewness("value")).alias("skew"),
         ratio(F.kurtosis("value")).alias("excess_kurtosis"),
+    )
+
+
+@register(
+    "agg_gini_revenue",
+    # Gini via the sorted-rank identity G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n
+    # over per-user revenue totals. Revenue totals are exact decimal,
+    # so the rank order (revenue, then user_id) is identical across
+    # engines and the weighted sum is exact until the final division.
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   SUM(CAST(value AS DECIMAL(18,4))) AS rev
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id
+        ), ranked AS (
+            SELECT rev,
+                   row_number() OVER (ORDER BY rev, user_id) AS i,
+                   COUNT(*) OVER () AS n
+            FROM per_user
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_users,
+               CAST(ROUND(SUM(rev), 2) AS DOUBLE) AS total_revenue,
+               ROUND(2.0 * CAST(SUM(i * rev) AS DOUBLE)
+                     / (MAX(n) * CAST(SUM(rev) AS DOUBLE))
+                     - (MAX(n) + 1.0) / MAX(n), 6) AS gini
+        FROM ranked
+    """,
+    section=SECTION,
+)
+def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user purchase revenue — the
+    concentration metric behind "top 1% of users drive X% of
+    revenue": 0 = perfectly even, →1 = one whale. Computed by the
+    sorted-rank identity over per-user totals: one user-keyed
+    decimal aggregate, a rank over the USER-DOMAIN-bounded totals
+    (thousands of rows after aggregation, not events — at extreme
+    user counts this rank composes two-phase like win_ntile_percent),
+    and one exact weighted sum; the single output row needs only the
+    final double division rounded. Ties rank deterministically by
+    (revenue, user_id) on both engines."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    per_user = ev.groupBy("user_id").agg(F.sum(dec4("value")).alias("rev"))
+    w = Window.orderBy("rev", "user_id")
+    ranked = per_user.select(
+        "rev",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_users"),
+        dround(F.sum("rev")).alias("total_revenue"),
+        ratio(
+            2.0 * F.sum(F.col("i") * F.col("rev")).cast("double")
+            / (F.max("n") * F.sum("rev").cast("double"))
+            - (F.max("n") + 1.0) / F.max("n")
+        ).alias("gini"),
     )

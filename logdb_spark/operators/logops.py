@@ -1156,3 +1156,77 @@ def log_alert_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("bigint").alias("peak_errors"),
         F.sum("n").cast("bigint").alias("total_errors"),
     ).drop("island")
+
+
+@register(
+    "log_cohort_ltv",
+    oracle="""
+        WITH first_seen AS (
+            SELECT user_id,
+                   date_trunc('week', MIN(ts)) AS cohort_week
+            FROM events GROUP BY user_id
+        ), purchases AS (
+            SELECT e.user_id, f.cohort_week,
+                   CAST(floor(date_diff('day', f.cohort_week, e.ts) / 7)
+                        AS INT) AS weeks_since,
+                   e.value
+            FROM events e JOIN first_seen f USING (user_id)
+            WHERE e.event_type = 'purchase'
+        )
+        SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+               weeks_since,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS revenue,
+               CAST(ROUND(SUM(SUM(CAST(value AS DECIMAL(18,4)))) OVER (
+                       PARTITION BY cohort_week ORDER BY weeks_since
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                     2) AS DOUBLE) AS cumulative_ltv
+        FROM purchases
+        GROUP BY cohort_week, weeks_since
+    """,
+    section=SECTION,
+)
+def log_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle — the revenue companion to the
+    retention triangle (log_retention_cohorts): users grouped by
+    first-seen week, purchase revenue per (cohort, weeks-since), and
+    the running LTV each cohort has accumulated. Three bounded
+    stages: per-user first-seen min (one user-keyed shuffle), a
+    (cohort×week) aggregate — ≤ 5×5 cells on a 30-day fixture,
+    calendar² at any scale — and a running decimal sum over each
+    cohort's ≤5 rows. Revenue stays in exact decimal through BOTH
+    the cell aggregate and the cumulative window, so the running LTV
+    is order-independent."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_seen, "user_id")
+        .select(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("ts").cast("date"),
+                           F.col("cohort_week").cast("date")) / 7
+            ).cast("int").alias("weeks_since"),
+            "value",
+        )
+    )
+    cells = purchases.groupBy("cohort_week", "weeks_since").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(dec4("value")).alias("rev_dec"),
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("weeks_since")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return cells.select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "weeks_since",
+        F.col("n_purchases").cast("bigint").alias("n_purchases"),
+        dround(F.col("rev_dec")).alias("revenue"),
+        dround(F.sum("rev_dec").over(w)).alias("cumulative_ltv"),
+    )

@@ -177,6 +177,8 @@ _R4_NEEDS_ROW_FIRST = (
     "mm_multipart_assembly",     # new late-r4
     "win_vwap_running",          # new late-r4
     "agg_skew_kurtosis",         # new late-r4
+    "log_cohort_ltv",            # new late-r4
+    "agg_gini_revenue",          # new late-r4
     "agg_approx_count_distinct",
     "agg_percentile_approx",
 )
