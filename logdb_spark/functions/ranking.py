@@ -1,0 +1,84 @@
+"""Two-phase global ranking — the scale-safe replacement for a
+``Window.orderBy(...)`` with no partition key (which moves the entire
+relation through ONE executor's sort; Spark itself warns
+"No Partition Defined for Window operation").
+
+Strategy (VERDICT r3 #6, factored out in r5 — call sites:
+operators/windows.py::win_ntile_percent,
+operators/aggs.py::agg_gini_revenue):
+
+  1. one bounded agg action → (min, max, n) of the ordering value;
+     rows map into ``n_buckets`` value-range buckets (width_bucket is
+     monotone, so bucket order == value order and ties share a
+     bucket);
+  2. per-bucket counts (≤ n_buckets rows to the driver) → cumulative
+     offsets, broadcast back; global row_number = bucket-local
+     row_number (a PARTITIONED window sort) + bucket offset.
+
+Output is bit-identical to the single-partition form (the callers'
+unchanged oracles pin that) but runs as one shuffle on an n_buckets-way
+key plus two O(1) driver transfers — at 100 TB each bucket sorts
+~1/n_buckets of the rows in parallel instead of one task sorting all
+of them. Skew limit: if one value dominates, its bucket carries the
+tie-block; callers order by a near-unique (value, key) pair so blocks
+stay small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def global_row_number(
+    spark: SparkSession,
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: list[str],
+    out_col: str = "rn",
+    n_buckets: int = 64,
+) -> tuple[DataFrame, int]:
+    """Append a global ``row_number() OVER (ORDER BY value, *ties)``
+    column without a single-partition window. Returns (df + out_col +
+    a transient ``bucket``/``offset`` pair projected away, total_n).
+
+    ``value_col`` must be numeric (cast to double only for the
+    monotone bucket id — within-bucket ordering uses the exact
+    column, so decimal exactness is preserved).
+    """
+    v = F.col(value_col).cast("double")
+    lo, hi, n = df.agg(
+        F.min(v), F.max(v), F.count(F.lit(1))
+    ).first()  # driver-scalar: 3 scalars (range + cardinality)
+    if n == 0:
+        return df.withColumn(out_col, F.lit(0).cast("bigint")), 0
+    if hi == lo:
+        bucket: Column = F.lit(1)
+    else:
+        # repr() round-trips doubles exactly; clamp v==hi into the
+        # last bucket (width_bucket returns n_buckets+1 at the max).
+        bucket = F.least(
+            F.lit(n_buckets),
+            F.expr(
+                f"width_bucket(CAST({value_col} AS DOUBLE),"
+                f" {lo!r}, {hi!r}, {n_buckets})"
+            ).cast("int"),
+        )
+    b = df.withColumn("bucket", bucket)
+    counts = sorted(
+        (r["bucket"], r["cnt"])
+        for r in b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()  # driver-scalar: ≤n_buckets rows
+    )
+    offsets, acc = [], 0
+    for bk, cnt in counts:
+        offsets.append((bk, acc))
+        acc += cnt
+    off_df = spark.createDataFrame(offsets, "bucket int, offset bigint")
+    w = Window.partitionBy("bucket").orderBy(value_col, *tiebreak_cols)
+    ranked = (
+        b.join(F.broadcast(off_df), "bucket")
+        .withColumn(out_col, F.row_number().over(w) + F.col("offset"))
+        .drop("bucket", "offset")
+    )
+    return ranked, n

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from logdb_spark.functions.numeric import dec4, dround, money, ratio
+from logdb_spark.functions.ranking import global_row_number
 from logdb_spark.registry import register
 from logdb_spark.sources.load import load_table
 
@@ -687,33 +688,28 @@ def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of per-user purchase revenue — the
     concentration metric behind "top 1% of users drive X% of
     revenue": 0 = perfectly even, →1 = one whale. Computed by the
-    sorted-rank identity over per-user totals: one user-keyed
-    decimal aggregate, a rank over the USER-DOMAIN-bounded totals
-    (thousands of rows after aggregation, not events — at extreme
-    user counts this rank composes two-phase like win_ntile_percent),
-    and one exact weighted sum; the single output row needs only the
-    final double division rounded. Ties rank deterministically by
-    (revenue, user_id) on both engines."""
+    sorted-rank identity over per-user totals: one user-keyed decimal
+    aggregate, then the two-phase bucketed global rank from
+    functions/ranking.py (VERDICT r4 #2 — the r4 form used a
+    no-partition Window, i.e. a single-executor sort over the whole
+    user domain; now 64 parallel bucket sorts + two O(1) driver
+    actions, bit-identical ranks), and one exact weighted sum; the
+    single output row needs only the final double division rounded.
+    Ties rank deterministically by (revenue, user_id) on both
+    engines."""
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
     per_user = ev.groupBy("user_id").agg(F.sum(dec4("value")).alias("rev"))
-    w = Window.orderBy("rev", "user_id")
-    ranked = per_user.select(
-        "rev",
-        F.row_number().over(w).alias("i"),
-        F.count(F.lit(1)).over(
-            Window.rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("n"),
+    ranked, n = global_row_number(
+        spark, per_user, "rev", ["user_id"], out_col="i"
     )
     return ranked.agg(
-        F.max("n").cast("bigint").alias("n_users"),
+        F.lit(n).cast("bigint").alias("n_users"),
         dround(F.sum("rev")).alias("total_revenue"),
         ratio(
             2.0 * F.sum(F.col("i") * F.col("rev")).cast("double")
-            / (F.max("n") * F.sum("rev").cast("double"))
-            - (F.max("n") + 1.0) / F.max("n")
+            / (F.lit(n) * F.sum("rev").cast("double"))
+            - (F.lit(n) + 1.0) / F.lit(n)
         ).alias("gini"),
     )

@@ -341,8 +341,34 @@ _CLUSTER_ORACLE = """
 """
 
 
+def _dup_pairs(
+    spark, sf_dir, *, pair_source: str, threshold: float = 0.9
+) -> DataFrame:
+    """Verified near-dup pairs (jac ≥ threshold) for the composites.
+
+    pair_source="lsh" (default at every registered call site): MinHash
+    banded candidates + exact Jaccard verify — linear in true-dup
+    density, the 100 TB shape. pair_source="exact": the all-pairs
+    bitmask sweep — the ground-truth twin the parity test pins the LSH
+    path against (tests/test_llm_pipeline.py::test_cluster_assign_lsh
+    _matches_exact). Both emit (doc_a, doc_b) with doc_a < doc_b.
+    """
+    cands = (
+        None
+        if pair_source == "exact"
+        else _minhash_candidates(spark, sf_dir, threshold)
+    )
+    return (
+        _jaccard_pairs(spark, sf_dir, cands, threshold)
+        .filter(F.col("jac") >= threshold)
+        .select("doc_a", "doc_b")
+    )
+
+
 @register("dedup_cluster_assign", oracle=_CLUSTER_ORACLE, section=SECTION)
-def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_cluster_assign(
+    spark: SparkSession, sf_dir: str, pair_source: str = "lsh"
+) -> DataFrame:
     """Dedup GROUP assignment — the step after pair finding: connected
     components over the near-dup graph, canonical doc = component-min
     doc_id, so a pipeline keeps exactly one representative per dup
@@ -358,10 +384,14 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure lives in the DuckDB oracle, which recomputes the same
     components as a recursive CTE and pins the result exactly).
 
-    Edges here come from the exact Jaccard kernel so the oracle can
-    reproduce them; at 100 TB the same loop runs unchanged over the
-    LSH candidate pairs (dedup_minhash_lsh / dedup_embedding_cosine_lsh
-    output is schema-compatible: doc_a, doc_b).
+    Edges come from the LSH-candidate + exact-verify path by default
+    (pair_source="lsh" — the 100 TB shape: banded MinHash buckets, no
+    all-pairs sweep); pair_source="exact" runs the all-pairs bitmask
+    kernel instead. A parity pytest pins LSH-fed output ≡ exact-fed
+    output at fixture scale (missing intra-clique edges cannot change
+    connected components while the clique stays connected, and the
+    banding's 0.989 admission at J=0.9 leaves cliques connected), and
+    the DuckDB oracle pins the exact-ground-truth components.
 
     Constant-factor discipline (VERDICT r3 perf #1): near-dup graphs
     are clique-heavy (jac≥0.9 is nearly transitive — sf0.1 has ~1.9M
@@ -383,12 +413,8 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     composing yields exactly the component-min labels the oracle pins.
     """
     # pairs persisted BEFORE the symmetric union — otherwise both union
-    # branches recompute the O(n²)-screened pair join.
-    pairs = track_persist(
-        _jaccard_pairs(spark, sf_dir)
-        .filter(F.col("jac") >= 0.9)
-        .select("doc_a", "doc_b")
-    )
+    # branches recompute the whole pair-finding subtree.
+    pairs = track_persist(_dup_pairs(spark, sf_dir, pair_source=pair_source))
     sym = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
@@ -714,6 +740,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       tried and REMOVED: it cut candidates only 22% (the banding
       already filters on the same evidence) while adding two joins.
     """
+    candidates = _minhash_candidates(spark, sf_dir)
+    return (
+        _jaccard_pairs(spark, sf_dir, candidates)
+        .filter(F.col("jac") >= 0.9)
+        .select("doc_a", "doc_b", ratio(F.col("jac")).alias("jaccard"))
+    )
+
+
+def _minhash_candidates(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.9
+) -> DataFrame:
+    """MinHash-banded LSH candidate pairs (doc_a < doc_b) — the shared
+    pair-finding front end for dedup_minhash_lsh AND the composites
+    (dedup_cluster_assign → keep_best → clean_pipeline). Linear in
+    true-dup density; every stage shuffles on bounded keys."""
     tok = _doc_tokens(spark, sf_dir)
     sig = tok.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n"),  # distinct-token count, free here
@@ -746,8 +787,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n", "bb.band", "bb.bucket")
     x, y = bands.alias("x"), bands.alias("y")
     # Size-ratio bound fused into the bucket join: pairs that cannot
-    # reach Jaccard 0.9 never enter the distinct shuffle.
-    candidates = (
+    # reach the Jaccard threshold never enter the distinct shuffle.
+    return (
         x.join(
             y,
             (F.col("x.band") == F.col("y.band"))
@@ -755,18 +796,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("x.doc_id") < F.col("y.doc_id"))
             & (
                 F.least("x.n", "y.n")
-                >= F.greatest("x.n", "y.n") * F.lit(0.9)
+                >= F.greatest("x.n", "y.n") * F.lit(threshold)
             ),
         )
         .select(
             F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
         )
         .distinct()
-    )
-    return (
-        _jaccard_pairs(spark, sf_dir, candidates)
-        .filter(F.col("jac") >= 0.9)
-        .select("doc_a", "doc_b", ratio(F.col("jac")).alias("jaccard"))
     )
 
 
@@ -1910,7 +1946,9 @@ _KEEP_BEST_ORACLE = _CLUSTER_ORACLE.replace(
 
 
 @register("dedup_keep_best", oracle=_KEEP_BEST_ORACLE, section=SECTION)
-def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_keep_best(
+    spark: SparkSession, sf_dir: str, pair_source: str = "lsh"
+) -> DataFrame:
     """The dedup pipeline's final step: pick ONE representative per
     near-dup cluster (longest text wins, min doc_id breaks ties) —
     the output corpus is exactly these keepers. Composes
@@ -1922,7 +1960,9 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions (bounded by dup-cluster size, not corpus size); the
     ranking sort is partition-local. Oracle recomputes the same
     clusters via the recursive CTE and the same argmax."""
-    assign = dedup_cluster_assign(spark, sf_dir).select("doc_id", "canonical_id")
+    assign = dedup_cluster_assign(spark, sf_dir, pair_source).select(
+        "doc_id", "canonical_id"
+    )
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     joined = assign.join(docs, "doc_id")
     wc = Window.partitionBy("canonical_id")
@@ -2169,7 +2209,9 @@ _CLEAN_PIPELINE_ORACLE = _CLUSTER_ORACLE.replace(
 @register(
     "text_clean_pipeline", oracle=_CLEAN_PIPELINE_ORACLE, section=SECTION
 )
-def text_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_clean_pipeline(
+    spark: SparkSession, sf_dir: str, pair_source: str = "lsh"
+) -> DataFrame:
     """The end-to-end cleaning job, composed from this module's own
     stages: near-dup clusters → one keeper per cluster (longest text,
     dedup_keep_best's rule) → heuristic quality gate
@@ -2185,7 +2227,7 @@ def text_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeper rank, map-only quality predicates, and a final
     low-cardinality (lang, source) rollup. A left-semi join applies
     the keeper set without widening rows."""
-    keepers = dedup_keep_best(spark, sf_dir).select(
+    keepers = dedup_keep_best(spark, sf_dir, pair_source).select(
         F.col("keeper_doc_id").alias("doc_id")
     )
     d = load_table(spark, sf_dir, "documents")

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from logdb_spark.functions.numeric import dec4, dround, ratio
+from logdb_spark.functions.ranking import global_row_number
 from logdb_spark.functions.temporal import ts_str
 from logdb_spark.registry import register
 from logdb_spark.sources.load import load_table
@@ -68,15 +69,12 @@ def win_rank_dense_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution functions over a global order — WITHOUT the
     single-partition window (VERDICT r3 #6: `Window.orderBy()` with no
-    partition key moves 100 TB through one executor). Two-phase global
-    ranking instead:
-
-      1. one bounded agg action → (min, max, n); rows map into 64
-         value-range buckets (width_bucket is monotone, so bucket order
-         == value order and ties share a bucket);
-      2. per-bucket counts (≤64 rows to the driver) → cumulative
-         offsets, broadcast back; global row_number = bucket-local
-         row_number (a PARTITIONED window sort) + bucket offset.
+    partition key moves 100 TB through one executor). Uses the
+    two-phase bucketed global rank (factored into
+    functions/ranking.py in r5 — agg_gini_revenue is the second call
+    site): 64 value-range buckets via monotone width_bucket, bucket
+    counts to the driver, global row_number = bucket-local PARTITIONED
+    window rank + broadcast bucket offset.
 
     ntile/percent_rank/cume_dist are then pure arithmetic on the global
     row number — the ordering key (o_totalprice, o_orderkey) is unique,
@@ -86,35 +84,7 @@ def win_ntile_percent(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged oracle pins that); scales as one shuffle on a 64-way
     key plus two O(1) driver transfers."""
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    lo, hi, n = o.agg(
-        F.min("o_totalprice"), F.max("o_totalprice"), F.count("*")
-    ).first()  # driver-scalar: 3 scalars (range + cardinality)
-    n_buckets = 64
-    if hi == lo:
-        bucket = F.lit(1)
-    else:
-        # repr() round-trips doubles exactly; clamp v==hi into bucket 64.
-        bucket = F.least(
-            F.lit(n_buckets),
-            F.expr(
-                f"width_bucket(o_totalprice, {lo!r}, {hi!r}, {n_buckets})"
-            ).cast("int"),
-        )
-    b = o.withColumn("bucket", bucket)
-    counts = sorted(
-        (r["bucket"], r["cnt"])
-        for r in b.groupBy("bucket").agg(F.count("*").alias("cnt")).collect()  # driver-scalar: ≤64 (bucket, count) rows
-    )
-    offsets, acc = [], 0
-    for bk, cnt in counts:
-        offsets.append((bk, acc))
-        acc += cnt
-    off_df = spark.createDataFrame(offsets, "bucket int, offset bigint")
-    w = Window.partitionBy("bucket").orderBy("o_totalprice", "o_orderkey")
-    ranked = (
-        b.join(F.broadcast(off_df), "bucket")
-        .withColumn("rn", F.row_number().over(w) + F.col("offset"))
-    )
+    ranked, n = global_row_number(spark, o, "o_totalprice", ["o_orderkey"])
     base, rem = divmod(n, 4)
     if base == 0:  # n < 4: tiles 1..n, one row each
         quartile = F.col("rn").cast("int")

@@ -59,128 +59,69 @@ _LOADED = False
 
 # Driver-gate coverage rotation. The driver correctness report caps at
 # 50 enumeration entries per round, so enumeration order IS evidence
-# budget. The r1+r2+r3 row union covers all 111 pre-r4 ops; r4 tiering
-# (VERDICT r3 #4): (0) the r3 FAIL now fixed (mm_feature_extract, now
-# oracle-checked), the seven r4-new SQL analytics ops (no driver row
-# yet), the r1-era rows-only ops whose only driver rows predate two
-# rounds of refactors, and the ops whose IMPLEMENTATION changed this
-# round (win_ntile_percent two-phase rank,
-# dedup_cluster_assign contraction);
-# (1) r2-green streaming/UDF ops (stalest hash evidence); (2) r1-green
-# ops (oldest evidence, most stable code); (3) r3-green ops (freshest
-# evidence, skipped under the 50-row cap and refreshed in r5).
-_R4_NEEDS_ROW_FIRST = (
-    "mm_feature_extract",       # r3 FAIL → scalar f0..f7 + exact oracle
-    "win_ntile_percent",         # rewritten r4: two-phase global rank
-    "dedup_cluster_assign",      # rewritten r4: graph contraction
-    "sql_q4_order_priority",     # new in r4 — no driver row yet
-    "sql_q7_volume_shipping",    # new in r4
-    "sql_q8_market_share",       # new in r4
-    "sql_q14_promo_revenue",     # new in r4
-    "sql_q15_top_supplier",      # new in r4
-    "sql_q18_large_orders",      # new in r4
-    "sql_q22_idle_customers",    # new in r4
-    "dedup_within_source",       # new in r4
-    "text_stopword_scrub",       # new in r4
-    "text_decontaminate",        # new in r4
-    "sim_norm_stats",            # new in r4
-    "mm_audio_window",           # new in r4
-    "sink_sorted_parquet",       # new in r4
-    "scan_schema_evolution",     # new in r4
-    "log_anomaly_mad",           # new in r4
-    "join_range_bucketed",       # new in r4
-    "fn_bitwise_suite",          # new in r4
-    "log_cooccurrence",          # new in r4
-    "dedup_keep_best",           # new in r4
-    "agg_hll_sketch_merge",      # new in r4
-    "sql_q6_forecast_revenue",   # new in r4
-    "sql_q12_priority_shipments",  # new in r4
-    "sql_q13_order_distribution",  # new in r4
-    "sql_q17_small_qty_revenue",   # new in r4
-    "sql_q19_bracket_revenue",   # new in r4
-    "sql_q21_waiting_suppliers",  # new in r4
-    "ingest_python_datasource",  # new in r4
-    "sink_python_datasource",    # new in r4
-    "udtf_parse_keyvals",        # new in r4
-    "stream_python_datasource",  # new in r4
-    "text_clean_pipeline",       # new in r4
-    "log_unpivot_metrics",       # new in r4
-    "join_null_safe",            # new in r4
-    "log_attribution_last_touch",  # new in r4
-    "scan_constraint_audit",     # new in r4
-    "log_slo_burn_rate",         # new in r4
-    "win_rolling_median",        # new in r4
-    "sample_split_hash",         # new in r4
-    "sample_kfold_assign",       # new in r4
-    "sample_stratified_topk",    # new in r4
-    "sample_uniform_topk",       # new in r4
-    "text_span_dedup",           # new in r4
-    "text_repetition_score",     # new in r4
-    "sim_centroid_affinity",     # new in r4
-    "join_asof_tolerance",       # new in r4
-    "log_dau_new_users",         # new in r4
-    "win_gap_islands",           # new in r4
-    "log_retention_cohorts",     # new in r4
-    "stream_upsert_latest",      # new in r4
-    "sample_shard_budget",       # new in r4
-    "ingest_multiline_records",  # new in r4
-    "fn_try_suite",              # new in r4
-    "agg_bitmap_distinct",       # new in r4
-    "scan_partition_pruned",     # new in r4
-    "text_bigram_lm",            # new in r4
-    "text_oov_rate",             # new in r4
-    "sink_partitioned_parquet",  # oracle added r4 (was rows-only)
-    "sink_bucketed_join",        # oracle added r4 (was rows-only)
-    # Below this line sits past the driver's 50-row cap this round
-    # (tier-0 now far exceeds the cap): late-r4 ops whose evidence is
-    # local-only until the r5 rotation (fn_try_suite,
-    # agg_bitmap_distinct, scan_partition_pruned, text_bigram_lm,
-    # text_oov_rate, and the six final-session additions below —
-    # each diffcheck-green at sf0.01 with plan/property tests), then
-    # the r1-era green-but-stale refreshes. If the cap must cut, it
-    # cuts HERE, never on the DataSource trilogy / composite /
-    # rewritten ops above.
-    "agg_corr_regression",       # new late-r4
-    "agg_weighted_stats",        # new late-r4
-    "agg_entropy",               # new late-r4
-    "log_gap_fill",              # new late-r4
-    "sample_importance_weighted",  # new late-r4
-    "fn_struct_suite",           # new late-r4
-    "win_running_distinct",      # new late-r4
-    "win_ewma",                  # new late-r4
-    "set_intersect_all",         # new late-r4
-    "set_except_all",            # new late-r4
-    "sql_recursive_spike_chain",  # new late-r4
-    "fn_variant_json",           # new late-r4
-    "dedup_fuzzy_edit",          # new late-r4
-    "sample_mixture_weights",    # new late-r4
-    "ingest_csv_permissive",     # new late-r4
-    "scan_dynamic_partition_pruning",  # new late-r4
-    "join_lateral_topn",         # new late-r4
-    "fn_url_suite",              # new late-r4
-    "log_seasonal_baseline",     # new late-r4
-    "log_change_point",          # new late-r4
-    "join_bloom_prefilter",      # new late-r4
-    "ingest_syslog_priority",    # new late-r4
-    "ingest_fixed_width",        # new late-r4
-    "join_asof_forward",         # new late-r4
-    "text_chunk_splitter",       # new late-r4
-    "log_apdex_score",           # new late-r4
-    "log_tail_sampling",         # new late-r4
-    "win_percent_of_total",      # new late-r4
-    "fn_null_suite",             # new late-r4
-    "log_user_growth_curve",     # new late-r4
-    "agg_histogram_logscale",    # new late-r4
-    "join_reconciliation_audit",  # new late-r4
-    "log_error_budget_burndown",  # new late-r4
-    "log_alert_suppress",        # new late-r4
-    "mm_multipart_assembly",     # new late-r4
-    "win_vwap_running",          # new late-r4
-    "agg_skew_kurtosis",         # new late-r4
-    "log_cohort_ltv",            # new late-r4
-    "agg_gini_revenue",          # new late-r4
-    "agg_approx_count_distinct",
-    "agg_percentile_approx",
+# budget. Union of driver rows r1-r4 covers 158/206 ops; r5 tiering
+# (VERDICT r4 #3): tier 0 is exactly the 48 ops with NO driver row in
+# any round (set-difference of registry names vs the union of
+# CORRECTNESS_r0{1,2,3,4}.json keys), ordered implementation-changed
+# first (agg_gini_revenue two-phased this round, dedup composites
+# re-wired), then the late-r4 families. New r5 ops append after — under
+# the 50-row cap, 48 + 2 new get rows this round; the rest lead r6.
+# Tiers 1-3 unchanged: r2-green streaming/UDF (stalest hashes), then
+# r1-green, then freshest.
+_R5_NEEDS_ROW_FIRST = (
+    # -- implementation changed this round: freshest evidence needed --
+    "agg_gini_revenue",          # rewritten r5: two-phase bucket rank
+    "dedup_fuzzy_edit",
+    # -- never driver-checked (no row r1-r4) --
+    "agg_bitmap_distinct",
+    "agg_corr_regression",
+    "agg_entropy",
+    "agg_histogram_logscale",
+    "agg_skew_kurtosis",
+    "agg_weighted_stats",
+    "fn_null_suite",
+    "fn_struct_suite",
+    "fn_try_suite",
+    "fn_url_suite",
+    "fn_variant_json",
+    "ingest_csv_permissive",
+    "ingest_fixed_width",
+    "ingest_multiline_records",
+    "ingest_syslog_priority",
+    "join_asof_forward",
+    "join_bloom_prefilter",
+    "join_lateral_topn",
+    "join_reconciliation_audit",
+    "log_alert_suppress",
+    "log_apdex_score",
+    "log_change_point",
+    "log_cohort_ltv",
+    "log_error_budget_burndown",
+    "log_gap_fill",
+    "log_retention_cohorts",
+    "log_seasonal_baseline",
+    "log_tail_sampling",
+    "log_user_growth_curve",
+    "mm_multipart_assembly",
+    "sample_importance_weighted",
+    "sample_mixture_weights",
+    "sample_shard_budget",
+    "scan_dynamic_partition_pruning",
+    "scan_partition_pruned",
+    "set_except_all",
+    "set_intersect_all",
+    "sql_recursive_spike_chain",
+    "stream_upsert_latest",
+    "text_bigram_lm",
+    "text_chunk_splitter",
+    "text_oov_rate",
+    "win_ewma",
+    "win_percent_of_total",
+    "win_running_distinct",
+    "win_vwap_running",
+    # -- new in r5 (no driver row yet; cap cuts here if it must) --
+    "text_search_ranked",
+    "ingest_text_file",
 )
 _R2_DRIVER_GREEN = frozenset(
     {
@@ -216,7 +157,7 @@ _R1_DRIVER_GREEN = frozenset(
 
 
 def _enumeration_order(ops: dict[str, Operator]) -> list[str]:
-    priority = {n: i for i, n in enumerate(_R4_NEEDS_ROW_FIRST)}
+    priority = {n: i for i, n in enumerate(_R5_NEEDS_ROW_FIRST)}
 
     def tier(name: str) -> int:
         if name in priority:

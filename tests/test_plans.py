@@ -78,6 +78,20 @@ def test_ntile_percent_has_no_single_partition_window(spark):
     assert "Exchange SinglePartition" not in plan
 
 
+def test_gini_has_no_single_partition_window(spark):
+    """agg_gini_revenue's global rank must stay two-phase (VERDICT r4
+    #2 — the r4 form ranked per-user totals through a partition-less
+    Window, i.e. one executor sorts the whole user domain). Same
+    machinery as win_ntile_percent via functions/ranking.py."""
+    plan = plan_of(spark, "agg_gini_revenue")
+    window_lines = [l for l in plan.splitlines() if "windowspecdefinition" in l]
+    assert window_lines, "expected a Window node"
+    assert all("bucket" in l for l in window_lines), (
+        "window must partition by the range bucket"
+    )
+    assert "Exchange SinglePartition" not in plan
+
+
 def test_flagship_has_partial_aggregation(spark):
     plan = plan_of(spark, "agg_pricing_summary")
     # partial + final HashAggregate pair → map-side combine before shuffle
