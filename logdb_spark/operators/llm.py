@@ -341,18 +341,32 @@ _CLUSTER_ORACLE = """
 """
 
 
+# Measured crossover (this host, warm, sf0.1=5000 docs): exact tiled
+# gemm pairs 2.0s vs LSH candidates+verify 3.4s — the LSH pipeline's
+# fixed costs (signature agg, banding explode, bucket-join distinct)
+# only amortize once the all-pairs work grows past ~8k docs (exact is
+# quadratic: ~8s at 10k docs, LSH ~4s and linear in dup density).
+_LSH_CROSSOVER_DOCS = 8192
+
+
 def _dup_pairs(
     spark, sf_dir, *, pair_source: str, threshold: float = 0.9
 ) -> DataFrame:
     """Verified near-dup pairs (jac ≥ threshold) for the composites.
 
-    pair_source="lsh" (default at every registered call site): MinHash
-    banded candidates + exact Jaccard verify — linear in true-dup
-    density, the 100 TB shape. pair_source="exact": the all-pairs
-    bitmask sweep — the ground-truth twin the parity test pins the LSH
-    path against (tests/test_llm_pipeline.py::test_cluster_assign_lsh
-    _matches_exact). Both emit (doc_a, doc_b) with doc_a < doc_b.
+    pair_source="auto" (the registered call sites' default): pick by
+    corpus size — the exact all-pairs gemm kernel below
+    _LSH_CROSSOVER_DOCS, MinHash-banded candidates + exact Jaccard
+    verify above it (linear in true-dup density, the 100 TB shape; a
+    1000-executor corpus always takes this branch). "lsh"/"exact"
+    force a path; the parity test pins both paths identical
+    (tests/test_llm_ops.py::test_cluster_assign_lsh_matches_exact) and
+    the composites' DuckDB oracles pin the exact ground truth every
+    round. Both emit (doc_a, doc_b) with doc_a < doc_b.
     """
+    if pair_source == "auto":
+        n_docs = load_table(spark, sf_dir, "documents").count()  # footer-only
+        pair_source = "exact" if n_docs <= _LSH_CROSSOVER_DOCS else "lsh"
     cands = (
         None
         if pair_source == "exact"
@@ -367,7 +381,7 @@ def _dup_pairs(
 
 @register("dedup_cluster_assign", oracle=_CLUSTER_ORACLE, section=SECTION)
 def dedup_cluster_assign(
-    spark: SparkSession, sf_dir: str, pair_source: str = "lsh"
+    spark: SparkSession, sf_dir: str, pair_source: str = "auto"
 ) -> DataFrame:
     """Dedup GROUP assignment — the step after pair finding: connected
     components over the near-dup graph, canonical doc = component-min
@@ -384,10 +398,12 @@ def dedup_cluster_assign(
     closure lives in the DuckDB oracle, which recomputes the same
     components as a recursive CTE and pins the result exactly).
 
-    Edges come from the LSH-candidate + exact-verify path by default
-    (pair_source="lsh" — the 100 TB shape: banded MinHash buckets, no
-    all-pairs sweep); pair_source="exact" runs the all-pairs bitmask
-    kernel instead. A parity pytest pins LSH-fed output ≡ exact-fed
+    Edges come from _dup_pairs' cost-based pair finding: past the
+    measured crossover it takes the LSH-candidate + exact-verify path
+    (banded MinHash buckets, no all-pairs sweep — the branch every
+    at-scale corpus takes); below it the exact gemm kernel, where the
+    LSH pipeline's fixed costs dominate. "lsh"/"exact" force a
+    path. A parity pytest pins LSH-fed output ≡ exact-fed
     output at fixture scale (missing intra-clique edges cannot change
     connected components while the clique stays connected, and the
     banding's 0.989 admission at J=0.9 leaves cliques connected), and
@@ -548,11 +564,11 @@ def _tiled_bitmask_pairs(
 
     Docs are hashed into size-adaptive blocks (~600 docs each, floor
     8); the block PAIRS become rows and one Arrow kernel per tile
-    computes the full popcount matrix with numpy (word-wide AND +
-    16-bit-table popcount). This replaces a
+    computes the full intersection matrix as a BLAS gemm over the
+    unpacked 0/1 bit matrix (exact — see tile_kernel). This replaces a
     broadcast nested-loop join whose per-pair condition ran INTERPRETED
-    (BNLJ conditions sit outside whole-stage codegen) — 26s → ~1s on
-    12.5M pairs at sf0.1. At 100 TB the tiling bounds memory to one
+    (BNLJ conditions sit outside whole-stage codegen) — 26s at sf0.1
+    for 12.5M pairs. At 100 TB the tiling bounds memory to one
     tile and shuffles each block √tiles times; callers remain declared
     O(n²) exact twins (LSH ops are the scale path).
 
@@ -590,35 +606,38 @@ def _tiled_bitmask_pairs(
     )
 
     def tile_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # 16-bit popcount lookup (numpy<2 has no bitwise_count),
-        # built vectorized — the 65 536-iteration Python loop it
-        # replaces cost ~30 ms per partition.
-        pop16 = (
-            np.unpackbits(np.arange(1 << 16, dtype=">u2").view(np.uint8))
-            .reshape(-1, 16)
-            .sum(axis=1)
-            .astype(np.uint16)
-        )
+        # Intersection counts via BLAS gemm over the unpacked 0/1 bit
+        # matrix: |A∩B| = bits_a · bits_b (exact — counts ≤ vocab bits
+        # < 2²⁴ are exact in float32). This replaced a popcount-table
+        # gather (pop16[anded.view(uint16)]) that materialized a
+        # 600²×W-word tensor per tile: ~190 MB of memory traffic per
+        # tile, which collapsed under concurrency — on this host 32
+        # parallel copies of the gather kernel ran NO faster than one
+        # (bandwidth-starved: measured 5.6 s/proc vs 0.26 s alone),
+        # the r4 bench's unexplained 2.8→6.5 s regression. The gemm is
+        # cache-blocked (~7 MB/tile traffic): 22 ms/tile alone, 90 ms
+        # under full 32-way contention — bandwidth-immune, ~50× faster
+        # in-suite. Bit order within a word is irrelevant: both sides
+        # unpack identically, and the dot product counts position
+        # matches 1:1 with mask-bit matches.
 
         def unpack(cell):
             ids = np.array([r["doc_id"] for r in cell], dtype=np.int64)
-            masks = np.array(
-                [r["toks"] for r in cell], dtype=np.int64
-            ).view(np.uint64)
+            masks = np.array([r["toks"] for r in cell], dtype=np.int64)
+            bits = np.unpackbits(masks.view(np.uint8), axis=1).astype(
+                np.float32
+            )
             ns = np.array([r["n"] for r in cell], dtype=np.int64)
-            return ids, masks, ns
+            return ids, bits, ns
 
         for pdf in batches:
             outs = []
             for blk_a, blk_b, docs_a, docs_b in zip(
                 pdf["blk_a"], pdf["blk_b"], pdf["docs_a"], pdf["docs_b"]
             ):
-                ia, ma, na = unpack(docs_a)
-                ib, mb, nb = unpack(docs_b)
-                anded = ma[:, None, :] & mb[None, :, :]
-                inter = pop16[anded.view(np.uint16)].sum(
-                    axis=-1, dtype=np.int64
-                )
+                ia, ba, na = unpack(docs_a)
+                ib, bb, nb = unpack(docs_b)
+                inter = np.rint(ba @ bb.T).astype(np.int64)
                 union = na[:, None] + nb[None, :] - inter
                 with np.errstate(divide="ignore", invalid="ignore"):
                     jac = inter / union
@@ -665,8 +684,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 2-word fold screen couldn't help because the screen itself ran
     per-pair in the same interpreter. Here docs are hashed into
     size-adaptive blocks, the block PAIRS become rows, and one Arrow
-    kernel per tile computes the full popcount matrix with numpy (word-wide AND +
-    16-bit-table popcount) — ~200× less per-pair overhead, parallel
+    kernel per tile computes the full intersection matrix as a BLAS
+    gemm over unpacked bit matrices — ~200× less per-pair overhead,
+    cache-blocked so 32-way concurrency doesn't starve memory
+    bandwidth (the r4 2.8→6.5s regression: see tile_kernel), parallel
     across tiles, no driver collect. At 100 TB the same tiling bounds
     memory to one tile and shuffles each block √tiles times; this op
     stays the declared O(n²) exact twin either way (dedup_minhash_lsh
@@ -1947,7 +1968,7 @@ _KEEP_BEST_ORACLE = _CLUSTER_ORACLE.replace(
 
 @register("dedup_keep_best", oracle=_KEEP_BEST_ORACLE, section=SECTION)
 def dedup_keep_best(
-    spark: SparkSession, sf_dir: str, pair_source: str = "lsh"
+    spark: SparkSession, sf_dir: str, pair_source: str = "auto"
 ) -> DataFrame:
     """The dedup pipeline's final step: pick ONE representative per
     near-dup cluster (longest text wins, min doc_id breaks ties) —
@@ -2210,7 +2231,7 @@ _CLEAN_PIPELINE_ORACLE = _CLUSTER_ORACLE.replace(
     "text_clean_pipeline", oracle=_CLEAN_PIPELINE_ORACLE, section=SECTION
 )
 def text_clean_pipeline(
-    spark: SparkSession, sf_dir: str, pair_source: str = "lsh"
+    spark: SparkSession, sf_dir: str, pair_source: str = "auto"
 ) -> DataFrame:
     """The end-to-end cleaning job, composed from this module's own
     stages: near-dup clusters → one keeper per cluster (longest text,
