@@ -13,7 +13,6 @@ oracle-checked against the plain join semantics.
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -21,6 +20,7 @@ from pyspark.sql import functions as F
 from logdb_spark.functions.numeric import dec4, dround
 from logdb_spark.registry import register
 from logdb_spark.sources.load import load_table
+from logdb_spark.sources.scratch import scratch_dir
 
 SECTION = "2.M layout/scale techniques"
 
@@ -54,7 +54,7 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this is the difference between re-shuffling 100 TB per join
     and shuffling once at ingest.
     """
-    scratch = tempfile.mkdtemp(prefix="logdb_buckets_")
+    scratch = scratch_dir("logdb_buckets_")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS logdb_scratch LOCATION '{scratch}'")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -230,10 +230,9 @@ def sorted_parquet_write(
     default 128 MB parquet block yields the same granularity as row
     groups WITHIN each big file; fixture files are far below one
     block, so files stand in for row groups here)."""
-    import tempfile
 
     ev = load_table(spark, sf_dir, "events")
-    out_dir = tempfile.mkdtemp(prefix="logdb_sorted_")
+    out_dir = scratch_dir("logdb_sorted_")
     prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     try:

@@ -1191,10 +1191,10 @@ def sim_knn_join_label(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(list_aggregate(list_transform(qv, v -> abs(v)), 'sum')
                     AS BIGINT) AS q_l1,
                CAST(len(list_filter(qv, v -> abs(v) = 127)) AS BIGINT) AS n_sat,
-               sqrt(list_aggregate(
+               ROUND(sqrt(list_aggregate(
                    list_transform(list_zip(emb, qv),
                                   p -> (p[1] - p[2] * scale)
-                                       * (p[1] - p[2] * scale)), 'sum'))
+                                       * (p[1] - p[2] * scale)), 'sum')), 6)
                    AS recon_err
         FROM q
     """,
@@ -1235,20 +1235,19 @@ def mm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    # scale and recon_err are emitted UNROUNDED: both are sequential
-    # deterministic expressions (no partitioned aggregation), so the
-    # doubles are bit-identical across engines — while ROUND(·,6) can
-    # straddle the half-boundary differently per engine (SURVEY
-    # hard-won fact #1; diffcheck caught exactly that here).
-    # ENGINE PIN (ADVICE r3): the bit-identity additionally assumes
-    # both engines fold the element-wise sum LEFT-TO-RIGHT in index
-    # order — true for Spark's F.aggregate and DuckDB's
-    # list_aggregate('sum') on the pinned versions (pyspark 4.1.2,
-    # duckdb in-container), and re-verified every diffcheck run. If an
-    # engine upgrade switches to pairwise/Kahan summation this op's
-    # hash breaks loudly at the gate; the fix then is to round BOTH
-    # sides with ratio()/ROUND-6, accepting the half-boundary risk the
-    # current form avoids.
+    # scale is emitted UNROUNDED: it's a sequential deterministic
+    # expression (max|x|/127 — no partitioned aggregation), bit-
+    # identical across engines, and its values (exact float32 maxima
+    # scaled by /127) CAN sit exactly on ROUND-6 half boundaries,
+    # where engines round differently (SURVEY hard-won fact #1;
+    # diffcheck caught exactly that here in r3). recon_err is ROUNDED
+    # to 6 digits on both sides (VERDICT r4 #5): it's a sqrt of a
+    # squared-error sum — an irrational-valued statistic that never
+    # lands on a decimal half boundary — so rounding removes the
+    # fragile cross-engine assumption that both engines fold the
+    # element-wise sum left-to-right (true today for Spark F.aggregate
+    # and DuckDB list_aggregate('sum'), but an engine upgrade to
+    # pairwise/Kahan summation would have broken the unrounded hash).
     return withq.select(
         "vec_id",
         F.size("emb").alias("n_dims"),
@@ -1261,7 +1260,7 @@ def mm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter("qv", lambda v: F.abs(v) == 127)).cast("bigint").alias(
             "n_sat"
         ),
-        F.sqrt(sqerr).alias("recon_err"),
+        ratio(F.sqrt(sqerr)).alias("recon_err"),
     )
 
 

@@ -17,6 +17,7 @@ from logdb_spark.functions.numeric import dec4, dround, ratio
 from logdb_spark.functions.temporal import ts_str
 from logdb_spark.registry import register
 from logdb_spark.sources.load import load_table
+from logdb_spark.sources.scratch import scratch_dir
 
 SECTION = "2.I log composites"
 
@@ -293,10 +294,9 @@ def log_retention_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal, so the serve-path filter prunes partitions at the file
     listing and the delete is a metadata-only partition drop (rows-only:
     filesystem facts)."""
-    import tempfile
 
     ev = load_table(spark, sf_dir, "events")
-    store = tempfile.mkdtemp(prefix="logdb_retention_")
+    store = scratch_dir("logdb_retention_")
     (
         ev.withColumn("event_date", F.to_date("ts"))
         .write.mode("overwrite")

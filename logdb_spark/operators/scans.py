@@ -13,7 +13,6 @@ the layout a 100 TB log store wants (partition pruning on time range).
 from __future__ import annotations
 
 import functools
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -21,6 +20,7 @@ from pyspark.sql import functions as F
 from logdb_spark.functions.temporal import ts_str
 from logdb_spark.registry import register
 from logdb_spark.sources.load import TABLES, load_table
+from logdb_spark.sources.scratch import scratch_dir
 
 SECTION = "2.A scans/sources/sinks"
 
@@ -143,7 +143,7 @@ def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     text format preserves the data. Timestamps travel as formatted
     strings (CSV has no timestamp type)."""
     ev = load_table(spark, sf_dir, "events")
-    out = tempfile.mkdtemp(prefix="logdb_csv_")
+    out = scratch_dir("logdb_csv_")
     (
         ev.withColumn("ts", ts_str("ts"))
         .write.mode("overwrite")
@@ -178,7 +178,7 @@ def sink_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     format): write, read back schemaless (inference), re-extract the
     nested payload, aggregate against the original-parquet oracle."""
     ev = load_table(spark, sf_dir, "events")
-    out = tempfile.mkdtemp(prefix="logdb_jsonl_")
+    out = scratch_dir("logdb_jsonl_")
     ev.withColumn("ts", ts_str("ts")).write.mode("overwrite").json(out)
     back = spark.read.json(out)
     return back.agg(
@@ -207,7 +207,7 @@ def sink_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     travel natively (ORC has a timestamp type), exercised by writing
     the normalized ts column through and back."""
     ev = load_table(spark, sf_dir, "events")
-    out = tempfile.mkdtemp(prefix="logdb_orc_")
+    out = scratch_dir("logdb_orc_")
     ev.write.mode("overwrite").orc(out)
     back = spark.read.orc(out)
     return back.agg(
@@ -239,7 +239,7 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     range queries prune partitions at the source listing.
     """
     ev = load_table(spark, sf_dir, "events")
-    out = tempfile.mkdtemp(prefix="logdb_sink_")
+    out = scratch_dir("logdb_sink_")
     (
         ev.withColumn("event_date", F.to_date("ts"))
         .write.mode("overwrite")
@@ -288,7 +288,7 @@ def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     file FOOTERS only (parallelized by Spark internally); the data
     scan stays columnar and splittable."""
     ev = load_table(spark, sf_dir, "events")
-    out = tempfile.mkdtemp(prefix="logdb_evo_")
+    out = scratch_dir("logdb_evo_")
     gen0 = ev.filter(F.col("event_id") % 2 == 0).select(
         "event_id", "user_id", "value"
     )
@@ -447,7 +447,7 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logdb_spark.functions.numeric import dec4, dround
 
     ev = load_table(spark, sf_dir, "events")
-    out = tempfile.mkdtemp(prefix="logdb_pruned_")
+    out = scratch_dir("logdb_pruned_")
     (
         ev.withColumn("event_date", F.to_date("ts"))
         .write.mode("overwrite")
@@ -532,7 +532,7 @@ def sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value"
     )
-    out = tempfile.mkdtemp(prefix="logdb_jsonshard_")
+    out = scratch_dir("logdb_jsonshard_")
     ev.write.format("jsonshard").option("path", out).mode("append").save()
     back = spark.read.schema(
         "event_id bigint, user_id bigint, event_type string, value double"
@@ -679,7 +679,7 @@ def ingest_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
     embarrassingly parallel; the PERMISSIVE parse is per-row with no
     state. One final single-row aggregate."""
     ev = load_table(spark, sf_dir, "events")
-    out = tempfile.mkdtemp(prefix="logdb_badcsv_")
+    out = scratch_dir("logdb_badcsv_")
     # The junk must sit in a column the query PARSES: Spark's CSV
     # reader prunes unreferenced columns, and a cast failure in a
     # pruned column never marks the record corrupt (a pipe-mangled
@@ -758,7 +758,7 @@ def scan_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     ~dozen-row derived day list, well under the broadcast threshold,
     which is what makes DPP fire."""
     ev = load_table(spark, sf_dir, "events")
-    out = tempfile.mkdtemp(prefix="logdb_dpp_")
+    out = scratch_dir("logdb_dpp_")
     (
         ev.withColumn("day", F.to_date("ts"))
         .write.mode("overwrite")

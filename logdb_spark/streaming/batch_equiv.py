@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from logdb_spark.functions.temporal import ts_str
 from logdb_spark.registry import register
 from logdb_spark.sources.load import load_table
+from logdb_spark.sources.scratch import scratch_dir
 
 SECTION = "2.J streaming"
 
@@ -246,11 +247,10 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite job — embarrassingly parallel, no shuffle (coalesce only
     narrows)."""
     import glob
-    import tempfile
 
     ev = load_table(spark, sf_dir, "events")
-    raw = tempfile.mkdtemp(prefix="logdb_smallfiles_")
-    compacted = tempfile.mkdtemp(prefix="logdb_compacted_")
+    raw = scratch_dir("logdb_smallfiles_")
+    compacted = scratch_dir("logdb_compacted_")
     # simulate micro-batch ingest: many small files per day partition
     (
         ev.withColumn("event_date", F.to_date("ts"))

@@ -31,6 +31,7 @@ from pyspark.sql.types import (
 
 from logdb_spark.plans.session import configure
 from logdb_spark.sources.load import normalize_ts
+from logdb_spark.sources.scratch import scratch_dir
 
 # Schema of the SYNTHETIC micro-batch fixtures (tests write raw int64
 # epoch-nanos ts). Fixture-derived staging dirs may instead carry a
@@ -52,9 +53,8 @@ def stage_events_dir(sf_dir: str) -> str:
     source directory. Tests append late-data files here to exercise
     watermark drops."""
     import shutil
-    import tempfile
 
-    staging = tempfile.mkdtemp(prefix="logdb_stream_")
+    staging = scratch_dir("logdb_stream_")
     shutil.copy(f"{sf_dir}/events.parquet", f"{staging}/batch0.parquet")
     return staging
 

@@ -112,3 +112,73 @@ def test_mm_feature_extract_shape_and_determinism(spark):
     assert [[r[c] for c in feat_cols] for r in rows] == [
         [r[c] for c in feat_cols] for r in again
     ]
+
+
+def test_multipart_assembly_detects_corruption(spark):
+    """ADVICE r4: the oracle's `intact` column is a tautology (it can
+    only pin intact through assembled_sha), so pin the column's LOGIC
+    here: (a) every fixture payload reassembles intact; (b) dropping a
+    part or swapping two parts' contents changes the assembled sha and
+    flips intact to False — the checksum actually catches wire damage."""
+    import pyspark.sql.functions as F
+
+    from logdb_spark.operators.multimodal import mm_multipart_assembly
+
+    out = mm_multipart_assembly(spark, SF_SMALL)
+    assert out.filter(~F.col("intact")).count() == 0
+
+    # Rebuild the op's part relation, corrupt it two ways, and push it
+    # through the same sort_array(collect_list)+concat+sha tail.
+    from logdb_spark.sources.load import load_table
+
+    docs = load_table(spark, SF_SMALL, "documents").limit(50)
+    n_parts = 3
+    plen = F.ceil(F.length("text") / n_parts).cast("int")
+    parts = docs.select(
+        "doc_id",
+        F.sha2(F.col("text").cast("binary"), 256).alias("src_sha"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_parts - 1))).alias("part_idx"),
+        F.substring(
+            "text", F.col("part_idx") * plen + 1, plen
+        ).alias("part_bytes"),
+    )
+
+    def reassembled_intact(parts_df):
+        return (
+            parts_df.groupBy("doc_id", "src_sha")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("part_idx", "part_bytes"))
+                ).alias("ordered")
+            )
+            .select(
+                "doc_id",
+                (
+                    F.sha2(
+                        F.array_join(
+                            F.transform("ordered", lambda s: s.part_bytes), ""
+                        ).cast("binary"),
+                        256,
+                    )
+                    == F.col("src_sha")
+                ).alias("intact"),
+            )
+        )
+
+    dropped = parts.filter(F.col("part_idx") != 1)
+    swapped = parts.withColumn(
+        "part_idx",
+        F.when(F.col("part_idx") == 0, 1)
+        .when(F.col("part_idx") == 1, 0)
+        .otherwise(F.col("part_idx")),
+    )
+    # Non-degenerate payloads (parts differ, middle part non-empty)
+    # must all fail the checksum; intact rows would mean the sha
+    # missed real corruption.
+    assert reassembled_intact(dropped).filter(F.col("intact")).count() == 0
+    n_swap_intact = (
+        reassembled_intact(swapped).filter(F.col("intact")).count()
+    )
+    # swapping identical parts is a no-op; fixture texts make that
+    # vanishingly rare — allow a couple of degenerate collisions.
+    assert n_swap_intact <= 2, f"{n_swap_intact} swapped payloads passed"
