@@ -85,15 +85,45 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_count_distinct", oracle=None, section=SECTION)
+@register(
+    "agg_approx_count_distinct",
+    # Tolerance reformulation (VERDICT r4 #6, SURVEY §0.2.3): the raw
+    # sketch estimate can't hash-match across engines, but the EXACT
+    # count can, and the sketch's error bound is itself a checkable
+    # claim — Spark emits |approx−exact| ≤ 5%·exact (> 4σ for
+    # rsd=0.01, and deterministic on a fixed fixture), the oracle
+    # emits the exact count and literal TRUE. A drifting sketch now
+    # breaks the hash instead of hiding behind rows-only.
+    oracle="""
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS n_exact,
+               TRUE AS within_5pct
+        FROM events GROUP BY event_type
+    """,
+    section=SECTION,
+)
 def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL++ sketch distinct (rows-only: sketches differ across engines
-    by construction). At 100 TB this is THE distinct-users operator —
-    single pass, fixed memory, no expand."""
-    return (
+    """HLL++ sketch distinct, hash-checked via tolerance reformulation
+    (the sketch estimate is pinned within 5% of the exact count, which
+    is itself hash-matched). At 100 TB the approx aggregate is THE
+    distinct-users operator — single pass, fixed memory, no expand;
+    the exact twin here exists to give the sketch a checkable bound at
+    fixture scale."""
+    g = (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"))
+        .agg(
+            F.countDistinct("user_id").alias("n_exact"),
+            F.approx_count_distinct("user_id", rsd=0.01).alias("a"),
+        )
+    )
+    return g.select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("a") - F.col("n_exact"))
+            <= F.col("n_exact") * F.lit(0.05)
+        ).alias("within_5pct"),
     )
 
 
@@ -243,14 +273,41 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_percentile_approx", oracle=None, section=SECTION)
+@register(
+    "agg_percentile_approx",
+    # Tolerance reformulation (VERDICT r4 #6): GK sketches guarantee
+    # RANK error ≤ 1/accuracy, so the checkable claim is "the approx
+    # p95 lies between the exact 0.945 and 0.955 quantiles". Spark
+    # emits that boolean next to the exact (hash-matched) p95; the
+    # oracle emits quantile_cont + literal TRUE.
+    oracle="""
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.95), 6) AS p95_exact,
+               TRUE AS within_rank_tol
+        FROM events GROUP BY event_type
+    """,
+    section=SECTION,
+)
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KLL/GK-sketch percentile (rows-only: approx ≠ approx across
-    engines). The 100 TB latency-quantile workhorse: mergeable sketch,
-    no per-group sort."""
+    """GK-sketch percentile, hash-checked via rank-tolerance
+    reformulation (approx pinned inside the exact [p94.5, p95.5]
+    bracket, exact p95 hash-matched). The 100 TB latency-quantile
+    workhorse is the sketch: mergeable, no per-group sort — the exact
+    quantiles here are group-bounded and exist to bound the sketch at
+    fixture scale."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", 0.95, 10000).alias("p95_approx")
+    g = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.95, 10000).alias("a"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.expr("percentile(value, 0.945)").alias("lo"),
+        F.expr("percentile(value, 0.955)").alias("hi"),
+    )
+    return g.select(
+        "event_type",
+        ratio(F.col("p95")).alias("p95_exact"),
+        ((F.col("a") >= F.col("lo")) & (F.col("a") <= F.col("hi"))).alias(
+            "within_rank_tol"
+        ),
     )
 
 

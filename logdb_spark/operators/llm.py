@@ -1574,6 +1574,119 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Ranked retrieval: fixed query workload (name, terms). Terms come
+# from the fixture vocabulary; scoring is raw-count tf × ln(N/df).
+_SEARCH_QUERIES: list[tuple[str, list[str]]] = [
+    ("hash join", ["hash", "join"]),
+    ("stream window", ["stream", "window"]),
+    ("slow query", ["slow", "query"]),
+]
+_SEARCH_K = 10
+
+
+def _search_oracle() -> str:
+    scored = []
+    for qname, qterms in _SEARCH_QUERIES:
+        terms_sql = " + ".join(
+            f"len(list_filter(toks, t -> t = '{t}'))"
+            f" * ln(CAST(n AS DOUBLE) / df_{t})"
+            for t in qterms
+        )
+        scored.append(
+            f"SELECT '{qname}' AS query, doc_id, {terms_sql} AS s"
+            " FROM d CROSS JOIN stats"
+        )
+    all_terms = sorted({t for _, ts in _SEARCH_QUERIES for t in ts})
+    dfs = ", ".join(
+        f"SUM(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END)"
+        f" AS df_{t}"
+        for t in all_terms
+    )
+    union = " UNION ALL ".join(scored)
+    return f"""
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), stats AS (
+            SELECT COUNT(*) AS n, {dfs} FROM d
+        ), scored AS ({union})
+        SELECT query,
+               CAST(row_number() OVER (
+                   PARTITION BY query ORDER BY s DESC, doc_id) AS INT)
+                   AS rank,
+               doc_id,
+               ROUND(s, 6) AS score
+        FROM scored
+        WHERE s > 0
+        QUALIFY row_number() OVER (
+            PARTITION BY query ORDER BY s DESC, doc_id) <= {_SEARCH_K}
+    """
+
+
+@register("text_search_ranked", oracle=_search_oracle(), section=SECTION)
+def text_search_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked document search — "find the best hits for X" (VERDICT r4
+    missing #2): each query in the fixed workload retrieves its top-10
+    documents by tf·idf (raw term count × ln(N/df)), ties broken by
+    doc_id.
+
+    Scale shape: per-doc term counts are MAP-ONLY higher-order
+    expressions (size(filter(toks, t = term)) — no token explode, no
+    (doc,term) shuffle); N and the per-term document frequencies are
+    ONE bounded agg action (|query vocab| scalars — the "broadcast
+    query-terms join" degenerated to plan-time literals, cheaper
+    still); each query's top-k plans as TakeOrderedAndProject (per-
+    partition heap + merge of k·partitions rows — NO global sort: the
+    plan test pins this), and the final rank is a window over ≤ k
+    rows per query. At 100 TB: one corpus scan per ranked batch, k
+    rows out per query. idf stays in-plan (F.log on literal N/df) so
+    both engines fold the same double expression; the score is
+    ROUND-6 at the boundary only."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    all_terms = sorted({t for _, ts in _SEARCH_QUERIES for t in ts})
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.array_contains(toks, t).cast("int")).alias(f"df_{t}")
+            for t in all_terms
+        ],
+    ).first()  # driver-scalar: N + |query vocab| document frequencies
+    n = stats["n"]
+    parts = []
+    for qname, qterms in _SEARCH_QUERIES:
+        score = None
+        for t in qterms:
+            # closure factory, NOT a default arg: a second lambda param
+            # (even defaulted) makes Spark pass the (element, index)
+            # form and the index lands in the default slot.
+            def _eq(term):
+                return lambda x: x == F.lit(term)
+
+            cnt = F.size(F.filter(toks, _eq(t))).cast("double")
+            term = cnt * F.log(
+                F.lit(float(n)) / F.lit(float(stats[f"df_{t}"]))
+            )
+            score = term if score is None else score + term
+        parts.append(
+            d.select(
+                F.lit(qname).alias("query"), "doc_id", score.alias("s")
+            )
+            .filter(F.col("s") > 0)
+            .orderBy(F.col("s").desc(), "doc_id")
+            .limit(_SEARCH_K)
+        )
+    hits = parts[0]
+    for p in parts[1:]:
+        hits = hits.unionAll(p)
+    w = Window.partitionBy("query").orderBy(F.col("s").desc(), "doc_id")
+    return hits.select(
+        "query",
+        F.row_number().over(w).alias("rank"),
+        "doc_id",
+        ratio(F.col("s")).alias("score"),
+    )
+
+
 @register(
     "text_lang_source_profile",
     oracle="""

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from logdb_spark.functions.numeric import dec4, dround
 from logdb_spark.functions.temporal import ts_str
 from logdb_spark.registry import register
 from logdb_spark.sources.load import load_table
@@ -237,14 +238,39 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sink_compaction", oracle=None, section=SECTION)
+@register(
+    "sink_compaction",
+    # Content-checked compaction (VERDICT r4 #6 — was rows-only on
+    # file counts alone): the oracle recomputes the same engine-
+    # neutral checksums straight from the source events, so a
+    # compaction pass that dropped, duplicated, or corrupted rows
+    # hash-mismatches. files_after is deterministic (one file per day
+    # partition = distinct dates); the raw small-file count is a
+    # filesystem fact the SQL can't see, so it is pinned only as the
+    # boolean "compaction reduced file count".
+    oracle="""
+        SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS INT) AS files_after,
+               TRUE AS fewer_files,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(event_id AS DECIMAL(18,0))) AS BIGINT)
+                   AS sum_event_id,
+               COUNT(DISTINCT user_id) AS n_users,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS sum_value
+        FROM events
+    """,
+    section=SECTION,
+)
 def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction — the operational chore every log store
     runs: a micro-batch ingest leaves many small files; compaction
-    rewrites each day partition to size-targeted files. Emits
-    before/after file counts per partition (rows-only; counts are
-    filesystem facts, not SQL). At 100 TB this is a per-partition
-    rewrite job — embarrassingly parallel, no shuffle (coalesce only
+    rewrites each day partition to one size-targeted file. The emitted
+    row is computed from the RE-READ compacted files (not the source),
+    so the oracle hash pins that compaction preserved content exactly
+    — row count, id checksum, user cardinality, value total — plus
+    the deterministic after-count (one file per partition) and the
+    file-reduction fact. At 100 TB this is a per-partition rewrite
+    job — embarrassingly parallel, no shuffle (coalesce only
     narrows)."""
     import glob
 
@@ -269,11 +295,15 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_before = len(glob.glob(f"{raw}/event_date=*/*.parquet"))
     n_after = len(glob.glob(f"{compacted}/event_date=*/*.parquet"))
-    n_rows_before = spark.read.parquet(raw).count()
-    n_rows_after = spark.read.parquet(compacted).count()
-    return spark.createDataFrame(
-        [(n_before, n_after, n_rows_before, n_rows_after)],
-        "files_before int, files_after int, rows_before bigint, rows_after bigint",
+    return spark.read.parquet(compacted).agg(
+        F.lit(n_after).cast("int").alias("files_after"),
+        F.lit(n_before > n_after).alias("fewer_files"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("event_id").cast("decimal(18,0)"))
+        .cast("bigint")
+        .alias("sum_event_id"),
+        F.countDistinct("user_id").alias("n_users"),
+        dround(F.sum(dec4("value"))).alias("sum_value"),
     )
 
 

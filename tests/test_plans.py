@@ -294,3 +294,21 @@ def test_tail_sampling_is_map_only(spark):
     plan = plan_of(spark, "log_tail_sampling")
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_search_ranked_uses_take_ordered_per_query(spark):
+    """text_search_ranked's per-query top-k must plan as
+    TakeOrderedAndProject (per-partition heap + k-row merge), never a
+    global Sort — and the idf constants are plan-time literals, so no
+    join appears at all (the query-terms 'broadcast' degenerated to
+    folded constants)."""
+    plan = plan_of(spark, "text_search_ranked")
+    assert plan.count("TakeOrderedAndProject") >= 3  # one per query
+    sort_lines = [
+        l for l in plan.splitlines()
+        if l.strip().startswith(("Sort", "* Sort"))
+    ]
+    assert not sort_lines, f"unexpected global sort: {sort_lines}"
+    assert "Exchange SinglePartition" not in plan or plan.count(
+        "Exchange SinglePartition"
+    ) <= 1  # only the final <=30-row rank window may single-partition
