@@ -2696,3 +2696,157 @@ def text_chunk_splitter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_tokens"),
     )
+
+
+@register(
+    "text_pii_scrub",
+    oracle="""
+        WITH msgs AS (
+            SELECT event_type,
+                   'user <u' || CAST(user_id AS VARCHAR)
+                   || '@example.com> from 10.'
+                   || CAST(user_id % 250 AS VARCHAR) || '.'
+                   || CAST(event_id % 250 AS VARCHAR) || '.'
+                   || CAST(CAST(floor(value) AS BIGINT) % 250 AS VARCHAR)
+                   || CASE WHEN user_id % 3 = 0
+                           THEN ' cc <admin' || CAST(user_id AS VARCHAR)
+                                || '@example.com>'
+                           ELSE '' END
+                   || ' action=' || event_type AS msg
+            FROM events
+        ), scrubbed AS (
+            SELECT event_type,
+                   len(regexp_extract_all(msg,
+                       '[a-z0-9]+@example\\.com')) AS n_emails,
+                   len(regexp_extract_all(msg,
+                       '10\\.[0-9]+\\.[0-9]+\\.[0-9]+')) AS n_ips,
+                   regexp_replace(
+                       regexp_replace(msg, '[a-z0-9]+@example\\.com',
+                                      '[EMAIL]', 'g'),
+                       '10\\.[0-9]+\\.[0-9]+\\.[0-9]+', '[IP]', 'g') AS clean
+            FROM msgs
+        )
+        SELECT event_type,
+               COUNT(*) AS n_msgs,
+               CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+               CAST(SUM(n_ips) AS BIGINT) AS n_ips,
+               CAST(SUM(len(clean)) AS BIGINT) AS scrubbed_chars,
+               CAST(SUM(CASE WHEN clean LIKE '%@example.com%'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_leaks
+        FROM scrubbed GROUP BY event_type
+    """,
+    section=SECTION,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the mandatory scrub before log text enters a
+    training corpus: emails and IPv4 addresses are replaced with
+    typed placeholders and the redaction counts audited per event
+    type (n_leaks pins that NOTHING matching the email pattern
+    survives). Synthetic messages are formatted in-query from event
+    fields (the fixture has no raw PII — same round-trip discipline as
+    ingest_raw_loglines), so both engines scrub byte-identical inputs.
+    Map-only regexp work inside whole-stage codegen + one bounded
+    (event_type) shuffle; at 100 TB this runs at scan speed — no UDF,
+    no Python."""
+    ev = load_table(spark, sf_dir, "events")
+    msg = F.concat(
+        F.lit("user <u"),
+        F.col("user_id").cast("string"),
+        F.lit("@example.com> from 10."),
+        (F.col("user_id") % 250).cast("string"),
+        F.lit("."),
+        (F.col("event_id") % 250).cast("string"),
+        F.lit("."),
+        (F.floor("value").cast("bigint") % 250).cast("string"),
+        F.when(
+            F.col("user_id") % 3 == 0,
+            F.concat(
+                F.lit(" cc <admin"),
+                F.col("user_id").cast("string"),
+                F.lit("@example.com>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit(" action="),
+        F.col("event_type"),
+    )
+    email_pat = r"[a-z0-9]+@example\.com"
+    ip_pat = r"10\.[0-9]+\.[0-9]+\.[0-9]+"
+    m = ev.select("event_type", msg.alias("msg"))
+    s = m.select(
+        "event_type",
+        F.regexp_count("msg", F.lit(email_pat)).alias("n_emails"),
+        F.regexp_count("msg", F.lit(ip_pat)).alias("n_ips"),
+        F.regexp_replace(
+            F.regexp_replace("msg", email_pat, "[EMAIL]"),
+            ip_pat,
+            "[IP]",
+        ).alias("clean"),
+    )
+    return s.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_msgs"),
+        F.sum("n_emails").cast("bigint").alias("n_emails"),
+        F.sum("n_ips").cast("bigint").alias("n_ips"),
+        F.sum(F.length("clean")).cast("bigint").alias("scrubbed_chars"),
+        F.sum(F.col("clean").contains("@example.com").cast("int"))
+        .cast("bigint")
+        .alias("n_leaks"),
+    )
+
+
+@register(
+    "text_html_strip",
+    oracle="""
+        WITH wrapped AS (
+            SELECT doc_id, lang, text,
+                   '<div id="d' || CAST(doc_id AS VARCHAR) || '"><p>'
+                   || replace(text, 'join', '<b>join</b>')
+                   || '</p><br/></div>' AS html
+            FROM documents
+        ), stripped AS (
+            SELECT doc_id, lang, text,
+                   len(regexp_extract_all(html, '<[^>]+>')) AS n_tags,
+                   regexp_replace(html, '<[^>]+>', '', 'g') AS clean
+            FROM wrapped
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tags) AS BIGINT) AS tags_removed,
+               CAST(SUM(CASE WHEN clean = text THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_roundtrip_exact,
+               CAST(SUM(len(clean)) AS BIGINT) AS clean_chars
+        FROM stripped GROUP BY lang
+    """,
+    section=SECTION,
+)
+def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markup stripping — the first stage of every web-crawl text
+    pipeline: tags are removed with a single regexp and the result
+    audited against the known-clean source (the markup is synthesized
+    in-query around the fixture text — wrapper div/p/br plus inline
+    <b> around a body token — so "strip returns the original" is an
+    exact, per-document checkable claim; n_roundtrip_exact pins it
+    for every doc). Map-only regexp in whole-stage codegen + one
+    bounded (lang) shuffle — crawl-scale HTML runs at scan speed."""
+    d = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<div id="d'),
+        F.col("doc_id").cast("string"),
+        F.lit('"><p>'),
+        F.replace(F.col("text"), F.lit("join"), F.lit("<b>join</b>")),
+        F.lit("</p><br/></div>"),
+    )
+    tag_pat = r"<[^>]+>"
+    s = d.select(
+        "lang",
+        "text",
+        F.regexp_count(html, F.lit(tag_pat)).alias("n_tags"),
+        F.regexp_replace(html, tag_pat, "").alias("clean"),
+    )
+    return s.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tags").cast("bigint").alias("tags_removed"),
+        F.sum((F.col("clean") == F.col("text")).cast("int"))
+        .cast("bigint")
+        .alias("n_roundtrip_exact"),
+        F.sum(F.length("clean")).cast("bigint").alias("clean_chars"),
+    )

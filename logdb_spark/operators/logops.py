@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from logdb_spark.functions.numeric import dec4, dround, ratio
 from logdb_spark.functions.temporal import ts_str
-from logdb_spark.registry import register
+from logdb_spark.registry import register, track_persist
 from logdb_spark.sources.load import load_table
 from logdb_spark.sources.scratch import scratch_dir
 
@@ -1229,4 +1229,131 @@ def log_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_purchases").cast("bigint").alias("n_purchases"),
         dround(F.col("rev_dec")).alias("revenue"),
         dround(F.sum("rev_dec").over(w)).alias("cumulative_ltv"),
+    )
+
+
+@register(
+    "log_latency_heatmap",
+    oracle="""
+        WITH b AS (
+            SELECT CAST(date_part('hour', ts) AS INT) AS hour_of_day,
+                   CAST(floor(ln(value) / ln(2)) AS INT) AS log2_bucket
+            FROM events WHERE value > 0
+        ), g AS (
+            SELECT hour_of_day, log2_bucket, COUNT(*) AS n
+            FROM b GROUP BY 1, 2
+        )
+        SELECT hour_of_day, log2_bucket, n,
+               ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY hour_of_day), 6)
+                   AS hour_share
+        FROM g
+    """,
+    section=SECTION,
+)
+def log_latency_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day × log2-value heatmap — the latency-distribution
+    dashboard grid ("are the slow requests clustered at peak hours?").
+    Bucket ids are pure map-side arithmetic (the same ln-ratio log2
+    both engines fold identically — agg_histogram_logscale's
+    discipline), so the shuffle carries ≤ 24×~64 cells regardless of
+    input volume; the per-hour share is a window over those bounded
+    cells, not over events. At 100 TB: one scan, one tiny-key
+    shuffle, a 24-partition window."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    cells = ev.groupBy(
+        F.hour("ts").cast("int").alias("hour_of_day"),
+        F.floor(F.log("value") / F.log(F.lit(2.0)))
+        .cast("int")
+        .alias("log2_bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("hour_of_day")
+    return cells.select(
+        "hour_of_day",
+        "log2_bucket",
+        "n",
+        ratio(F.col("n") * F.lit(1.0) / F.sum("n").over(w)).alias(
+            "hour_share"
+        ),
+    )
+
+
+@register(
+    "log_peak_concurrency",
+    oracle="""
+        WITH iv AS (
+            SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+                   user_id,
+                   MIN(date_trunc('second', ts)) AS s,
+                   MAX(date_trunc('second', ts)) AS e
+            FROM events
+            GROUP BY 1, 2
+        ), bounds AS (
+            SELECT event_date, s AS t, 1 AS delta FROM iv
+            UNION ALL
+            SELECT event_date, e + INTERVAL 1 SECOND, -1 FROM iv
+        ), run AS (
+            SELECT event_date,
+                   SUM(delta) OVER (
+                       PARTITION BY event_date
+                       ORDER BY t, delta
+                       ROWS UNBOUNDED PRECEDING) AS conc
+            FROM bounds
+        )
+        SELECT r.event_date,
+               CAST(MAX(conc) AS BIGINT) AS peak_concurrent,
+               CAST(MAX(n_users) AS BIGINT) AS n_users
+        FROM run r
+        JOIN (SELECT event_date, COUNT(*) AS n_users FROM iv GROUP BY 1) u
+          ON u.event_date = r.event_date
+        GROUP BY r.event_date
+    """,
+    section=SECTION,
+)
+def log_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent users per day — the capacity-planning number: a
+    user is "active" from their first to their last event of the day;
+    peak = max of the +1/−1 boundary sweep. The classic interval
+    problem expressed relationally: per-(day,user) intervals (one
+    groupBy), boundary rows (union of +1 starts / −1 ends), a running
+    sum ORDERED WITHIN EACH DAY (day-bounded window partitions — never
+    a global sort), max per day. Tie discipline: at the same second a
+    −1 sorts before a +1 (ORDER BY t, delta), i.e. an ending session
+    closes before a starting one opens — both engines order
+    identically. At 100 TB each day's boundary list is user-bounded,
+    days parallelize across executors."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.groupBy(
+        F.to_date("ts").cast("string").alias("event_date"), "user_id"
+    ).agg(
+        F.min(F.date_trunc("second", "ts")).alias("s"),
+        F.max(F.date_trunc("second", "ts")).alias("e"),
+    )
+    iv = track_persist(iv)  # feeds bounds twice + the per-day user count
+    bounds = iv.select(
+        "event_date", F.col("s").alias("t"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select(
+            "event_date",
+            (F.col("e") + F.expr("INTERVAL 1 SECOND")).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_date")
+        .orderBy("t", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = bounds.select("event_date", F.sum("delta").over(w).alias("conc"))
+    users = iv.groupBy("event_date").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    return (
+        run.groupBy("event_date")
+        .agg(F.max("conc").cast("bigint").alias("peak_concurrent"))
+        .join(users, "event_date")
+        .select(
+            "event_date",
+            "peak_concurrent",
+            F.col("n_users").cast("bigint").alias("n_users"),
+        )
     )

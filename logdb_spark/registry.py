@@ -122,6 +122,10 @@ _R5_NEEDS_ROW_FIRST = (
     # -- new in r5 (no driver row yet; cap cuts here if it must) --
     "text_search_ranked",
     "ingest_text_file",
+    "log_latency_heatmap",
+    "log_peak_concurrency",
+    "text_pii_scrub",
+    "text_html_strip",
 )
 _R2_DRIVER_GREEN = frozenset(
     {
