@@ -770,3 +770,78 @@ def agg_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.lit(n) + 1.0) / F.lit(n)
         ).alias("gini"),
     )
+
+
+@register(
+    "agg_mergeable_rollup",
+    # The merge identity is exact in decimal: per-shard (n, Σv, Σv²)
+    # partials sum to the same totals any direct pass computes, so
+    # mean/variance derived from MERGED partials hash-match the
+    # oracle's direct decimal computation bit-for-bit (doubles appear
+    # only in the final division, rounded 6).
+    oracle="""
+        WITH shard AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   COUNT(*) AS n,
+                   SUM(CAST(value AS DECIMAL(18,4))) AS s,
+                   SUM(CAST(value AS DECIMAL(18,4))
+                       * CAST(value AS DECIMAL(18,4))) AS s2
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type,
+               CAST(SUM(n) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS n_shards,
+               ROUND(CAST(SUM(s) AS DOUBLE) / SUM(n), 6) AS mean_v,
+               ROUND((CAST(SUM(s2) AS DOUBLE)
+                      - CAST(SUM(s) AS DOUBLE) * CAST(SUM(s) AS DOUBLE)
+                        / SUM(n)) / SUM(n), 6) AS var_pop,
+               TRUE AS merge_matches_builtin
+        FROM shard GROUP BY event_type
+    """,
+    section=SECTION,
+)
+def agg_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level mergeable-state aggregation — the algebraic property
+    every 100 TB aggregation pipeline rests on: day-shard partials
+    (n, Σv, Σv²) roll up to global mean/variance WITHOUT re-reading
+    rows, exactly (decimal sums — no float re-association), and the
+    result is pinned against Spark's own single-pass var_pop within
+    1e-6 relative (merge_matches_builtin). This is the shape of
+    incremental daily rollups, tiered storage summaries, and
+    cross-cluster merges: shard partials are tiny, merge is a
+    bounded-key second aggregate, and adding a day never recomputes
+    history."""
+    ev = load_table(spark, sf_dir, "events")
+    shard = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec4("value")).alias("s"),
+        F.sum(dec4("value") * dec4("value")).alias("s2"),
+    )
+    builtin = ev.groupBy("event_type").agg(
+        F.var_pop("value").alias("var_builtin")
+    )
+    merged = shard.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+        F.sum("s").alias("S"),
+        F.sum("s2").alias("S2"),
+    )
+    mean = F.col("S").cast("double") / F.col("n")
+    var = (
+        F.col("S2").cast("double")
+        - F.col("S").cast("double") * F.col("S").cast("double") / F.col("n")
+    ) / F.col("n")
+    return (
+        merged.join(builtin, "event_type")
+        .select(
+            "event_type",
+            "n",
+            "n_shards",
+            ratio(mean).alias("mean_v"),
+            ratio(var).alias("var_pop"),
+            (
+                F.abs(var - F.col("var_builtin"))
+                <= F.greatest(F.lit(1.0), F.col("var_builtin")) * 1e-6
+            ).alias("merge_matches_builtin"),
+        )
+    )

@@ -2850,3 +2850,124 @@ def text_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_roundtrip_exact"),
         F.sum(F.length("clean")).cast("bigint").alias("clean_chars"),
     )
+
+
+@register(
+    "text_normalize_dedup",
+    # The corpus is wired: every doc_id % 7 == 0 gets a reformatted
+    # twin (uppercased, punctuation-wrapped, double-spaced) at
+    # doc_id + 10^9 — the dirty-variant shapes a crawl actually
+    # yields, synthesized in-query (the fixture has no raw dups at
+    # sf0.01; same round-trip discipline as ingest_raw_loglines).
+    # Every twin MUST land in its source's group, so group count and
+    # membership are exact checkable claims, not corpus accidents.
+    oracle="""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000000,
+                   '  ' || replace(upper(text), ' ', '  ') || ' !!'
+            FROM documents WHERE doc_id % 7 = 0
+        ), norm AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(
+                       lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                       ' +', ' ', 'g'))) AS norm_hash
+            FROM corpus
+        )
+        SELECT norm_hash,
+               COUNT(*) AS n_docs,
+               CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id
+        FROM norm
+        GROUP BY norm_hash
+        HAVING COUNT(*) >= 2
+    """,
+    section=SECTION,
+)
+def text_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized exact dedup — the cheap pass every pipeline runs
+    BEFORE near-dup mining: case-fold, strip punctuation, collapse
+    whitespace, then group by the md5 of the canonical form (catches
+    the reformattings dedup_exact's raw-byte hash misses; what
+    survives goes to MinHash). Dirty variants are synthesized
+    in-query for every 7th doc so the normalization provably
+    collapses real reformattings at every fixture scale. Map-only
+    normalization in whole-stage codegen + ONE shuffle on the
+    16-byte hash — the same linear hash-groupBy shape as dedup_exact,
+    so it runs at ingest speed at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    dirty = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + F.lit(1000000000)).alias("doc_id"),
+        F.concat(
+            F.lit("  "),
+            F.replace(F.upper("text"), F.lit(" "), F.lit("  ")),
+            F.lit(" !!"),
+        ).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionAll(dirty)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower("text"), r"[^a-z0-9 ]", " "),
+            r" +",
+            " ",
+        )
+    )
+    return (
+        corpus.select("doc_id", F.md5(norm).alias("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+@register(
+    "text_langid_confusion",
+    oracle="""
+        WITH scored AS (
+            SELECT lang,
+                   len(list_filter(string_split(text,' '),
+                       t -> t IN ('the','a','of')))  AS s_en,
+                   len(list_filter(string_split(text,' '),
+                       t -> t IN ('der','die','das'))) AS s_de,
+                   len(list_filter(string_split(text,' '),
+                       t -> t IN ('le','la','les')))  AS s_fr
+            FROM documents
+        ), guessed AS (
+            SELECT lang AS labeled_lang,
+                   CASE WHEN s_en >= s_de AND s_en >= s_fr THEN 'en'
+                        WHEN s_de >= s_fr THEN 'de'
+                        ELSE 'fr' END AS guessed_lang
+            FROM scored
+        )
+        SELECT labeled_lang, guessed_lang,
+               COUNT(*) AS n_docs,
+               ROUND(COUNT(*) * 1.0 / SUM(COUNT(*))
+                     OVER (PARTITION BY labeled_lang), 6) AS label_share
+        FROM guessed GROUP BY labeled_lang, guessed_lang
+    """,
+    section=SECTION,
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix — the accuracy report for the
+    classifier text_lang_id IS: labeled × guessed cells with per-label
+    shares (the diagonal is recall; off-diagonal cells say which
+    languages the stoplist profile confuses). Composes text_lang_id's
+    exact scoring, then one bounded (3×3) shuffle; the share window
+    runs over ≤9 cells. The report a curator checks before trusting
+    lang-filtered corpus splits."""
+    guessed = text_lang_id(spark, sf_dir)
+    cells = guessed.groupBy("labeled_lang", "guessed_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("labeled_lang")
+    return cells.select(
+        "labeled_lang",
+        "guessed_lang",
+        "n_docs",
+        ratio(F.col("n_docs") * F.lit(1.0) / F.sum("n_docs").over(w)).alias(
+            "label_share"
+        ),
+    )

@@ -1357,3 +1357,61 @@ def log_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_users").cast("bigint").alias("n_users"),
         )
     )
+
+
+# Legal event-sequence transitions for log_state_machine: a funnel-ish
+# protocol (signup opens a session; purchase must come from browsing;
+# error is reachable from any active state but must restart at signup
+# or click). Fixed, arbitrary, and identical in both engines.
+_LEGAL_TRANSITIONS = (
+    "signup>click", "signup>view",
+    "click>click", "click>view", "click>purchase", "click>error",
+    "view>click", "view>view", "view>purchase", "view>error",
+    "purchase>click", "purchase>view",
+    "error>signup", "error>click",
+)
+
+
+@register(
+    "log_state_machine",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        )
+        SELECT prev_type, event_type AS curr_type,
+               (prev_type || '>' || event_type) IN
+                   {tuple(_LEGAL_TRANSITIONS)} AS is_legal,
+               COUNT(*) AS n_transitions
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2, 3
+    """,
+    section=SECTION,
+)
+def log_state_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-protocol validation — per-user transition audit against a
+    fixed legal-transition table ("can a purchase follow a signup
+    directly?"): each user's stream is sequenced once (user-partitioned
+    lag, deterministic (ts, event_id) tiebreak) and the (prev, curr)
+    cells counted with a legality verdict — the report an on-call
+    engineer reads to find protocol-violating clients. One
+    user-bounded window + one 5×5-bounded-key shuffle; at 100 TB the
+    window partitions by user (millions of small partitions, no
+    global order) and the cell table stays constant-size."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    legal = F.concat_ws(">", "prev_type", "event_type").isin(
+        *_LEGAL_TRANSITIONS
+    )
+    return seq.groupBy(
+        "prev_type",
+        F.col("event_type").alias("curr_type"),
+        legal.alias("is_legal"),
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))

@@ -548,3 +548,70 @@ def win_vwap_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         ratio(num / den).alias("vwap"),
     )
+
+
+@register(
+    "win_time_weighted_avg",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id,
+                   CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+                   epoch(date_trunc('second', ts)) AS s,
+                   CAST(value AS DECIMAL(18,4)) AS v
+            FROM events
+        ), seg AS (
+            SELECT user_id, event_date, v,
+                   lead(s) OVER (
+                       PARTITION BY user_id, event_date
+                       ORDER BY s, event_id) - s AS dt
+            FROM e
+        )
+        SELECT user_id, event_date,
+               COUNT(*) AS n_events,
+               CAST(SUM(dt) AS BIGINT) AS active_seconds,
+               ROUND(CAST(SUM(v * dt) AS DOUBLE) / SUM(dt), 6)
+                   AS twa_value
+        FROM seg WHERE dt IS NOT NULL
+        GROUP BY user_id, event_date
+        HAVING SUM(dt) > 0
+    """,
+    section=SECTION,
+)
+def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user-day — the TWAP/telemetry
+    aggregate where each reading holds until the next one: weight =
+    seconds to the next event (lead over the user-day partition,
+    deterministic (s, event_id) tiebreak), so a value that persisted
+    an hour counts 3600× a one-second blip — the plain AVG a naive
+    rollup computes is wrong whenever sampling is irregular. The
+    weighted sum stays exact in decimal (dt integer seconds × dec4
+    value); only the final division is a rounded double. One
+    user-day-bounded window sharing its partitioning with the
+    groupBy: one shuffle total, partitions stay session-sized at any
+    corpus scale."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.to_date("ts").cast("string").alias("event_date"),
+        F.date_trunc("second", "ts").cast("long").alias("s"),
+        dec4("value").alias("v"),
+    )
+    w = Window.partitionBy("user_id", "event_date").orderBy("s", "event_id")
+    seg = ev.select(
+        "user_id",
+        "event_date",
+        "v",
+        (F.lead("s").over(w) - F.col("s")).alias("dt"),
+    ).filter(F.col("dt").isNotNull())
+    return (
+        seg.groupBy("user_id", "event_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("dt").cast("bigint").alias("active_seconds"),
+            ratio(
+                F.sum(F.col("v") * F.col("dt")).cast("double")
+                / F.sum("dt")
+            ).alias("twa_value"),
+        )
+        .filter(F.col("active_seconds") > 0)
+    )

@@ -126,6 +126,11 @@ _R5_NEEDS_ROW_FIRST = (
     "log_peak_concurrency",
     "text_pii_scrub",
     "text_html_strip",
+    "agg_mergeable_rollup",
+    "log_state_machine",
+    "win_time_weighted_avg",
+    "text_normalize_dedup",
+    "text_langid_confusion",
 )
 _R2_DRIVER_GREEN = frozenset(
     {
