@@ -845,3 +845,74 @@ def agg_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("merge_matches_builtin"),
         )
     )
+
+
+@register(
+    "agg_pareto_coverage",
+    # Cumulative decimal comparison stays exact: "covers ≥80%" is
+    # 10·cum ≥ 8·total in DECIMAL arithmetic — no float boundary.
+    oracle="""
+        WITH per_user AS (
+            SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+                   user_id,
+                   SUM(CAST(value AS DECIMAL(18,4))) AS rev
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1, 2
+        ), ranked AS (
+            SELECT event_date, rev,
+                   ROW_NUMBER() OVER w AS rn,
+                   SUM(rev) OVER (
+                       PARTITION BY event_date ORDER BY rev DESC, user_id
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(rev) OVER (PARTITION BY event_date) AS total
+            FROM per_user
+            WINDOW w AS (PARTITION BY event_date ORDER BY rev DESC, user_id)
+        )
+        SELECT event_date,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(MIN(CASE WHEN 10 * cum >= 8 * total THEN rn END)
+                    AS BIGINT) AS k80,
+               ROUND(MIN(CASE WHEN 10 * cum >= 8 * total THEN rn END)
+                     * 1.0 / COUNT(*), 6) AS k80_user_share
+        FROM ranked GROUP BY event_date
+    """,
+    section=SECTION,
+)
+def agg_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily Pareto concentration — "how few buyers drive 80% of the
+    day's revenue": per-(day, user) decimal totals, a day-partitioned
+    descending rank with running share, and k80 = the first rank
+    whose cumulative covers 80% (compared in exact decimal — 10·cum ≥
+    8·total — so the threshold never straddles a float boundary).
+    Window partitions are day-bounded buyer lists; the output is one
+    row per day. The whale-watch companion to agg_gini_revenue's
+    single global index."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    per_user = ev.groupBy(
+        F.to_date("ts").cast("string").alias("event_date"), "user_id"
+    ).agg(F.sum(dec4("value")).alias("rev"))
+    w = Window.partitionBy("event_date").orderBy(
+        F.col("rev").desc(), "user_id"
+    )
+    ranked = per_user.select(
+        "event_date",
+        F.row_number().over(w).alias("rn"),
+        F.sum("rev")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum("rev")
+        .over(Window.partitionBy("event_date"))
+        .alias("total"),
+    )
+    covered = F.when(
+        F.col("cum") * 10 >= F.col("total") * 8, F.col("rn")
+    )
+    return ranked.groupBy("event_date").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.min(covered).cast("bigint").alias("k80"),
+        ratio(F.min(covered) * F.lit(1.0) / F.count(F.lit(1))).alias(
+            "k80_user_share"
+        ),
+    )

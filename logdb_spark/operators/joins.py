@@ -639,3 +639,95 @@ def join_reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("user_id").isNull(), 1)).alias("n_right_only"),
         ratio(matched * 1.0 / F.count(F.lit(1))).alias("match_rate"),
     )
+
+
+@register(
+    "join_scd2_pointintime",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id, event_type,
+                   date_trunc('second', ts) AS ts
+            FROM events WHERE event_type <> 'purchase'
+        ), marked AS (
+            SELECT user_id, event_type, ts, event_id,
+                   CASE WHEN lag(event_type) OVER w IS NULL
+                        OR lag(event_type) OVER w <> event_type
+                        THEN 1 ELSE 0 END AS is_change
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), dim AS (
+            SELECT user_id, event_type AS status, ts AS valid_from,
+                   lead(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS valid_to
+            FROM marked WHERE is_change = 1
+        ), facts AS (
+            SELECT user_id, date_trunc('second', ts) AS ts,
+                   CAST(value AS DECIMAL(18,4)) AS v
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT d.status,
+               COUNT(*) AS n_purchases,
+               CAST(ROUND(SUM(f.v), 2) AS DOUBLE) AS purchase_value
+        FROM facts f
+        JOIN dim d
+          ON d.user_id = f.user_id
+         AND f.ts >= d.valid_from
+         AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+        GROUP BY d.status
+    """,
+    section=SECTION,
+)
+def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against an SCD2 dimension built from the
+    stream itself — the warehouse pattern for "what was the user
+    DOING when the purchase happened": consecutive same-type
+    NON-purchase events compress into validity intervals
+    [valid_from, valid_to) (change detection via user-partitioned
+    lag, interval close via lead — SCD2 history compression;
+    purchases are the facts, so they are excluded from the dimension
+    or every fact would trivially cover itself), and each purchase
+    fact joins the one interval covering its timestamp. The join is EQUI on user_id with
+    the range as a post-join filter, so Catalyst plans a hash/sort-
+    merge join on the user key — never a nested loop; intervals
+    partition each user's timeline, so exactly one row matches per
+    fact. At 100 TB both sides shuffle once on user_id and the
+    per-user interval list is session-sized."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.date_trunc("second", "ts").alias("ts"),
+        "value",
+    )
+    dim_src = ev.filter(F.col("event_type") != "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = dim_src.withColumn(
+        "is_change",
+        (
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type"))
+        ).cast("int"),
+    )
+    dim = (
+        marked.filter(F.col("is_change") == 1)
+        .withColumn("valid_to", F.lead("ts").over(w))
+        .select(
+            F.col("user_id").alias("d_user"),
+            F.col("event_type").alias("status"),
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+        )
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", dec4("value").alias("v")
+    )
+    joined = facts.join(
+        dim,
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+    )
+    return joined.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        dround(F.sum("v")).alias("purchase_value"),
+    )

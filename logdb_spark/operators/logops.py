@@ -1415,3 +1415,108 @@ def log_state_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("curr_type"),
         legal.alias("is_legal"),
     ).agg(F.count(F.lit(1)).alias("n_transitions"))
+
+
+@register(
+    "log_template_mining",
+    oracle="""
+        WITH msgs AS (
+            SELECT CASE event_type
+                   WHEN 'click' THEN
+                       'GET /item/' || CAST(event_id AS VARCHAR)
+                       || ' took ' || CAST(CAST(floor(value * 10) AS BIGINT)
+                                           AS VARCHAR) || 'ms'
+                   WHEN 'error' THEN
+                       'ERR connect timeout after '
+                       || CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR)
+                       || 'ms retry ' || CAST(event_id % 5 AS VARCHAR)
+                   WHEN 'purchase' THEN
+                       'order ' || CAST(event_id AS VARCHAR) || ' amount '
+                       || CAST(CAST(floor(value * 100) AS BIGINT) AS VARCHAR)
+                       || ' cents user ' || CAST(user_id AS VARCHAR)
+                   WHEN 'signup' THEN
+                       'new user ' || CAST(user_id AS VARCHAR)
+                       || ' refcode ' || CAST(event_id % 1000 AS VARCHAR)
+                   ELSE 'view page /p/' || CAST(event_id % 100 AS VARCHAR)
+                        || ' session ' || CAST(user_id AS VARCHAR)
+                   END AS msg
+            FROM events
+        )
+        SELECT regexp_replace(msg, '[0-9]+', '<N>', 'g') AS template,
+               COUNT(*) AS n_msgs,
+               COUNT(DISTINCT msg) AS n_variants
+        FROM msgs GROUP BY 1
+    """,
+    section=SECTION,
+)
+def log_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-template extraction — the Drain-style first step of log
+    intelligence: free-text messages collapse to their constant
+    skeleton (every digit run → <N>) and the engine counts volume and
+    parameter diversity per template; five message shapes are
+    synthesized in-query from event fields (the fixture carries no
+    message text — same round-trip discipline as text_pii_scrub), and
+    the mining must recover exactly those five templates at any
+    scale. Map-only formatting + one regexp + a template-bounded
+    shuffle: at 100 TB the groupBy key cardinality is the number of
+    distinct templates, not messages."""
+    ev = load_table(spark, sf_dir, "events")
+    msg = (
+        F.when(
+            F.col("event_type") == "click",
+            F.concat(
+                F.lit("GET /item/"),
+                F.col("event_id").cast("string"),
+                F.lit(" took "),
+                F.floor(F.col("value") * 10).cast("bigint").cast("string"),
+                F.lit("ms"),
+            ),
+        )
+        .when(
+            F.col("event_type") == "error",
+            F.concat(
+                F.lit("ERR connect timeout after "),
+                F.floor(F.col("value") * 100).cast("bigint").cast("string"),
+                F.lit("ms retry "),
+                (F.col("event_id") % 5).cast("string"),
+            ),
+        )
+        .when(
+            F.col("event_type") == "purchase",
+            F.concat(
+                F.lit("order "),
+                F.col("event_id").cast("string"),
+                F.lit(" amount "),
+                F.floor(F.col("value") * 100).cast("bigint").cast("string"),
+                F.lit(" cents user "),
+                F.col("user_id").cast("string"),
+            ),
+        )
+        .when(
+            F.col("event_type") == "signup",
+            F.concat(
+                F.lit("new user "),
+                F.col("user_id").cast("string"),
+                F.lit(" refcode "),
+                (F.col("event_id") % 1000).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("view page /p/"),
+                (F.col("event_id") % 100).cast("string"),
+                F.lit(" session "),
+                F.col("user_id").cast("string"),
+            )
+        )
+    )
+    return (
+        ev.select(msg.alias("msg"))
+        .groupBy(
+            F.regexp_replace("msg", r"[0-9]+", "<N>").alias("template")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_msgs"),
+            F.countDistinct("msg").alias("n_variants"),
+        )
+    )

@@ -283,3 +283,59 @@ def sample_importance_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("es_key").desc(), "doc_id")
         .limit(_ES_K)
     )
+
+
+@register(
+    "sample_balanced_classes",
+    oracle="""
+        WITH m AS (
+            SELECT MIN(n) AS min_n FROM (
+                SELECT COUNT(*) AS n FROM events GROUP BY event_type)
+        ), ranked AS (
+            SELECT event_type, event_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type
+                       ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+                   ) AS rn
+            FROM events
+        )
+        SELECT event_type,
+               COUNT(*) AS n_kept,
+               CAST(SUM(event_id) AS BIGINT) AS kept_id_sum
+        FROM ranked CROSS JOIN m
+        WHERE rn <= min_n
+        GROUP BY event_type
+    """,
+    section=SECTION,
+)
+def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling — every class capped at the rarest
+    class's count, the standard rebalance before training a classifier
+    on skewed labels: rank the stable md5 key within each class, keep
+    rank ≤ min-class-count (deterministic, consistent under
+    extension — the same discipline as sample_stratified_topk; rate-
+    based sampling cannot promise exact per-class counts). The kept
+    set is pinned by per-class id checksums. One bounded (class)
+    shuffle + a 5-value driver scalar for the cap; per-class window
+    partitions carry one class each."""
+    ev = load_table(spark, sf_dir, "events")
+    min_n = (
+        ev.groupBy("event_type")
+        .count()
+        .agg(F.min("count"))
+        .first()[0]  # driver-scalar: one integer (rarest class size)
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        _hash_key("event_id"), "event_id"
+    )
+    return (
+        ev.select(
+            "event_type", "event_id", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= min_n)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("event_id").cast("bigint").alias("kept_id_sum"),
+        )
+    )

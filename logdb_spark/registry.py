@@ -131,6 +131,10 @@ _R5_NEEDS_ROW_FIRST = (
     "win_time_weighted_avg",
     "text_normalize_dedup",
     "text_langid_confusion",
+    "join_scd2_pointintime",
+    "sample_balanced_classes",
+    "log_template_mining",
+    "agg_pareto_coverage",
 )
 _R2_DRIVER_GREEN = frozenset(
     {
