@@ -447,7 +447,7 @@ def dedup_cluster_assign(
         sym.groupBy("src")
         .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
         .withColumnRenamed("src", "doc_id")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # Contract over the DIRECTED pairs (half the rows of sym — the
     # reversed duplicates contract to the same edges) and symmetrize
@@ -460,7 +460,7 @@ def dedup_cluster_assign(
         .filter(F.col("lsrc") != F.col("ldst"))
         .select(F.col("lsrc").alias("src"), F.col("ldst").alias("dst"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     cedges = ce.union(
         ce.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -471,7 +471,7 @@ def dedup_cluster_assign(
         cedges.groupBy("src")
         .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
         .withColumnRenamed("src", "doc_id")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # Labels strictly decrease until fixpoint, so sum(label) is a
     # convergence checksum — one tiny aggregate action per round.
@@ -493,7 +493,7 @@ def dedup_cluster_assign(
         labels = (
             combined.join(hop, combined.label == hop.l_id, "left")
             .select("doc_id", F.coalesce("l_lab", "label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         nxt_sum = labels.agg(F.sum("label")).collect()[0][0]  # driver-scalar: one 8-byte sum
         if nxt_sum == checksum:
