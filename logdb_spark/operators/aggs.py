@@ -916,3 +916,74 @@ def agg_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k80_user_share"
         ),
     )
+
+
+@register(
+    "agg_histogram_percentile",
+    # Deterministic mergeable percentile: the p95 BUCKET from exact
+    # log2-bucket counts (20·cum ≥ 19·n compared in integers — no
+    # float boundary, no sketch nondeterminism). Bucket-resolution
+    # error is the documented trade; the answer is bit-stable.
+    oracle="""
+        WITH b AS (
+            SELECT event_type,
+                   CAST(floor(ln(value) / ln(2)) AS INT) AS bucket
+            FROM events WHERE value > 0
+        ), g AS (
+            SELECT event_type, bucket, COUNT(*) AS c
+            FROM b GROUP BY 1, 2
+        ), cum AS (
+            SELECT event_type, bucket, c,
+                   SUM(c) OVER (PARTITION BY event_type ORDER BY bucket
+                                ROWS UNBOUNDED PRECEDING) AS cc,
+                   SUM(c) OVER (PARTITION BY event_type) AS n
+            FROM g
+        )
+        SELECT event_type,
+               CAST(MAX(n) AS BIGINT) AS n,
+               CAST(MIN(CASE WHEN 20 * cc >= 19 * n THEN bucket END)
+                    AS INT) AS p95_bucket,
+               CAST(ROUND(pow(2, MIN(CASE WHEN 20 * cc >= 19 * n
+                                          THEN bucket END)), 6) AS DOUBLE)
+                   AS p95_lo,
+               CAST(ROUND(pow(2, MIN(CASE WHEN 20 * cc >= 19 * n
+                                          THEN bucket END) + 1), 6) AS DOUBLE)
+                   AS p95_hi
+        FROM cum GROUP BY event_type
+    """,
+    section=SECTION,
+)
+def agg_histogram_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-histogram percentile — the DETERMINISTIC mergeable
+    alternative to GK sketches: exact log2-bucket counts (mergeable
+    integers — shards sum, like agg_mergeable_rollup), cumulative
+    over the ≤~64 bucket rows, p95 = first bucket where 20·cum ≥
+    19·n in pure integer arithmetic. Same answer on every engine,
+    every run, every merge order; resolution is one power-of-two
+    bucket (constant relative error) — the trade observability
+    systems standardize on. The window runs over bucket rows, never
+    events."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    bucket = F.floor(F.log("value") / F.log(F.lit(2.0))).cast("int")
+    g = ev.groupBy(
+        "event_type", bucket.alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type")
+    cum = g.select(
+        "event_type",
+        "bucket",
+        F.sum("c").over(wb).alias("cc"),
+        F.sum("c").over(wt).alias("n"),
+    )
+    hit = F.when(F.col("cc") * 20 >= F.col("n") * 19, F.col("bucket"))
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.min(hit).cast("int").alias("p95_bucket"),
+        ratio(F.pow(F.lit(2.0), F.min(hit))).alias("p95_lo"),
+        ratio(F.pow(F.lit(2.0), F.min(hit) + 1)).alias("p95_hi"),
+    )

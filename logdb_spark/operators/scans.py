@@ -948,3 +948,55 @@ def ingest_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
         fields["rec_type"].alias("rec_type"),
         fields["rec_value"].cast("double").alias("rec_value"),
     )
+
+
+@register(
+    "sink_idempotent_retry",
+    oracle="""
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+               COUNT(DISTINCT user_id) AS n_users,
+               CAST(2 AS INT) AS n_attempts,
+               TRUE AS no_double_count
+        FROM events
+    """,
+    section=SECTION,
+)
+def sink_idempotent_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once output under task/job retry — the commit-protocol
+    property every production sink needs: a job that runs TWICE (the
+    retry writes a second complete copy under attempt=2) must still
+    be read exactly once. The reader resolves the manifest — the
+    highest complete attempt directory — and scans only it; the
+    checksums hash-match the source, so a double-count or a
+    partial-attempt read fails the gate (no_double_count re-checks
+    it in-plan against a both-attempts scan). This is the
+    directory-commit idiom of FileOutputCommitter/manifest tables,
+    exercised end-to-end; at 100 TB attempts are object-store
+    prefixes and the manifest is the atomically-swapped pointer."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    root = scratch_dir("logdb_retry_")
+    # two complete attempts — the retry wrote everything again
+    for attempt in (1, 2):
+        ev.write.mode("overwrite").parquet(f"{root}/attempt={attempt}")
+    import os
+
+    attempts = sorted(
+        int(d.split("=")[1])
+        for d in os.listdir(root)
+        if d.startswith("attempt=")
+    )
+    chosen = f"{root}/attempt={attempts[-1]}"
+    committed = spark.read.parquet(chosen)
+    both = spark.read.option("basePath", root).parquet(root)
+    n_both = both.count()
+    n_one = committed.count()
+    return committed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").cast("bigint").alias("sum_ids"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.lit(len(attempts)).cast("int").alias("n_attempts"),
+        F.lit(n_both == 2 * n_one).alias("no_double_count"),
+    )

@@ -615,3 +615,73 @@ def win_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("active_seconds") > 0)
     )
+
+
+@register(
+    "win_drawdown",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id,
+                   epoch(date_trunc('second', ts)) AS s,
+                   CASE WHEN event_type = 'error'
+                        THEN -CAST(value AS DECIMAL(18,4))
+                        ELSE  CAST(value AS DECIMAL(18,4)) END AS signed_v
+            FROM events
+        ), curve0 AS (
+            SELECT user_id, s, event_id,
+                   SUM(signed_v) OVER (
+                       PARTITION BY user_id ORDER BY s, event_id
+                       ROWS UNBOUNDED PRECEDING) AS equity
+            FROM e
+        ), curve AS (
+            SELECT user_id, equity,
+                   MAX(equity) OVER (
+                       PARTITION BY user_id ORDER BY s, event_id
+                       ROWS UNBOUNDED PRECEDING) AS peak
+            FROM curve0
+        )
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               CAST(ROUND(MAX(peak - equity), 2) AS DOUBLE)
+                   AS max_drawdown,
+               CAST(ROUND(MAX(CASE WHEN peak = equity THEN equity END), 2)
+                    AS DOUBLE) AS high_water_mark
+        FROM curve GROUP BY user_id
+    """,
+    section=SECTION,
+)
+def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user over a signed value curve (errors
+    subtract, everything else adds) — the "how far below its best did
+    this account/SLO balance fall" metric, computed as running-max of
+    the running sum minus the current sum: two COMPOSED frames over
+    ONE user-partitioned ordering, so Catalyst evaluates both in a
+    single WindowExec pass (one shuffle). Every accumulator is exact
+    decimal — the drawdown maxima hash-match cross-engine with no
+    float re-association — and rounding happens only at the output
+    boundary. Session-sized partitions at any corpus scale."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.date_trunc("second", "ts").cast("long").alias("s"),
+        F.when(
+            F.col("event_type") == "error", -dec4("value")
+        )
+        .otherwise(dec4("value"))
+        .alias("signed_v"),
+    )
+    ord_w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    run = ord_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    equity = F.sum("signed_v").over(run)
+    curve = ev.select(
+        "user_id",
+        equity.alias("equity"),
+        F.max(equity).over(run).alias("peak"),
+    )
+    return curve.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dround(F.max(F.col("peak") - F.col("equity"))).alias("max_drawdown"),
+        dround(
+            F.max(F.when(F.col("peak") == F.col("equity"), F.col("equity")))
+        ).alias("high_water_mark"),
+    )

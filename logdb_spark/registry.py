@@ -135,6 +135,9 @@ _R5_NEEDS_ROW_FIRST = (
     "sample_balanced_classes",
     "log_template_mining",
     "agg_pareto_coverage",
+    "win_drawdown",
+    "agg_histogram_percentile",
+    "sink_idempotent_retry",
 )
 _R2_DRIVER_GREEN = frozenset(
     {
