@@ -731,3 +731,70 @@ def join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"),
         dround(F.sum("v")).alias("purchase_value"),
     )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+        WITH p AS (
+            SELECT event_id AS p_id, user_id,
+                   epoch(date_trunc('second', ts)) AS p_s
+            FROM events WHERE event_type = 'purchase'
+        ), c AS (
+            SELECT event_id AS c_id, user_id,
+                   epoch(date_trunc('second', ts)) AS c_s
+            FROM events WHERE event_type = 'click'
+        ), pairs AS (
+            SELECT p.p_id, p.user_id, c.c_id,
+                   abs(c.c_s - p.p_s) AS gap_s,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.p_id
+                       ORDER BY abs(c.c_s - p.p_s), c.c_s, c.c_id
+                   ) AS rn
+            FROM p JOIN c ON c.user_id = p.user_id
+        )
+        SELECT p_id AS purchase_id, user_id, c_id AS nearest_click_id,
+               CAST(gap_s AS BIGINT) AS gap_s
+        FROM pairs WHERE rn = 1
+    """,
+    section=SECTION,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join — either direction: each purchase pairs with
+    the same user's closest click in absolute time (the sensor-
+    alignment variant of as-of; backward/forward joins exist as
+    siblings, this one answers "what click is this purchase most
+    contemporaneous with"). Deterministic tie-break: smaller gap,
+    then earlier click, then click id. The join is EQUI on user_id —
+    hash join, candidate set bounded by per-user activity — and the
+    pick is a purchase-partitioned row_number over those bounded
+    candidates. At 100 TB: one shuffle on user_id, per-purchase
+    candidate lists session-sized."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.date_trunc("second", "ts").cast("long").alias("s"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("s").alias("p_s")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("s").alias("c_s"),
+    )
+    pairs = p.join(c, p.user_id == c.c_user).withColumn(
+        "gap_s", F.abs(F.col("c_s") - F.col("p_s"))
+    )
+    w = Window.partitionBy("p_id").orderBy("gap_s", "c_s", "c_id")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("p_id").alias("purchase_id"),
+            "user_id",
+            F.col("c_id").alias("nearest_click_id"),
+            F.col("gap_s").cast("bigint").alias("gap_s"),
+        )
+    )

@@ -1520,3 +1520,125 @@ def log_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("msg").alias("n_variants"),
         )
     )
+
+
+@register(
+    "log_top_movers",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS d,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ), delta AS (
+            SELECT event_type, d, n,
+                   n - lag(n) OVER (PARTITION BY event_type ORDER BY d)
+                       AS delta
+            FROM daily
+        )
+        SELECT event_type, d, n, CAST(delta AS BIGINT) AS delta
+        FROM delta WHERE delta IS NOT NULL
+        ORDER BY abs(delta) DESC, event_type, d
+        LIMIT 15
+    """,
+    section=SECTION,
+)
+def log_top_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top day-over-day volume movers — the "what changed since
+    yesterday" triage list: daily counts per type (bounded-cell agg),
+    lag delta within each type's calendar (≤ #days rows per
+    partition), then the 15 largest absolute swings via
+    TakeOrderedAndProject — heap-k over the tiny delta relation,
+    never a global sort. Everything after the first agg runs on
+    #types × #days rows regardless of input volume."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").cast("string").alias("d")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    delta = daily.withColumn(
+        "delta", F.col("n") - F.lag("n").over(w)
+    ).filter(F.col("delta").isNotNull())
+    return (
+        delta.select(
+            "event_type", "d", "n", F.col("delta").cast("bigint").alias("delta")
+        )
+        .orderBy(F.abs("delta").desc(), "event_type", "d")
+        .limit(15)
+    )
+
+
+@register(
+    "log_canary_compare",
+    oracle="""
+        WITH assigned AS (
+            SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                             < '2'
+                        THEN 'canary' ELSE 'control' END AS cohort,
+                   CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+            FROM events
+        ), g AS (
+            SELECT cohort, COUNT(*) AS n, SUM(is_err) AS e
+            FROM assigned GROUP BY cohort
+        ), wide AS (
+            SELECT MAX(CASE WHEN cohort = 'control' THEN n END) AS n_control,
+                   MAX(CASE WHEN cohort = 'control' THEN e END) AS e_control,
+                   MAX(CASE WHEN cohort = 'canary' THEN n END) AS n_canary,
+                   MAX(CASE WHEN cohort = 'canary' THEN e END) AS e_canary
+            FROM g
+        )
+        SELECT CAST(n_control AS BIGINT) AS n_control,
+               CAST(n_canary AS BIGINT) AS n_canary,
+               ROUND(e_control * 1.0 / n_control, 6) AS err_control,
+               ROUND(e_canary * 1.0 / n_canary, 6) AS err_canary,
+               ROUND((e_canary * 1.0 / n_canary - e_control * 1.0 / n_control)
+                     / sqrt((e_control + e_canary) * 1.0
+                            / (n_control + n_canary)
+                            * (1 - (e_control + e_canary) * 1.0
+                                   / (n_control + n_canary))
+                            * (1.0 / n_control + 1.0 / n_canary)), 6)
+                   AS z_score
+        FROM wide
+    """,
+    section=SECTION,
+)
+def log_canary_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canary-vs-control release gate — the two-proportion z-test on
+    error rates every progressive-delivery controller runs: users
+    hash-split ~1/8 into the canary cohort (deterministic md5 prefix,
+    the same keying the samplers use), per-cohort error counts in one
+    bounded agg, then the pooled z-score as pure arithmetic on four
+    integers — identical double expression both engines, rounded at
+    the boundary. One scan, one 2-row shuffle; cohort assignment is
+    map-only so the gate runs at any traffic volume."""
+    ev = load_table(spark, sf_dir, "events")
+    cohort = F.when(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 1) < "2",
+        "canary",
+    ).otherwise("control")
+    g = ev.groupBy(cohort.alias("cohort")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("event_type") == "error").cast("int")).alias("e"),
+    )
+    wide = g.agg(
+        F.max(F.when(F.col("cohort") == "control", F.col("n"))).alias("n_control"),
+        F.max(F.when(F.col("cohort") == "control", F.col("e"))).alias("e_control"),
+        F.max(F.when(F.col("cohort") == "canary", F.col("n"))).alias("n_canary"),
+        F.max(F.when(F.col("cohort") == "canary", F.col("e"))).alias("e_canary"),
+    )
+    p_c = F.col("e_control") * F.lit(1.0) / F.col("n_control")
+    p_x = F.col("e_canary") * F.lit(1.0) / F.col("n_canary")
+    pool = (F.col("e_control") + F.col("e_canary")) * F.lit(1.0) / (
+        F.col("n_control") + F.col("n_canary")
+    )
+    z = (p_x - p_c) / F.sqrt(
+        pool
+        * (F.lit(1) - pool)
+        * (F.lit(1.0) / F.col("n_control") + F.lit(1.0) / F.col("n_canary"))
+    )
+    return wide.select(
+        F.col("n_control").cast("bigint").alias("n_control"),
+        F.col("n_canary").cast("bigint").alias("n_canary"),
+        ratio(p_c).alias("err_control"),
+        ratio(p_x).alias("err_canary"),
+        ratio(z).alias("z_score"),
+    )

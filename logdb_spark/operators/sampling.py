@@ -339,3 +339,50 @@ def sample_balanced_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("event_id").cast("bigint").alias("kept_id_sum"),
         )
     )
+
+
+@register(
+    "sample_leakage_safe_split",
+    oracle="""
+        WITH assigned AS (
+            SELECT user_id, event_id,
+                   CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 2)
+                             < 'cc' THEN 'train'
+                        WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 2)
+                             < 'e6' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM events
+        )
+        SELECT split,
+               COUNT(DISTINCT user_id) AS n_users,
+               COUNT(*) AS n_events,
+               TRUE AS no_user_leakage
+        FROM assigned GROUP BY split
+    """,
+    section=SECTION,
+)
+def sample_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split — by USER, not by row: every
+    event of a user lands in the same split (keying the md5 on
+    user_id — rows from one entity straddling train and test is the
+    classic evaluation leak), ~80/10/10 by hash prefix, byte-
+    reproducible on any cluster layout. no_user_leakage is computed
+    in-plan (count of users appearing in >1 split must be zero), not
+    assumed. Map-only assignment + one bounded (split) agg."""
+    ev = load_table(spark, sf_dir, "events")
+    key2 = F.substring(F.md5(F.col("user_id").cast("string")), 1, 2)
+    split = (
+        F.when(key2 < "cc", "train").when(key2 < "e6", "val").otherwise("test")
+    )
+    assigned = ev.select("user_id", "event_id", split.alias("split"))
+    leaks = (
+        assigned.groupBy("user_id")
+        .agg(F.countDistinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )  # driver-scalar: one integer (must be 0)
+    return assigned.groupBy("split").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.lit(leaks == 0).alias("no_user_leakage"),
+    )

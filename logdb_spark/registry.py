@@ -138,6 +138,10 @@ _R5_NEEDS_ROW_FIRST = (
     "win_drawdown",
     "agg_histogram_percentile",
     "sink_idempotent_retry",
+    "join_asof_nearest",
+    "log_top_movers",
+    "log_canary_compare",
+    "sample_leakage_safe_split",
 )
 _R2_DRIVER_GREEN = frozenset(
     {
