@@ -2971,3 +2971,116 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label_share"
         ),
     )
+
+
+@register(
+    "sim_neighbor_stats_tiled",
+    # Exact all-pairs cosine neighbor statistics; the oracle recomputes
+    # the full n² matrix relationally. Double discipline: each side
+    # sums 64-term dot products in its own order (numpy pairwise vs
+    # SQL sequential) — the ~1e-15 relative difference vanishes under
+    # ROUND 6, and threshold counts flip only if a cosine sits within
+    # an ulp of 0.4 (fixture-checked not to).
+    oracle="""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), n AS (
+            SELECT vec_id, v,
+                   sqrt(list_aggregate(list_transform(v, x -> x * x),
+                                       'sum')) AS nrm
+            FROM e
+        ), p AS (
+            SELECT a.vec_id AS vec_id,
+                   list_aggregate(list_transform(list_zip(a.v, b.v),
+                                                 t -> t[1] * t[2]), 'sum')
+                       / (a.nrm * b.nrm) AS cos
+            FROM n a JOIN n b ON a.vec_id <> b.vec_id
+        )
+        SELECT vec_id,
+               CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+               ROUND(AVG(cos), 6) AS mean_sim
+        FROM p WHERE cos >= 0.4
+        GROUP BY vec_id
+    """,
+    section=SECTION,
+)
+def sim_neighbor_stats_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector neighborhood statistics over the EXACT all-pairs
+    cosine matrix — the density profile an embedding-dedup run is
+    tuned against (how many ≥0.4 neighbors does each vector have, and
+    how similar are they). Computed with the same tiled BLAS-gemm
+    kernel as the bigram dedup sweep (cache-blocked float64 matmul —
+    bandwidth-immune under full-core concurrency; see
+    _tiled_bitmask_pairs): vectors hash into blocks, every block pair
+    becomes one Arrow tile, each tile emits per-row partial
+    (count, sum) pairs, and one bounded groupBy merges partials. At
+    100 TB the tiling bounds memory to one tile; this op stays the
+    declared O(n²) exact profile (the ANN ops are the serving path)."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    e = track_persist(e)
+    n_vecs = e.count()
+    n_blocks = max(2, -(-n_vecs // 600))
+    block = e.groupBy(
+        (F.col("vec_id") % n_blocks).cast("int").alias("blk")
+    ).agg(F.collect_list(F.struct("vec_id", "embedding")).alias("vecs"))
+    tiles = (
+        block.alias("x")
+        .join(block.alias("y"), F.lit(True))
+        .select(
+            F.col("x.vecs").alias("vecs_a"), F.col("y.vecs").alias("vecs_b")
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+
+    def tile_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def unpack(cell):
+            ids = np.array([r["vec_id"] for r in cell], dtype=np.int64)
+            m = np.array([r["embedding"] for r in cell], dtype=np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            return ids, m
+
+        for pdf in batches:
+            outs = []
+            for vecs_a, vecs_b in zip(pdf["vecs_a"], pdf["vecs_b"]):
+                ia, ma = unpack(vecs_a)
+                ib, mb = unpack(vecs_b)
+                cos = ma @ mb.T
+                hit = (cos >= 0.4) & (ia[:, None] != ib[None, :])
+                outs.append(
+                    (
+                        ia,
+                        hit.sum(axis=1).astype(np.int64),
+                        np.where(hit, cos, 0.0).sum(axis=1),
+                    )
+                )
+            empty = np.array([], dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.concatenate([o[0] for o in outs])
+                    if outs
+                    else empty,
+                    "cnt": np.concatenate([o[1] for o in outs])
+                    if outs
+                    else empty,
+                    "s": np.concatenate([o[2] for o in outs])
+                    if outs
+                    else empty.astype(float),
+                }
+            )
+
+    partials = tiles.mapInPandas(
+        tile_kernel, "vec_id bigint, cnt bigint, s double"
+    )
+    return (
+        partials.groupBy("vec_id")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_neighbors"),
+            (F.sum("s") / F.sum("cnt")).alias("m"),
+        )
+        .filter(F.col("n_neighbors") > 0)
+        .select("vec_id", "n_neighbors", ratio(F.col("m")).alias("mean_sim"))
+    )

@@ -1642,3 +1642,34 @@ def log_canary_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio(p_x).alias("err_canary"),
         ratio(z).alias("z_score"),
     )
+
+
+@register(
+    "log_availability_calendar",
+    oracle="""
+        SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+               event_type,
+               COUNT(DISTINCT date_trunc('minute', ts)) AS minutes_seen,
+               ROUND(COUNT(DISTINCT date_trunc('minute', ts)) / 1440.0, 6)
+                   AS day_coverage
+        FROM events
+        GROUP BY 1, 2
+    """,
+    section=SECTION,
+)
+def log_availability_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heartbeat coverage calendar — "which minutes of which days did
+    this signal actually report": distinct observed minutes per
+    (day, type) over the 1440-minute day, the missing-data audit that
+    gates every downstream rate computation (an error-rate over a
+    silent hour is a lie). COUNT(DISTINCT minute) plans as a two-
+    phase expand+agg on day-bounded keys; cells stay ≤ days × types
+    regardless of event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    minutes = F.countDistinct(F.date_trunc("minute", "ts"))
+    return ev.groupBy(
+        F.to_date("ts").cast("string").alias("event_date"), "event_type"
+    ).agg(
+        minutes.alias("minutes_seen"),
+        ratio(minutes / F.lit(1440.0)).alias("day_coverage"),
+    )

@@ -18,7 +18,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -430,4 +430,90 @@ def mm_multipart_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_parts",
         "assembled_sha",
         (F.col("assembled_sha") == F.col("src_sha")).alias("intact"),
+    )
+
+
+@register(
+    "mm_scene_segments",
+    oracle="""
+        WITH frames AS (
+            SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+                   unnest(range(0, octet_length(encode(text)), 100))
+                       AS frame_offset,
+                   text
+            FROM documents WHERE doc_id % 3 = 2
+        ), hashed AS (
+            SELECT doc_id, frame_offset,
+                   md5(substring(text, CAST(frame_offset AS INT) + 1, 100))
+                       AS frame_sig
+            FROM frames
+        ), flagged AS (
+            SELECT doc_id, frame_offset, frame_sig,
+                   CASE WHEN lag(frame_sig) OVER w IS NULL
+                        OR lag(frame_sig) OVER w <> frame_sig
+                        THEN 1 ELSE 0 END AS is_cut
+            FROM hashed
+            WINDOW w AS (PARTITION BY doc_id ORDER BY frame_offset)
+        ), segged AS (
+            SELECT doc_id, frame_offset,
+                   SUM(is_cut) OVER (
+                       PARTITION BY doc_id ORDER BY frame_offset
+                       ROWS UNBOUNDED PRECEDING) AS segment_id
+            FROM flagged
+        )
+        SELECT doc_id, CAST(segment_id AS BIGINT) AS segment_id,
+               COUNT(*) AS n_frames,
+               CAST(MIN(frame_offset) AS BIGINT) AS seg_start,
+               CAST(MAX(frame_offset) AS BIGINT) AS seg_last_frame
+        FROM segged GROUP BY doc_id, segment_id
+    """,
+    section=SECTION,
+)
+def mm_scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene segmentation over sampled frames — the step after
+    mm_frame_sample in a video pipeline: consecutive frames with the
+    same content signature merge into one scene (cut detection via
+    doc-partitioned lag on the frame signature, segment numbering via
+    the gaps-and-islands running sum — a real detector would swap the
+    md5 of the byte window for a perceptual hash; the distributed
+    shape is identical). Per-doc windows stay frame-count-bounded;
+    one shuffle on doc_id shared by both window steps and the final
+    segment aggregate."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 2)
+    n_bytes = F.length(F.col("text").cast("binary")).cast("bigint")
+    frames = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(0), n_bytes - 1, F.lit(100))).alias(
+            "frame_offset"
+        ),
+    ).select(
+        "doc_id",
+        "frame_offset",
+        F.md5(
+            F.substring(
+                "text", F.col("frame_offset").cast("int") + 1, 100
+            )
+        ).alias("frame_sig"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_offset")
+    flagged = frames.withColumn(
+        "is_cut",
+        (
+            F.lag("frame_sig").over(w).isNull()
+            | (F.lag("frame_sig").over(w) != F.col("frame_sig"))
+        ).cast("int"),
+    )
+    segged = flagged.withColumn(
+        "segment_id",
+        F.sum("is_cut").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return segged.groupBy(
+        "doc_id", F.col("segment_id").cast("bigint").alias("segment_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.min("frame_offset").cast("bigint").alias("seg_start"),
+        F.max("frame_offset").cast("bigint").alias("seg_last_frame"),
     )

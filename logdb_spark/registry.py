@@ -142,6 +142,9 @@ _R5_NEEDS_ROW_FIRST = (
     "log_top_movers",
     "log_canary_compare",
     "sample_leakage_safe_split",
+    "mm_scene_segments",
+    "log_availability_calendar",
+    "sim_neighbor_stats_tiled",
 )
 _R2_DRIVER_GREEN = frozenset(
     {

@@ -128,6 +128,7 @@ NESTED_LOOP_ALLOWED = {
     "join_cross",  # 5×5 deliberate cross product
     "dedup_near_jaccard",  # exact O(n²) ground-truth path (broadcast)
     "dedup_ngram_jaccard",  # same pair kernel over bigram shingles
+    "sim_neighbor_stats_tiled",  # deliberate block-pair tile cross (nb² rows)
     "dedup_embedding_cosine",  # exact O(n²) ground-truth path (broadcast)
     "sim_topk_cosine",  # 1-row probe broadcast
     "sim_batch_topk",  # 5-row probe-batch broadcast
