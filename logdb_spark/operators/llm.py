@@ -3084,3 +3084,56 @@ def sim_neighbor_stats_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_neighbors") > 0)
         .select("vec_id", "n_neighbors", ratio(F.col("m")).alias("mean_sim"))
     )
+
+
+@register(
+    "text_vocab_growth",
+    oracle="""
+        WITH firsts AS (
+            SELECT token, MIN(doc_id) AS first_doc
+            FROM (
+                SELECT doc_id,
+                       unnest(list_distinct(string_split(text, ' ')))
+                           AS token
+                FROM documents
+            ) GROUP BY token
+        ), ks AS (
+            SELECT unnest([10, 25, 50, 100, 250, 500]) AS k
+        )
+        SELECT k,
+               CAST(COUNT(*) FILTER (WHERE first_doc < k) AS BIGINT)
+                   AS vocab_size
+        FROM ks CROSS JOIN firsts
+        GROUP BY k
+    """,
+    section=SECTION,
+)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law diagnostic) — "how fast
+    does this corpus stop surprising the tokenizer": distinct vocab
+    size after the first k documents, for a fixed k ladder. Computed
+    from each token's FIRST document (one token-keyed min — the
+    token stream shuffles once on the vocab-bounded key) and a
+    broadcast k-ladder join; no per-k rescan, no running distinct
+    over documents. The curve a curator reads to size tokenizer
+    vocabularies and spot template-heavy (flat-curve) corpora."""
+    d = load_table(spark, sf_dir, "documents")
+    firsts = (
+        d.select(
+            "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    ks = spark.createDataFrame(
+        [(k,) for k in (10, 25, 50, 100, 250, 500)], "k int"
+    )
+    return (
+        firsts.join(F.broadcast(ks), F.lit(True))
+        .groupBy("k")
+        .agg(
+            F.count(F.when(F.col("first_doc") < F.col("k"), 1))
+            .cast("bigint")
+            .alias("vocab_size")
+        )
+    )

@@ -1673,3 +1673,83 @@ def log_availability_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         minutes.alias("minutes_seen"),
         ratio(minutes / F.lit(1440.0)).alias("day_coverage"),
     )
+
+
+@register(
+    "log_adaptive_threshold",
+    oracle="""
+        WITH thr AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.99) AS p99
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               CAST(CAST(e.ts AS DATE) AS VARCHAR) AS event_date,
+               COUNT(*) FILTER (WHERE e.value > t.p99) AS n_breaches,
+               COUNT(*) AS n_events,
+               ROUND(MAX(t.p99), 6) AS threshold
+        FROM events e JOIN thr t ON t.event_type = e.event_type
+        GROUP BY 1, 2
+    """,
+    section=SECTION,
+)
+def log_adaptive_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-threshold alerting — the static-threshold killer: each
+    signal's alert line is its own p99 (computed once per type,
+    broadcast back — a 5-row dimension), and the report counts daily
+    breaches against it. Composition shape: one bounded percentile
+    agg, one broadcast join (never a shuffle of the fact side for a
+    5-row threshold table), one (type, day)-bounded count. Exact
+    interpolated percentile on both engines; the threshold is rounded
+    only at the output boundary, breach comparison uses the raw
+    double identically on both sides."""
+    ev = load_table(spark, sf_dir, "events")
+    thr = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.99)").alias("p99")
+    )
+    joined = ev.join(F.broadcast(thr), "event_type")
+    return joined.groupBy(
+        "event_type", F.to_date("ts").cast("string").alias("event_date")
+    ).agg(
+        F.count(F.when(F.col("value") > F.col("p99"), 1)).alias("n_breaches"),
+        F.count(F.lit(1)).alias("n_events"),
+        ratio(F.max("p99")).alias("threshold"),
+    )
+
+
+@register(
+    "log_hourly_top_users",
+    oracle="""
+        WITH hourly AS (
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                       AS hour,
+                   user_id, COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT hour, user_id, n, CAST(rn AS INT) AS rank
+        FROM (
+            SELECT hour, user_id, n,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY hour ORDER BY n DESC, user_id) AS rn
+            FROM hourly
+        ) WHERE rn <= 3
+    """,
+    section=SECTION,
+)
+def log_hourly_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 noisiest users per hour — the per-window leaderboard a
+    NOC dashboard cycles through: hourly per-user counts (one
+    bounded (hour, user) agg), then an hour-partitioned rank kept to
+    k=3 with deterministic tiebreak. The window runs over each hour's
+    ACTIVE users (already aggregated — not events), so partitions
+    stay hour-sized and the output is 3 rows per hour forever."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        ts_str(F.date_trunc("hour", "ts")).alias("hour"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("hour").orderBy(F.col("n").desc(), "user_id")
+    return (
+        hourly.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("hour", "user_id", "n", F.col("rank").cast("int").alias("rank"))
+    )

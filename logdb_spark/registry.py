@@ -145,6 +145,9 @@ _R5_NEEDS_ROW_FIRST = (
     "mm_scene_segments",
     "log_availability_calendar",
     "sim_neighbor_stats_tiled",
+    "log_adaptive_threshold",
+    "log_hourly_top_users",
+    "text_vocab_growth",
 )
 _R2_DRIVER_GREEN = frozenset(
     {
