@@ -420,8 +420,12 @@ def dedup_cluster_assign(
          distinct, dropping loops — a clique collapses to one node,
          so the contracted graph is proportional to #clusters, not
          #pairs;
-      3. HashToMin + pointer doubling iterate over the CONTRACTED
-         graph only (one checkpoint + one 8-byte action per round);
+      3. finish components on the CONTRACTED graph — cost-based (r5):
+         below _CC_DRIVER_MAX_EDGES the #clusters-sized graph rides
+         one bounded broadcast-order transfer to a driver union-find
+         (replacing ~6 distributed jobs); past the bound, HashToMin +
+         pointer doubling iterate distributed (_cc_loop, one
+         checkpoint + one 8-byte action per round);
       4. compose ``label = cc(label0(v))`` and left-join back to all
          documents (docs in no pair are fixpoints by construction).
 
@@ -462,6 +466,71 @@ def dedup_cluster_assign(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # Contracted-graph finisher, cost-based (the broadcast-threshold
+    # idiom): the contraction collapsed cliques, so the surviving
+    # graph is #clusters-sized — ~1.2k edges at sf0.1 for a 964k-pair
+    # input. Below _CC_DRIVER_MAX_EDGES, union-find on the driver
+    # replaces ~6 distributed jobs (seed + 2 propagation rounds + 3
+    # convergence actions) with one bounded transfer (≤ 64k × 16 B =
+    # 1 MB — the same order as a broadcast side, tagged and bounded).
+    # Past the bound — a pathological non-clique-y graph at extreme
+    # scale — the HashToMin + pointer-doubling loop below runs
+    # unchanged; the parity pytest and the recursive-CTE oracle pin
+    # both paths to the same components.
+    n_cedges = ce.count()
+    if n_cedges <= _CC_DRIVER_MAX_EDGES:
+        edge_rows = ce.collect()  # driver-scalar: bounded ≤64k contracted edges (≈1 MB), counted above
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edge_rows:
+            ra, rb = find(row[0]), find(row[1])
+            if ra != rb:
+                # union by min: the component minimum stays the root,
+                # matching the component-min labels the oracle pins
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        mapping = [(x, find(x)) for x in parent]
+        labels = spark.createDataFrame(
+            mapping or [(-1, -1)], "doc_id bigint, label bigint"
+        )
+    else:
+        labels = _cc_loop(spark, ce)
+    # Compose cc∘label0, then emit non-members (fixpoints: no edge can
+    # lower their label) via one left join instead of iterating them.
+    cc = labels.select(F.col("doc_id").alias("c_id"), F.col("label").alias("c_lab"))
+    final = l0.join(F.broadcast(cc), l0.label == cc.c_id, "left").select(
+        "doc_id", F.coalesce("c_lab", "label").alias("label")
+    )
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .join(final, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("label", "doc_id").alias("canonical_id"),
+            (F.coalesce("label", "doc_id") != F.col("doc_id")).alias("is_dup"),
+        )
+    )
+
+
+# Driver union-find engages only below this contracted-edge bound;
+# 64k edges ≈ 1 MB — broadcast-sized. See dedup_cluster_assign.
+_CC_DRIVER_MAX_EDGES = 65536
+
+
+def _cc_loop(spark, ce: DataFrame) -> DataFrame:
+    """HashToMin + pointer-doubling label propagation over the
+    contracted graph — the distributed path for contracted graphs too
+    big to finish on the driver. Returns (doc_id, label) with label =
+    component minimum."""
     cedges = ce.union(
         ce.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -501,22 +570,7 @@ def dedup_cluster_assign(
         checksum = nxt_sum
     else:
         raise RuntimeError("label propagation did not converge in 20 rounds")
-    # Compose cc∘label0, then emit non-members (fixpoints: no edge can
-    # lower their label) via one left join instead of iterating them.
-    cc = labels.select(F.col("doc_id").alias("c_id"), F.col("label").alias("c_lab"))
-    final = l0.join(cc, l0.label == cc.c_id, "left").select(
-        "doc_id", F.coalesce("c_lab", "label").alias("label")
-    )
-    return (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .join(final, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("label", "doc_id").alias("canonical_id"),
-            (F.coalesce("label", "doc_id") != F.col("doc_id")).alias("is_dup"),
-        )
-    )
+    return labels
 
 
 _NGRAM_ORACLE = """

@@ -182,3 +182,24 @@ def test_multipart_assembly_detects_corruption(spark):
     # swapping identical parts is a no-op; fixture texts make that
     # vanishingly rare — allow a couple of degenerate collisions.
     assert n_swap_intact <= 2, f"{n_swap_intact} swapped payloads passed"
+
+
+def test_cluster_finisher_driver_matches_loop(spark):
+    """r5: dedup_cluster_assign finishes connected components on the
+    driver (bounded union-find) below _CC_DRIVER_MAX_EDGES and with
+    the distributed HashToMin loop above it — both paths must label
+    identically. Forcing the bound to 0 exercises the loop on the
+    same input."""
+    import logdb_spark.operators.llm as llm
+    from logdb_spark.operators.llm import dedup_cluster_assign
+
+    fast = dedup_cluster_assign(spark, SF_SMALL).orderBy("doc_id").collect()
+    saved = llm._CC_DRIVER_MAX_EDGES
+    try:
+        llm._CC_DRIVER_MAX_EDGES = 0
+        loop = (
+            dedup_cluster_assign(spark, SF_SMALL).orderBy("doc_id").collect()
+        )
+    finally:
+        llm._CC_DRIVER_MAX_EDGES = saved
+    assert fast == loop
