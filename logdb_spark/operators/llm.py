@@ -3191,3 +3191,61 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("vocab_size")
         )
     )
+
+
+@register(
+    "text_bigram_novelty",
+    oracle="""
+        WITH grams AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, len(string_split(text, ' '))),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i + 1]))) AS gram
+            FROM documents
+        ), firsts AS (
+            SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram
+        )
+        SELECT g.doc_id,
+               COUNT(*) AS n_bigrams,
+               CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               ROUND(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                     * 1.0 / COUNT(*), 6) AS novelty
+        FROM grams g JOIN firsts f ON f.gram = g.gram
+        GROUP BY g.doc_id
+    """,
+    section=SECTION,
+)
+def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram novelty — the dedup diagnostic that ranks
+    documents by how much genuinely NEW phrasing they add to the
+    corpus (novelty ≈ 0 means the doc restates earlier material —
+    the first thing a curator inspects when near-dup rates spike):
+    each distinct bigram's first document (one gram-keyed min — the
+    same first-occurrence relation text_vocab_growth uses over
+    unigrams), joined back to score every doc's share of self-first
+    bigrams. Two shuffles on the gram key, both vocab-bounded; the
+    scoring join is gram→docs and never widens past the gram
+    stream."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(F.array_distinct(_BIGRAMS())).alias("gram")
+    )
+    grams = track_persist(grams)  # feeds firsts and the scoring join
+    firsts = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(firsts, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+            .cast("bigint")
+            .alias("n_novel"),
+            ratio(
+                F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+                * F.lit(1.0)
+                / F.count(F.lit(1))
+            ).alias("novelty"),
+        )
+    )

@@ -1753,3 +1753,76 @@ def log_hourly_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("hour", "user_id", "n", F.col("rank").cast("int").alias("rank"))
     )
+
+
+@register(
+    "log_incident_mttr",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id, event_type,
+                   epoch(date_trunc('second', ts)) AS s
+            FROM events
+        ), marked AS (
+            SELECT user_id, event_type, s,
+                   CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err,
+                   CASE WHEN event_type = 'error'
+                        AND COALESCE(lag(event_type) OVER w, '') <> 'error'
+                        THEN 1 ELSE 0 END AS starts_incident,
+                   CASE WHEN event_type <> 'error'
+                        AND COALESCE(lag(event_type) OVER w, '') = 'error'
+                        THEN s - lag(s) OVER w END AS recovery_s
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s, event_id)
+        )
+        SELECT user_id,
+               CAST(SUM(starts_incident) AS BIGINT) AS n_incidents,
+               CAST(SUM(is_err) AS BIGINT) AS n_error_events,
+               CAST(COUNT(recovery_s) AS BIGINT) AS n_recoveries,
+               CAST(ROUND(AVG(recovery_s), 6) AS DOUBLE) AS mttr_s
+        FROM marked
+        GROUP BY user_id
+        HAVING SUM(starts_incident) > 0
+    """,
+    section=SECTION,
+)
+def log_incident_mttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean time to recovery per user — the SRE number behind incident
+    review: an incident opens when an error follows a non-error (run-
+    boundary detection via the same user-partitioned lag the
+    sessionizer uses), and recovery time is the gap from the LAST
+    error of a run to the first healthy event after it. One
+    user-bounded window feeds incident starts, error volume, and
+    recovery gaps in a single pass — no self-joins, one shuffle.
+    AVG over integer second gaps is exact until the final rounded
+    division."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.date_trunc("second", "ts").cast("long").alias("s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "event_id")
+    prev_type = F.coalesce(F.lag("event_type").over(w), F.lit(""))
+    is_err = (F.col("event_type") == "error").cast("int")
+    marked = ev.select(
+        "user_id",
+        is_err.alias("is_err"),
+        (
+            (F.col("event_type") == "error") & (prev_type != "error")
+        )
+        .cast("int")
+        .alias("starts_incident"),
+        F.when(
+            (F.col("event_type") != "error") & (prev_type == "error"),
+            F.col("s") - F.lag("s").over(w),
+        ).alias("recovery_s"),
+    )
+    return (
+        marked.groupBy("user_id")
+        .agg(
+            F.sum("starts_incident").cast("bigint").alias("n_incidents"),
+            F.sum("is_err").cast("bigint").alias("n_error_events"),
+            F.count("recovery_s").cast("bigint").alias("n_recoveries"),
+            ratio(F.avg("recovery_s")).alias("mttr_s"),
+        )
+        .filter(F.col("n_incidents") > 0)
+    )

@@ -529,3 +529,64 @@ def fn_null_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("value_nan_guarded"),
         F.col("value").eqNullSafe(F.col("value")).alias("self_ndistinct"),
     )
+
+
+@register(
+    "fn_ip_suite",
+    oracle="""
+        WITH ips AS (
+            SELECT event_id,
+                   '10.' || CAST(user_id % 250 AS VARCHAR) || '.'
+                   || CAST(event_id % 250 AS VARCHAR) || '.'
+                   || CAST(CAST(floor(value) AS BIGINT) % 250 AS VARCHAR)
+                       AS ip
+            FROM events
+        ), parts AS (
+            SELECT event_id, ip,
+                   CAST(string_split(ip, '.')[1] AS BIGINT) AS o1,
+                   CAST(string_split(ip, '.')[2] AS BIGINT) AS o2,
+                   CAST(string_split(ip, '.')[3] AS BIGINT) AS o3,
+                   CAST(string_split(ip, '.')[4] AS BIGINT) AS o4
+            FROM ips
+        )
+        SELECT event_id, ip,
+               o1 * 16777216 + o2 * 65536 + o3 * 256 + o4 AS ip_num,
+               CAST(o1 AS VARCHAR) || '.' || CAST(o2 AS VARCHAR) || '.'
+               || CAST(o3 AS VARCHAR) || '.0/24' AS subnet24,
+               (o2 < 128) AS in_lower_half
+        FROM parts
+    """,
+    section=SECTION,
+)
+def fn_ip_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 manipulation suite — the network-log staple (no inet type
+    in either engine, so this IS how production SQL does it): octet
+    split, numeric form (the sortable/range-joinable key), /24 subnet
+    rollup key, and a subnet-range predicate. IPs are synthesized
+    deterministically from event fields (same discipline as
+    text_pii_scrub). All string/integer arithmetic in whole-stage
+    codegen — map-only at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    ip = F.concat_ws(
+        ".",
+        F.lit("10"),
+        (F.col("user_id") % 250).cast("string"),
+        (F.col("event_id") % 250).cast("string"),
+        (F.floor("value").cast("bigint") % 250).cast("string"),
+    )
+    d = ev.select("event_id", ip.alias("ip"))
+    oct_ = lambda i: F.split("ip", r"\.")[i - 1].cast("bigint")  # noqa: E731
+    return d.select(
+        "event_id",
+        "ip",
+        (
+            oct_(1) * 16777216 + oct_(2) * 65536 + oct_(3) * 256 + oct_(4)
+        ).alias("ip_num"),
+        F.concat_ws(
+            ".",
+            oct_(1).cast("string"),
+            oct_(2).cast("string"),
+            F.concat(oct_(3).cast("string"), F.lit(".0/24")),
+        ).alias("subnet24"),
+        (oct_(2) < 128).alias("in_lower_half"),
+    )

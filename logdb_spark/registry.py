@@ -148,6 +148,9 @@ _R5_NEEDS_ROW_FIRST = (
     "log_adaptive_threshold",
     "log_hourly_top_users",
     "text_vocab_growth",
+    "log_incident_mttr",
+    "fn_ip_suite",
+    "text_bigram_novelty",
 )
 _R2_DRIVER_GREEN = frozenset(
     {
