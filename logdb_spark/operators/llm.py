@@ -3249,3 +3249,61 @@ def text_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+@register(
+    "text_similar_docs_topk",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id,
+                   list_sort(list_distinct(string_split(text, ' '))) AS toks
+            FROM documents
+        ), pairs AS (
+            SELECT a.doc_id AS doc_id, b.doc_id AS other_id,
+                   len(list_intersect(a.toks, b.toks)) * 1.0 /
+                   (len(a.toks) + len(b.toks)
+                    - len(list_intersect(a.toks, b.toks))) AS jac
+            FROM tok a JOIN tok b ON a.doc_id <> b.doc_id
+        )
+        SELECT doc_id, other_id, CAST(rnk AS INT) AS rnk,
+               ROUND(jac, 6) AS jaccard
+        FROM (
+            SELECT doc_id, other_id, jac,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY jac DESC, other_id) AS rnk
+            FROM pairs WHERE jac >= 0.5
+        ) WHERE rnk <= 3
+    """,
+    section=SECTION,
+)
+def text_similar_docs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """"More like this" — each document's top-3 nearest neighbors by
+    word-set Jaccard (threshold 0.5, deterministic tiebreak): the
+    related-documents listing a curator or search UI renders next to
+    every hit. Rides the exact pair kernel (gemm bitmask sweep at
+    fixture vocab, candidates path at open vocab), symmetrizes the
+    a<b pairs, and ranks within each doc's threshold-bounded
+    neighbor list — partitions are neighbor-list-sized, never corpus-
+    sized. The oracle recomputes the full n² relation relationally."""
+    pairs = _jaccard_pairs(spark, sf_dir, threshold=0.5).filter(
+        F.col("jac") >= 0.5
+    )
+    sym = pairs.select("doc_a", "doc_b", "jac").unionAll(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"),
+            F.col("doc_a").alias("doc_b"),
+            "jac",
+        )
+    )
+    w = Window.partitionBy("doc_a").orderBy(F.col("jac").desc(), "doc_b")
+    return (
+        sym.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("doc_a").alias("doc_id"),
+            F.col("doc_b").alias("other_id"),
+            F.col("rnk").cast("int").alias("rnk"),
+            ratio(F.col("jac")).alias("jaccard"),
+        )
+    )

@@ -151,6 +151,8 @@ _R5_NEEDS_ROW_FIRST = (
     "log_incident_mttr",
     "fn_ip_suite",
     "text_bigram_novelty",
+    "stream_cdc_apply",
+    "text_similar_docs_topk",
 )
 _R2_DRIVER_GREEN = frozenset(
     {

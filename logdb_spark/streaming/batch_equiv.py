@@ -17,7 +17,7 @@ on the same keys.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from logdb_spark.functions.numeric import dec4, dround
@@ -489,4 +489,73 @@ def stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n"),
         F.max("val").cast("bigint").alias("max_val"),
+    )
+
+
+@register(
+    "stream_cdc_apply",
+    oracle="""
+        WITH log AS (
+            SELECT user_id AS key,
+                   date_trunc('second', ts) AS op_ts,
+                   event_id,
+                   CASE WHEN event_type = 'signup' THEN 'I'
+                        WHEN event_type = 'error'  THEN 'D'
+                        ELSE 'U' END AS op,
+                   CAST(value AS DECIMAL(18,4)) AS val
+            FROM events
+        ), latest AS (
+            SELECT key, op, val
+            FROM (
+                SELECT key, op, val,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY key
+                           ORDER BY op_ts DESC, event_id DESC) AS rn
+                FROM log
+            ) WHERE rn = 1
+        )
+        SELECT CAST(COUNT(*) FILTER (WHERE op <> 'D') AS BIGINT)
+                   AS n_live_keys,
+               CAST(COUNT(*) FILTER (WHERE op = 'D') AS BIGINT)
+                   AS n_deleted_keys,
+               CAST(ROUND(SUM(val) FILTER (WHERE op <> 'D'), 2) AS DOUBLE)
+                   AS live_value
+        FROM latest
+    """,
+    section=SECTION,
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog (CDC) apply — materialized-view maintenance in one
+    statement: the event stream is read as an insert/update/delete log
+    per key (signup=I, error=D, everything else=U — a real connector
+    maps binlog op codes the same way), and the view state is "the
+    latest op wins, deletes tombstone the key". One key-partitioned
+    rank picks each key's final op (deterministic (ts, event_id)
+    recency order — the same shape stream_upsert_latest proves under
+    real micro-batch execution), then one bounded aggregate reports
+    live keys, tombstones, and surviving value. At 100 TB this is the
+    nightly snapshot-from-changelog job: one shuffle on the key."""
+    ev = load_table(spark, sf_dir, "events")
+    log = ev.select(
+        F.col("user_id").alias("key"),
+        F.date_trunc("second", "ts").alias("op_ts"),
+        "event_id",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        dec4("value").alias("val"),
+    )
+    w = Window.partitionBy("key").orderBy(
+        F.col("op_ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    live = F.col("op") != "D"
+    return latest.agg(
+        F.count(F.when(live, 1)).cast("bigint").alias("n_live_keys"),
+        F.count(F.when(~live, 1)).cast("bigint").alias("n_deleted_keys"),
+        dround(F.sum(F.when(live, F.col("val")))).alias("live_value"),
     )

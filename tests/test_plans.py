@@ -130,6 +130,7 @@ NESTED_LOOP_ALLOWED = {
     "dedup_ngram_jaccard",  # same pair kernel over bigram shingles
     "sim_neighbor_stats_tiled",  # deliberate block-pair tile cross (nb² rows)
     "text_vocab_growth",  # 6-row broadcast k-ladder cross join
+    "text_similar_docs_topk",  # exact pair kernel (tile cross) by design
     "dedup_embedding_cosine",  # exact O(n²) ground-truth path (broadcast)
     "sim_topk_cosine",  # 1-row probe broadcast
     "sim_batch_topk",  # 5-row probe-batch broadcast
