@@ -1826,3 +1826,36 @@ def log_incident_mttr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_incidents") > 0)
     )
+
+
+@register(
+    "log_weekday_profile",
+    oracle="""
+        SELECT CAST(dayofweek(ts) AS INT) AS dow,
+               CAST(date_part('hour', ts) AS INT) AS hour_of_day,
+               COUNT(*) AS n,
+               ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 6) AS share
+        FROM events GROUP BY 1, 2
+    """,
+    section=SECTION,
+)
+def log_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour traffic profile — the seasonality fingerprint
+    capacity planning and anomaly baselines are normalized against
+    (Monday 9am is not Sunday 3am). Bucket keys are map-side calendar
+    arithmetic; the grid is ≤ 7×24 cells forever, and the share
+    window runs over those cells, not events. DuckDB dayofweek
+    (0=Sunday) equals Spark's dayofweek−1; the expression pins the
+    same numbering on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour_of_day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy()
+    return cells.select(
+        "dow",
+        "hour_of_day",
+        "n",
+        ratio(F.col("n") * F.lit(1.0) / F.sum("n").over(w)).alias("share"),
+    )

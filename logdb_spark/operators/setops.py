@@ -145,3 +145,57 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _typed_user_days(spark, sf_dir, "view").exceptAll(
         _typed_user_days(spark, sf_dir, "click")
     )
+
+
+@register(
+    "set_symmetric_diff",
+    oracle="""
+        WITH d AS (SELECT MAX(CAST(ts AS DATE)) AS md FROM events),
+        clickers AS (
+            SELECT DISTINCT user_id FROM events, d
+            WHERE event_type = 'click' AND CAST(ts AS DATE) = md
+        ), buyers AS (
+            SELECT DISTINCT user_id FROM events, d
+            WHERE event_type = 'purchase' AND CAST(ts AS DATE) = md
+        )
+        SELECT user_id, 'click_only' AS side FROM clickers
+        WHERE user_id NOT IN (SELECT user_id FROM buyers)
+        UNION ALL
+        SELECT user_id, 'purchase_only' FROM buyers
+        WHERE user_id NOT IN (SELECT user_id FROM clickers)
+    """,
+    section=SECTION,
+)
+def set_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric difference with provenance — "who clicked on the
+    final day but didn't buy, and who bought without a recorded
+    click": two anti joins over day-scoped distinct user sets, each
+    side labeled. Completes the set-op family (union/intersect/except
+    have operators; XOR is the audit shape — divergence between two
+    systems' key sets). Day-scoping keeps the sets genuinely
+    different at fixture scale (over the full month every user does
+    both — empty-output vacuity); the day bound itself is one
+    max-aggregate scalar. Both anti joins hash on user_id; at scale
+    each is one shuffle of the DISTINCT sets, not the event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    last_day = ev.agg(F.max(F.to_date("ts"))).first()[0]  # driver-scalar: one date
+    day_ev = ev.filter(F.to_date("ts") == F.lit(last_day))
+    clickers = (
+        day_ev.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .distinct()
+    )
+    buyers = (
+        day_ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+    )
+    return (
+        clickers.join(buyers, "user_id", "left_anti")
+        .select("user_id", F.lit("click_only").alias("side"))
+        .unionAll(
+            buyers.join(clickers, "user_id", "left_anti").select(
+                "user_id", F.lit("purchase_only").alias("side")
+            )
+        )
+    )

@@ -153,6 +153,8 @@ _R5_NEEDS_ROW_FIRST = (
     "text_bigram_novelty",
     "stream_cdc_apply",
     "text_similar_docs_topk",
+    "log_weekday_profile",
+    "set_symmetric_diff",
 )
 _R2_DRIVER_GREEN = frozenset(
     {
