@@ -359,10 +359,24 @@ def _dup_pairs(
     _LSH_CROSSOVER_DOCS, MinHash-banded candidates + exact Jaccard
     verify above it (linear in true-dup density, the 100 TB shape; a
     1000-executor corpus always takes this branch). "lsh"/"exact"
-    force a path; the parity test pins both paths identical
-    (tests/test_llm_ops.py::test_cluster_assign_lsh_matches_exact) and
-    the composites' DuckDB oracles pin the exact ground truth every
-    round. Both emit (doc_a, doc_b) with doc_a < doc_b.
+    force a path; the parity tests pin both paths identical on a
+    sub-crossover fixture AND on a supra-crossover corpus where auto
+    genuinely takes the lsh branch
+    (tests/test_llm_ops.py::test_cluster_assign_lsh_matches_exact,
+    ::test_dup_pairs_auto_lsh_above_crossover), and the composites'
+    DuckDB oracles pin the exact ground truth every round. Both emit
+    (doc_a, doc_b) with doc_a < doc_b.
+
+    Recall discipline (ADVICE r5): a lost banding candidate that is an
+    isolated 2-clique IS a lost cluster — cliques of size ≥3 survive a
+    missing edge, pairs don't. The composite path therefore runs a
+    DOUBLED banding (128 perms, 16 bands × 8 rows) instead of
+    dedup_minhash_lsh's 64/8: admission at J=0.9 is 1-(1-0.9^8)^16 ≈
+    0.99988 per pair (vs 0.989), i.e. a borderline isolated pair must
+    miss in all 16 independent bands to drop. The residual ~1e-4 rate
+    is the documented, standard MinHash-dedup property at corpus
+    scale; at the oracle-gated fixture sizes auto takes the exact
+    branch, so the driver gate compares exact-vs-exact.
     """
     if pair_source == "auto":
         n_docs = load_table(spark, sf_dir, "documents").count()  # footer-only
@@ -370,7 +384,9 @@ def _dup_pairs(
     cands = (
         None
         if pair_source == "exact"
-        else _minhash_candidates(spark, sf_dir, threshold)
+        else _minhash_candidates(
+            spark, sf_dir, threshold, n_perm=2 * N_PERM, n_bands=2 * N_BANDS
+        )
     )
     return (
         _jaccard_pairs(spark, sf_dir, cands, threshold)
@@ -478,7 +494,8 @@ def dedup_cluster_assign(
     # unchanged; the parity pytest and the recursive-CTE oracle pin
     # both paths to the same components.
     n_cedges = ce.count()
-    if n_cedges <= _CC_DRIVER_MAX_EDGES:
+    on_driver = n_cedges <= _CC_DRIVER_MAX_EDGES
+    if on_driver:
         edge_rows = ce.collect()  # driver-scalar: bounded ≤64k contracted edges (≈1 MB), counted above
         parent: dict = {}
 
@@ -505,8 +522,13 @@ def dedup_cluster_assign(
         labels = _cc_loop(spark, ce)
     # Compose cc∘label0, then emit non-members (fixpoints: no edge can
     # lower their label) via one left join instead of iterating them.
+    # Broadcast hint ONLY on the driver branch, where cc is bounded by
+    # _CC_DRIVER_MAX_EDGES (≤1 MB); on the _cc_loop branch — which
+    # engages precisely when the contracted graph is huge — cc is
+    # unbounded, so Catalyst picks the strategy (ADVICE r5).
     cc = labels.select(F.col("doc_id").alias("c_id"), F.col("label").alias("c_lab"))
-    final = l0.join(F.broadcast(cc), l0.label == cc.c_id, "left").select(
+    cc = F.broadcast(cc) if on_driver else cc
+    final = l0.join(cc, l0.label == cc.c_id, "left").select(
         "doc_id", F.coalesce("c_lab", "label").alias("label")
     )
     return (
@@ -824,22 +846,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_candidates(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.9
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.9,
+    *,
+    n_perm: int = N_PERM,
+    n_bands: int = N_BANDS,
 ) -> DataFrame:
     """MinHash-banded LSH candidate pairs (doc_a < doc_b) — the shared
     pair-finding front end for dedup_minhash_lsh AND the composites
     (dedup_cluster_assign → keep_best → clean_pipeline). Linear in
-    true-dup density; every stage shuffles on bounded keys."""
+    true-dup density; every stage shuffles on bounded keys.
+
+    n_perm/n_bands tune the admission curve 1-(1-J^r)^b (r = rows per
+    band). dedup_minhash_lsh uses 64/8 (recall-floor-tested); the
+    composites pass 128/16 — same r=8 selectivity knee, double the
+    independent bands, so per-pair admission at J=0.9 rises 0.989 →
+    0.99988 (the 2-clique-loss guard, see _dup_pairs). The signature
+    aggregation stays ONE pass either way — 128 mins instead of 64 in
+    the same groupBy."""
     tok = _doc_tokens(spark, sf_dir)
     sig = tok.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n"),  # distinct-token count, free here
         *[
             F.min(F.hash("token", F.lit(i))).alias(f"m{i}")
-            for i in range(N_PERM)
+            for i in range(n_perm)
         ],
     )
-    sig = track_persist(sig)  # tiny (docs x 65 ints); reused by 3 subtrees below
-    rows_per_band = N_PERM // N_BANDS
+    sig = track_persist(sig)  # tiny (docs x n_perm+1 ints); reused by 3 subtrees below
+    rows_per_band = n_perm // n_bands
     bands = sig.select(
         "doc_id",
         "n",
@@ -855,7 +890,7 @@ def _minhash_candidates(
                             ]
                         ).alias("bucket"),
                     )
-                    for b in range(N_BANDS)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("bb"),

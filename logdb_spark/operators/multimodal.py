@@ -437,9 +437,8 @@ def mm_multipart_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_scene_segments",
     oracle="""
         WITH frames AS (
-            SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-                   unnest(range(0, octet_length(encode(text)), 100))
-                       AS frame_offset,
+            SELECT doc_id,
+                   unnest(range(0, length(text), 100)) AS frame_offset,
                    text
             FROM documents WHERE doc_id % 3 = 2
         ), hashed AS (
@@ -478,13 +477,20 @@ def mm_scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 of the byte window for a perceptual hash; the distributed
     shape is identical). Per-doc windows stay frame-count-bounded;
     one shuffle on doc_id shared by both window steps and the final
-    segment aggregate."""
+    segment aggregate.
+
+    Offsets are CHARACTER positions on both sides (length(text) here,
+    length(text) in the oracle) so the frame grid and the substring
+    windows agree even off-ASCII; empty documents are filtered before
+    the sequence — sequence(0, -1, 100) is an illegal boundary in
+    Spark where DuckDB's range(0, 0, 100) just emits no frames
+    (ADVICE r5)."""
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 2)
-    n_bytes = F.length(F.col("text").cast("binary")).cast("bigint")
-    frames = d.select(
+    n_chars = F.length("text").cast("bigint")
+    frames = d.filter(n_chars > 0).select(
         "doc_id",
         "text",
-        F.explode(F.sequence(F.lit(0), n_bytes - 1, F.lit(100))).alias(
+        F.explode(F.sequence(F.lit(0), n_chars - 1, F.lit(100))).alias(
             "frame_offset"
         ),
     ).select(

@@ -59,102 +59,57 @@ _LOADED = False
 
 # Driver-gate coverage rotation. The driver correctness report caps at
 # 50 enumeration entries per round, so enumeration order IS evidence
-# budget. Union of driver rows r1-r4 covers 158/206 ops; r5 tiering
-# (VERDICT r4 #3): tier 0 is exactly the 48 ops with NO driver row in
-# any round (set-difference of registry names vs the union of
-# CORRECTNESS_r0{1,2,3,4}.json keys), ordered implementation-changed
-# first (agg_gini_revenue two-phased this round, dedup composites
-# re-wired), then the late-r4 families. New r5 ops append after — under
-# the 50-row cap, 48 + 2 new get rows this round; the rest lead r6.
-# Tiers 1-3 unchanged: r2-green streaming/UDF (stalest hashes), then
-# r1-green, then freshest.
-_R5_NEEDS_ROW_FIRST = (
-    # -- implementation changed this round: freshest evidence needed --
-    "agg_gini_revenue",          # rewritten r5: two-phase bucket rank
-    "dedup_fuzzy_edit",
-    # -- never driver-checked (no row r1-r4) --
-    "agg_bitmap_distinct",
-    "agg_corr_regression",
-    "agg_entropy",
-    "agg_histogram_logscale",
-    "agg_skew_kurtosis",
-    "agg_weighted_stats",
-    "fn_null_suite",
-    "fn_struct_suite",
-    "fn_try_suite",
-    "fn_url_suite",
-    "fn_variant_json",
-    "ingest_csv_permissive",
-    "ingest_fixed_width",
-    "ingest_multiline_records",
-    "ingest_syslog_priority",
-    "join_asof_forward",
-    "join_bloom_prefilter",
-    "join_lateral_topn",
-    "join_reconciliation_audit",
-    "log_alert_suppress",
-    "log_apdex_score",
-    "log_change_point",
-    "log_cohort_ltv",
-    "log_error_budget_burndown",
-    "log_gap_fill",
-    "log_retention_cohorts",
-    "log_seasonal_baseline",
-    "log_tail_sampling",
-    "log_user_growth_curve",
-    "mm_multipart_assembly",
-    "sample_importance_weighted",
-    "sample_mixture_weights",
-    "sample_shard_budget",
-    "scan_dynamic_partition_pruning",
-    "scan_partition_pruned",
-    "set_except_all",
-    "set_intersect_all",
-    "sql_recursive_spike_chain",
-    "stream_upsert_latest",
-    "text_bigram_lm",
-    "text_chunk_splitter",
-    "text_oov_rate",
-    "win_ewma",
-    "win_percent_of_total",
-    "win_running_distinct",
-    "win_vwap_running",
-    # -- new in r5 (no driver row yet; cap cuts here if it must) --
-    "text_search_ranked",
-    "ingest_text_file",
+# budget. Union of driver rows r1-r5 covers 208/241 ops; r6 tiering
+# (ADVICE r5 #3): tier 0 leads with ops whose IMPLEMENTATION changed
+# after their freshest driver row (the dedup composites — rewired r5:
+# pair-source auto/LSH, driver union-find finisher, lazy checkpoints;
+# plus this round's recall-boosted composite banding and conditional
+# broadcast — and mm_scene_segments' char-offset/empty-text fix), then
+# the 33 ops with NO driver row in any round (set-difference of
+# registry names vs the union of CORRECTNESS_r0{1..5}.json keys), then
+# new r6 ops. Tiers 1-3 unchanged: r2-green streaming/UDF (stalest
+# hashes), then r1-green, then freshest.
+_R6_NEEDS_ROW_FIRST = (
+    # -- implementation changed after last driver row (r4 rows predate
+    #    the r5/r6 rewires): freshest evidence needed --
+    "dedup_cluster_assign",
+    "dedup_keep_best",
+    "text_clean_pipeline",
+    # -- never driver-checked (no row r1-r5) --
+    "mm_scene_segments",         # also changed this round (char offsets)
+    "agg_histogram_percentile",
+    "agg_mergeable_rollup",
+    "agg_pareto_coverage",
+    "fn_ip_suite",
+    "join_asof_nearest",
+    "join_scd2_pointintime",
+    "log_adaptive_threshold",
+    "log_availability_calendar",
+    "log_canary_compare",
+    "log_hourly_top_users",
+    "log_incident_mttr",
     "log_latency_heatmap",
     "log_peak_concurrency",
-    "text_pii_scrub",
-    "text_html_strip",
-    "agg_mergeable_rollup",
     "log_state_machine",
-    "win_time_weighted_avg",
-    "text_normalize_dedup",
-    "text_langid_confusion",
-    "join_scd2_pointintime",
-    "sample_balanced_classes",
     "log_template_mining",
-    "agg_pareto_coverage",
-    "win_drawdown",
-    "agg_histogram_percentile",
-    "sink_idempotent_retry",
-    "join_asof_nearest",
     "log_top_movers",
-    "log_canary_compare",
-    "sample_leakage_safe_split",
-    "mm_scene_segments",
-    "log_availability_calendar",
-    "sim_neighbor_stats_tiled",
-    "log_adaptive_threshold",
-    "log_hourly_top_users",
-    "text_vocab_growth",
-    "log_incident_mttr",
-    "fn_ip_suite",
-    "text_bigram_novelty",
-    "stream_cdc_apply",
-    "text_similar_docs_topk",
     "log_weekday_profile",
+    "sample_balanced_classes",
+    "sample_leakage_safe_split",
     "set_symmetric_diff",
+    "sim_neighbor_stats_tiled",
+    "sink_idempotent_retry",
+    "stream_cdc_apply",
+    "text_bigram_novelty",
+    "text_html_strip",
+    "text_langid_confusion",
+    "text_normalize_dedup",
+    "text_pii_scrub",
+    "text_similar_docs_topk",
+    "text_vocab_growth",
+    "win_drawdown",
+    "win_time_weighted_avg",
+    # -- new in r6 (appended as they are built; cap cuts here) --
 )
 _R2_DRIVER_GREEN = frozenset(
     {
@@ -190,7 +145,7 @@ _R1_DRIVER_GREEN = frozenset(
 
 
 def _enumeration_order(ops: dict[str, Operator]) -> list[str]:
-    priority = {n: i for i, n in enumerate(_R5_NEEDS_ROW_FIRST)}
+    priority = {n: i for i, n in enumerate(_R6_NEEDS_ROW_FIRST)}
 
     def tier(name: str) -> int:
         if name in priority:

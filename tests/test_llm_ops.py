@@ -50,6 +50,50 @@ def test_cluster_assign_lsh_matches_exact(spark):
     assert exact.collect() == lsh.collect()
 
 
+def test_dup_pairs_auto_lsh_above_crossover(spark, tmp_path):
+    """ADVICE r5 (medium): the sub-crossover parity test above takes
+    the exact branch for pair_source="auto" by fixture size, so the
+    auto→lsh switch the composites rely on at scale was never
+    exercised end-to-end. Build a corpus that genuinely exceeds
+    _LSH_CROSSOVER_DOCS — the 500 fixture docs plus ~8.3k filler docs
+    over a DISJOINT 40-token vocabulary, every filler exactly 10
+    distinct tokens, so (a) filler×original Jaccard is 0, (b) a
+    filler×filler pair can reach J≥0.9 only as an identical token set
+    (|A|=|B|=10 ⇒ J≥0.9 ⇒ |A∩B|≥9.47 ⇒ A=B), which LSH admits
+    deterministically (equal signatures agree in every band), and (c)
+    the combined 71-token vocabulary keeps the exact side on the
+    bitmask gemm kernel. Parity of auto (→lsh here) vs forced exact is
+    then a real certificate for the branch every at-scale corpus
+    takes; hashing is seed-fixed, so this pins forever."""
+    import random
+
+    from logdb_spark.operators.llm import (
+        _LSH_CROSSOVER_DOCS,
+        dedup_cluster_assign,
+    )
+
+    n_fill = _LSH_CROSSOVER_DOCS - 500 + 128
+    vocab = [f"fillertok{i:02d}" for i in range(40)]
+    rng = random.Random(61)
+    rows = [
+        (100_000 + i, " ".join(rng.sample(vocab, 10)), "en", "filler", 0)
+        for i in range(n_fill)
+    ]
+    base = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    filler = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    big_dir = str(tmp_path / "supra")
+    base.unionByName(filler).repartition(8).write.parquet(
+        f"{big_dir}/documents.parquet"
+    )
+    n_docs = spark.read.parquet(f"{big_dir}/documents.parquet").count()
+    assert n_docs > _LSH_CROSSOVER_DOCS  # auto genuinely picks lsh
+    auto = dedup_cluster_assign(spark, big_dir, "auto").orderBy("doc_id")
+    exact = dedup_cluster_assign(spark, big_dir, "exact").orderBy("doc_id")
+    assert auto.collect() == exact.collect()
+
+
 def test_embedding_lsh_recall(spark):
     """The bucketed embedding pair-dedup must recover ≥95% of the exact
     twin's cosine≥0.4 pairs (VERDICT r2 #5 — removes the all-pairs
