@@ -1859,3 +1859,341 @@ def log_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         ratio(F.col("n") * F.lit(1.0) / F.sum("n").over(w)).alias("share"),
     )
+
+
+@register(
+    "log_cusum_drift",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+            FROM events GROUP BY 1, 2
+        ), pref AS (
+            SELECT event_type, day, x,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n_days,
+                   SUM(x) OVER (PARTITION BY event_type) AS total,
+                   SUM(x) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS UNBOUNDED PRECEDING) AS cum_x,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY day) AS d_idx
+            FROM daily
+        ), scaled AS (
+            SELECT event_type, day, x, n_days, total,
+                   n_days * cum_x - d_idx * total AS p
+            FROM pref
+        )
+        SELECT event_type, strftime(day, '%Y-%m-%d') AS day, x AS n_events,
+               ROUND((p - LEAST(0, MIN(p) OVER (
+                          PARTITION BY event_type ORDER BY day
+                          ROWS UNBOUNDED PRECEDING)))
+                     * 1.0 / n_days, 6) AS cusum,
+               (p - LEAST(0, MIN(p) OVER (
+                        PARTITION BY event_type ORDER BY day
+                        ROWS UNBOUNDED PRECEDING)))
+                   > 2 * total AS drift
+        FROM scaled
+    """,
+    section=SECTION,
+)
+def log_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detector over daily event counts per type — the
+    change-detection chart that accumulates small sustained deviations
+    a fixed threshold misses (log_change_point finds one split;
+    CUSUM flags WHEN sustained drift starts).
+
+    The textbook recursion s_d = max(0, s_{d-1} + x_d - k) is not a
+    window function, but its closed form is: s_d = prefix_d - min(0,
+    min_{j<=d} prefix_j) with prefix = running sum of (x - k). So two
+    stacked windows (running sum, then running min over it) compute
+    the whole chart — no recursion, no UDF, one shuffle on event_type
+    shared by every window here.
+
+    Cross-engine exactness: k = total/n_days is fractional, so the
+    whole chart is scaled by n_days to stay in BIGINT (p = n_days *
+    cum_x - d_idx * total); doubles appear only in the final ROUND.
+    The drift flag s > 2k compares scaled integers: p_adj > 2 *
+    total. Partitions are event types; each holds calendar-bounded
+    rows (days), so the per-type window never concentrates more than
+    ~365 rows per year regardless of event volume at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    wp = Window.partitionBy("event_type")
+    wo = wp.orderBy("day")
+    run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pref = daily.select(
+        "event_type",
+        "day",
+        "x",
+        F.count(F.lit(1)).over(wp).alias("n_days"),
+        F.sum("x").over(wp).alias("total"),
+        F.sum("x").over(run).alias("cum_x"),
+        F.row_number().over(wo).alias("d_idx"),
+    )
+    scaled = pref.withColumn(
+        "p", F.col("n_days") * F.col("cum_x") - F.col("d_idx") * F.col("total")
+    )
+    s_int = F.col("p") - F.least(F.lit(0), F.min("p").over(run))
+    return scaled.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("x").alias("n_events"),
+        ratio(s_int * F.lit(1.0) / F.col("n_days")).alias("cusum"),
+        (s_int > 2 * F.col("total")).alias("drift"),
+    )
+
+
+@register(
+    "log_flap_detect",
+    oracle="""
+        WITH hourly AS (
+            SELECT CAST(ts AS DATE) AS day, date_trunc('hour', ts) AS hour,
+                   COUNT(*) AS n,
+                   COUNT(*) FILTER (WHERE event_type = 'error') AS err
+            FROM events GROUP BY 1, 2
+        ), states AS (
+            SELECT day, hour, (4 * err >= n) AS hot,
+                   lag((4 * err >= n)) OVER (
+                       PARTITION BY day ORDER BY hour) AS prev_hot
+            FROM hourly
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               COUNT(*) AS n_hours,
+               COUNT(*) FILTER (WHERE prev_hot IS NOT NULL
+                                AND hot <> prev_hot) AS n_transitions,
+               COUNT(*) FILTER (WHERE prev_hot IS NOT NULL
+                                AND hot <> prev_hot) >= 4 AS flapping
+        FROM states GROUP BY day
+    """,
+    section=SECTION,
+)
+def log_flap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert-flap detection: an hourly error-rate alert that toggles
+    on/off >= 4 times in a day is flapping — paging noise, not signal
+    (log_alert_suppress dedups repeats of ONE firing; this finds
+    thresholds that oscillate). State compares integers (4*err >= n,
+    i.e. rate >= 0.25) so no float enters the chart; lag is
+    day-partitioned over <= 24 hourly rows, so the state machine
+    shuffles on calendar keys only."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.to_date("ts").alias("day"), F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("err"),
+    )
+    w = Window.partitionBy("day").orderBy("hour")
+    states = hourly.select(
+        "day",
+        (4 * F.col("err") >= F.col("n")).alias("hot"),
+        F.lag(4 * F.col("err") >= F.col("n")).over(w).alias("prev_hot"),
+    )
+    is_flip = F.col("prev_hot").isNotNull() & (
+        F.col("hot") != F.col("prev_hot")
+    )
+    return states.groupBy(
+        F.date_format("day", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.count(F.when(is_flip, 1)).alias("n_transitions"),
+        (F.count(F.when(is_flip, 1)) >= 4).alias("flapping"),
+    )
+
+
+@register(
+    "log_backfill_detect",
+    oracle="""
+        WITH ordered AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   ts < MAX(ts) OVER (
+                       PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS is_late
+            FROM events
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               COUNT(*) AS n_events,
+               COUNT(*) FILTER (WHERE is_late) AS n_out_of_order,
+               ROUND(COUNT(*) FILTER (WHERE is_late) * 1.0 / COUNT(*), 6)
+                   AS late_share
+        FROM ordered GROUP BY day
+    """,
+    section=SECTION,
+)
+def log_backfill_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order ingestion audit: an event is late if its event
+    time precedes the running max event time of the SAME user's
+    earlier-ingested rows (event_id = ingestion order). High daily
+    shares mean backfills or clock skew — the number that decides
+    streaming watermark widths (stream_late_data consumes such a
+    bound; this measures it). The running max partitions by user, so
+    at 100 TB the window state is per-user and the single shuffle key
+    is user_id; the ts comparison stays inside each engine, never
+    across (ns-vs-us discipline)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ordered = ev.select(
+        F.to_date("ts").alias("day"),
+        (F.col("ts") < F.max("ts").over(w)).alias("is_late"),
+    )
+    return ordered.groupBy(
+        F.date_format("day", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("is_late"), 1)).alias("n_out_of_order"),
+        ratio(
+            F.count(F.when(F.col("is_late"), 1)) * F.lit(1.0)
+            / F.count(F.lit(1))
+        ).alias("late_share"),
+    )
+
+
+@register(
+    "log_rolling_wau",
+    oracle="""
+        WITH user_days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ), contrib AS (
+            SELECT DISTINCT user_id, day + CAST(i AS INT) AS wday
+            FROM user_days, unnest(range(0, 7)) AS t(i)
+        ), wau AS (
+            SELECT wday, COUNT(*) AS wau7 FROM contrib GROUP BY wday
+        ), dau AS (
+            SELECT day, COUNT(*) AS dau FROM user_days GROUP BY day
+        )
+        SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau7,
+               ROUND(d.dau * 1.0 / w.wau7, 6) AS stickiness
+        FROM dau d JOIN wau w ON w.wday = d.day
+    """,
+    section=SECTION,
+)
+def log_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day (WAU) next to DAU, plus the
+    DAU/WAU stickiness ratio — the growth metric log_dau_new_users
+    does not cover (distinct-over-sliding-window is NOT a sum of daily
+    distincts: a user active twice in a week counts once).
+
+    Scale shape: sliding-window COUNT DISTINCT is done by exploding
+    each distinct (user, day) into the <= 7 window-end days it covers
+    and re-distincting — a bounded 7x fan-out of user-days, all
+    equi-shuffles, instead of the 7-way range self-join that
+    re-scans events per window or a global sliding-state window.
+    Early days report partial (shorter) windows, as live dashboards
+    do."""
+    ev = load_table(spark, sf_dir, "events")
+    user_days = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    contrib = (
+        user_days.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(6))
+            ).alias("i"),
+            "day",
+        )
+        .select("user_id", F.expr("date_add(day, i)").alias("wday"))
+        .distinct()
+    )
+    wau = contrib.groupBy("wday").agg(F.count(F.lit(1)).alias("wau7"))
+    dau = user_days.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    return (
+        dau.join(wau, dau.day == wau.wday)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "dau",
+            "wau7",
+            ratio(F.col("dau") * F.lit(1.0) / F.col("wau7")).alias(
+                "stickiness"
+            ),
+        )
+    )
+
+
+@register(
+    "log_p99_trend",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(ROUND(quantile_cont(value, 0.99), 6)
+                        AS DECIMAL(18,6)) AS p99
+            FROM events GROUP BY 1, 2
+        ), idx AS (
+            SELECT event_type, p99,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY day) AS x
+            FROM daily
+        ), sums AS (
+            SELECT event_type, COUNT(*) AS n, SUM(x) AS sx,
+                   SUM(x * x) AS sxx, SUM(p99) AS sy, SUM(x * p99) AS sxy
+            FROM idx GROUP BY event_type
+        )
+        SELECT event_type, n AS n_days,
+               ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+               CASE WHEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                               / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+                         > 0.05 THEN 'degrading'
+                    WHEN ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                               / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+                         < -0.05 THEN 'improving'
+                    ELSE 'stable' END AS trend
+        FROM sums GROUP BY event_type, n, sx, sxx, sy, sxy
+    """,
+    section=SECTION,
+)
+def log_p99_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is tail latency degrading? Per-type daily exact p99, then the
+    least-squares slope of p99 against day index — the one-number
+    answer behind 'the p99 got worse this month' (log_top_movers ranks
+    a single day-over-day change; this fits the month).
+
+    regr_slope on raw doubles is partial-aggregation-order dependent
+    in the last ulps, so the slope is assembled from EXACT sums
+    instead: day index x is an integer, p99 is rounded to 6 dp and
+    cast DECIMAL(18,6) on both engines, making sx, sxx, sy, sxy exact
+    and order-independent; doubles appear only in the final division.
+    Two shuffles, both on event_type; per-type rows are
+    calendar-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        ratio(F.expr("percentile(value, 0.99)"))
+        .cast("decimal(18,6)")
+        .alias("p99")
+    )
+    idx = daily.select(
+        "event_type",
+        "p99",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .alias("x"),
+    )
+    sums = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("p99").alias("sy"),
+        F.sum(F.col("x") * F.col("p99")).alias("sxy"),
+    )
+    slope = ratio(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+    )
+    return sums.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        slope.alias("slope"),
+        F.when(slope > 0.05, "degrading")
+        .when(slope < -0.05, "improving")
+        .otherwise("stable")
+        .alias("trend"),
+    )

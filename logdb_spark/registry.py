@@ -110,6 +110,11 @@ _R6_NEEDS_ROW_FIRST = (
     "win_drawdown",
     "win_time_weighted_avg",
     # -- new in r6 (appended as they are built; cap cuts here) --
+    "log_cusum_drift",
+    "log_flap_detect",
+    "log_backfill_detect",
+    "log_rolling_wau",
+    "log_p99_trend",
 )
 _R2_DRIVER_GREEN = frozenset(
     {
