@@ -633,10 +633,17 @@ def _BIGRAMS():
 
 
 def _tiled_bitmask_pairs(
-    spark, masks_df: DataFrame, threshold: float, n_docs: int | None = None
+    spark,
+    masks_df: DataFrame,
+    threshold: float,
+    n_docs: int | None = None,
+    metric: str = "jaccard",
 ) -> DataFrame:
-    """Tiled all-pairs Jaccard over dictionary bitmasks: (doc_a, doc_b,
-    jac) for every pair with Jaccard ≥ threshold.
+    """Tiled all-pairs scoring over dictionary bitmasks: (doc_a, doc_b,
+    jac) for every pair with score ≥ threshold. metric="jaccard"
+    (symmetric, emits doc_a < doc_b) or "containment" (asymmetric
+    |A∩B|/|A|, emits ORDERED pairs (contained, container) — both
+    orientations of each tile are scored).
 
     Docs are hashed into size-adaptive blocks (~600 docs each, floor
     8); the block PAIRS become rows and one Arrow kernel per tile
@@ -714,6 +721,28 @@ def _tiled_bitmask_pairs(
                 ia, ba, na = unpack(docs_a)
                 ib, bb, nb = unpack(docs_b)
                 inter = np.rint(ba @ bb.T).astype(np.int64)
+                if metric == "containment":
+                    # Asymmetric: row-doc contained in col-doc is
+                    # inter/|row|; the transposed orientation divides
+                    # by |col| instead. Same-block tiles already
+                    # enumerate every ORDERED (i, j) pair, so only
+                    # the diagonal is dropped; cross-block tiles need
+                    # both orientations scored explicitly.
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        c_ab = inter / na[:, None]
+                    hit = c_ab >= threshold
+                    if blk_a == blk_b:
+                        hit &= ia[:, None] != ib[None, :]
+                    ha, hb = np.nonzero(hit)
+                    outs.append((ia[ha], ib[hb], c_ab[ha, hb]))
+                    if blk_a != blk_b:
+                        with np.errstate(
+                            divide="ignore", invalid="ignore"
+                        ):
+                            c_ba = inter / nb[None, :]
+                        h2a, h2b = np.nonzero(c_ba >= threshold)
+                        outs.append((ib[h2b], ia[h2a], c_ba[h2a, h2b]))
+                    continue
                 union = na[:, None] + nb[None, :] - inter
                 with np.errstate(divide="ignore", invalid="ignore"):
                     jac = inter / union
@@ -3342,3 +3371,310 @@ def text_similar_docs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio(F.col("jac")).alias("jaccard"),
         )
     )
+
+
+@register(
+    "text_containment_dedup",
+    oracle="""
+        WITH g AS (
+            SELECT doc_id,
+                   list_sort(list_distinct(list_transform(
+                       range(1, len(string_split(text, ' '))),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i + 1]))) AS grams
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               ROUND(len(list_intersect(a.grams, b.grams)) * 1.0 /
+                     len(a.grams), 6) AS containment,
+               len(list_intersect(a.grams, b.grams)) = len(a.grams)
+                   AS is_full
+        FROM g a JOIN g b ON a.doc_id <> b.doc_id
+        WHERE len(a.grams) > 0
+          AND len(b.grams) >= CAST(ceil(0.8 * len(a.grams)) AS BIGINT)
+          AND len(list_intersect(a.grams, b.grams)) * 1.0 /
+              len(a.grams) >= 0.8
+    """,
+    section=SECTION,
+)
+def text_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup: doc_a is contained in doc_b when >= 80% of
+    a's bigram shingles appear in b — the excerpt/quote/superset case
+    Jaccard misses entirely (a 100-word quote inside a 10k-word page
+    has Jaccard ~0.01 but containment ~1.0). Deduping a training
+    corpus on Jaccard alone keeps both the page and the excerpt;
+    containment finds the redundant one and says WHICH side to drop
+    (the contained doc_a).
+
+    Bigram shingles (not word sets) so reorderings don't count as
+    containment. Pair loop: the tiled bitmask gemm kernel in
+    containment mode (asymmetric — the intersection matrix one tile
+    computes serves BOTH orientations, divided by |row| or |col|),
+    falling back to the generic sorted-array pair join on open
+    vocabularies with the one admissible prefilter (|B| >= 0.8|A| —
+    the container can be arbitrarily LARGER, so no symmetric
+    size-ratio bound exists). Declared exact all-pairs twin either
+    way; at scale superset-search needs a different sketch than the
+    Jaccard composites' banded MinHash (bottom-k containment
+    minhash), documented, not faked."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_BIGRAMS()).alias("token"))
+
+    def sets_fn():
+        return d.select(
+            "doc_id",
+            F.array_sort(_BIGRAMS()).alias("toks"),
+            F.size(_BIGRAMS()).alias("n"),
+        )
+
+    docs, kernel, _screen, n_chunks = _pair_kernel(spark, tok, sets_fn)
+    docs = docs.filter(F.col("n") > 0)
+    if n_chunks == 0:  # open vocabulary — generic sorted-array kernel
+        da, db = _pair_sides(
+            docs.repartition(spark.sparkContext.defaultParallelism),
+            with_folds=False,
+        )
+        out = (
+            da.join(
+                F.broadcast(db),
+                (F.col("doc_a") != F.col("doc_b"))
+                & (F.col("nb") >= F.ceil(F.lit(0.8) * F.col("na"))),
+            )
+            .withColumn("ns", kernel)
+            .filter(F.col("ns") * F.lit(1.0) / F.col("na") >= 0.8)
+            .select(
+                "doc_a",
+                "doc_b",
+                (F.col("ns") * F.lit(1.0) / F.col("na")).alias("jac"),
+            )
+        )
+    else:
+        out = _tiled_bitmask_pairs(
+            spark, docs, 0.8, n_docs=d.count(), metric="containment"
+        )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        ratio(F.col("jac")).alias("containment"),
+        (F.col("jac") >= 1.0).alias("is_full"),
+    )
+
+
+@register(
+    "embed_dim_stats",
+    oracle="""
+        WITH dims AS (
+            SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+                   CAST(ROUND(CAST(unnest(embedding) AS DOUBLE), 6)
+                        AS DECIMAL(18,6)) AS x
+            FROM embeddings
+        ), sums AS (
+            SELECT dim, COUNT(*) AS n,
+                   SUM(x) AS sx, SUM(x * x) AS sxx,
+                   MIN(x) AS mn, MAX(x) AS mx
+            FROM dims GROUP BY dim
+        )
+        SELECT CAST(dim AS INT) AS dim, n AS n_vecs,
+               ROUND(CAST(sx AS DOUBLE) / n, 6) AS mean,
+               ROUND(sqrt((n * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          / (n * (n - 1.0))), 6) AS stddev,
+               CAST(mn AS DOUBLE) AS min_val,
+               CAST(mx AS DOUBLE) AS max_val,
+               mn = mx AS is_dead
+        FROM sums
+    """,
+    section=SECTION,
+)
+def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension health stats of the embedding column — the QA
+    pass before whitening/quantization: a dimension whose min equals
+    its max is dead (carries no information; quantizers waste bits on
+    it), and per-dim mean/stddev are the whitening parameters
+    themselves.
+
+    Exactness discipline (the sim_norm_stats pattern): each float32
+    value casts to double exactly on both engines, is rounded to 6 dp
+    and summed as DECIMAL(18,6) — order-independent — so mean and the
+    sum-of-squares variance are deterministic; doubles reappear only
+    in the final division/sqrt on identical exact inputs. Scale
+    shape: posexplode fans each row into d dim-rows, but partial
+    aggregation combines them map-side to d rows per partition, so
+    the shuffle carries ~d x n_partitions rows, grouped on a
+    d-bounded key."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("dim", "xd")
+    ).select("dim", ratio("xd").cast("decimal(18,6)").alias("x"))
+    sums = dims.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.min("x").alias("mn"),
+        F.max("x").alias("mx"),
+    )
+    sx_d, sxx_d = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    var = (F.col("n") * sxx_d - sx_d * sx_d) / (
+        F.col("n") * (F.col("n") - F.lit(1.0))
+    )
+    return sums.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("n").alias("n_vecs"),
+        ratio(sx_d / F.col("n")).alias("mean"),
+        ratio(F.sqrt(var)).alias("stddev"),
+        F.col("mn").cast("double").alias("min_val"),
+        F.col("mx").cast("double").alias("max_val"),
+        (F.col("mn") == F.col("mx")).alias("is_dead"),
+    )
+
+
+@register(
+    "sim_mmr_diversify",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+        ), probe AS (SELECT emb FROM e WHERE vec_id = 0),
+        rel AS (
+            SELECT e.vec_id, e.emb,
+                   ROUND(list_dot_product(e.emb, probe.emb), 6) AS rel
+            FROM e, probe WHERE e.vec_id <> 0
+            ORDER BY rel DESC, e.vec_id LIMIT 8
+        ), sims AS (
+            SELECT a.vec_id AS va, b.vec_id AS vb,
+                   ROUND(list_dot_product(a.emb, b.emb), 6) AS sim
+            FROM rel a JOIN rel b ON a.vec_id <> b.vec_id
+        ),
+        s1 AS (SELECT vec_id, rel, ROUND(0.7 * rel, 6) AS mmr
+               FROM rel ORDER BY rel DESC, vec_id LIMIT 1),
+        s2 AS (SELECT r.vec_id, r.rel,
+                      ROUND(0.7 * r.rel - 0.3 * MAX(s.sim), 6) AS mmr
+               FROM rel r JOIN sims s ON s.va = r.vec_id
+               WHERE s.vb IN (SELECT vec_id FROM s1)
+                 AND r.vec_id NOT IN (SELECT vec_id FROM s1)
+               GROUP BY r.vec_id, r.rel
+               ORDER BY mmr DESC, r.vec_id LIMIT 1),
+        s3 AS (SELECT r.vec_id, r.rel,
+                      ROUND(0.7 * r.rel - 0.3 * MAX(s.sim), 6) AS mmr
+               FROM rel r JOIN sims s ON s.va = r.vec_id
+               WHERE s.vb IN (SELECT vec_id FROM s1
+                              UNION SELECT vec_id FROM s2)
+                 AND r.vec_id NOT IN (SELECT vec_id FROM s1
+                                      UNION SELECT vec_id FROM s2)
+               GROUP BY r.vec_id, r.rel
+               ORDER BY mmr DESC, r.vec_id LIMIT 1),
+        s4 AS (SELECT r.vec_id, r.rel,
+                      ROUND(0.7 * r.rel - 0.3 * MAX(s.sim), 6) AS mmr
+               FROM rel r JOIN sims s ON s.va = r.vec_id
+               WHERE s.vb IN (SELECT vec_id FROM s1
+                              UNION SELECT vec_id FROM s2
+                              UNION SELECT vec_id FROM s3)
+                 AND r.vec_id NOT IN (SELECT vec_id FROM s1
+                                      UNION SELECT vec_id FROM s2
+                                      UNION SELECT vec_id FROM s3)
+               GROUP BY r.vec_id, r.rel
+               ORDER BY mmr DESC, r.vec_id LIMIT 1)
+        SELECT CAST(1 AS INT) AS rank, vec_id, rel AS relevance,
+               mmr AS mmr_score FROM s1
+        UNION ALL SELECT CAST(2 AS INT), vec_id, rel, mmr FROM s2
+        UNION ALL SELECT CAST(3 AS INT), vec_id, rel, mmr FROM s3
+        UNION ALL SELECT CAST(4 AS INT), vec_id, rel, mmr FROM s4
+    """,
+    section=SECTION,
+)
+def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance retrieval: top-4 results for probe
+    vec_id=0 that balance relevance against redundancy (lambda=0.7) —
+    plain cosine top-k returns 4 near-copies of the same hit;
+    MMR penalizes each candidate by its max similarity to what is
+    already picked, the standard diversified-retrieval step in RAG
+    pipelines.
+
+    The greedy argmax recursion is bounded (k=4 over an 8-candidate
+    shortlist), so it UNROLLS into pure relational algebra: shortlist
+    = distributed brute-force top-8 (the sim_topk_cosine plan — at
+    100 TB this prune is the heavy stage and stays a broadcast-probe
+    scan + per-partition heap), then 4 chained argmax steps, each a
+    semi-join of the 8-row shortlist against the previous picks with
+    a MAX-over-selected penalty — tiny fixed-size joins, no driver
+    loop, no UDF. The DuckDB oracle unrolls the identical 4 steps, so
+    the greedy trajectory itself is hash-pinned, not just the final
+    set. All comparisons use 6-dp-rounded scores (ties broken by
+    vec_id) so argmax is stable under last-ulp float divergence."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    probe = e.filter(F.col("vec_id") == 0).select(
+        F.col("emb").alias("probe_emb")
+    )
+    rel = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "emb",
+            ratio(dot(F.col("emb"), F.col("probe_emb"))).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(8)
+    )
+    rel = track_persist(rel)
+    ca = rel.select(F.col("vec_id").alias("va"), F.col("emb").alias("emb_a"))
+    cb = rel.select(F.col("vec_id").alias("vb"), F.col("emb").alias("emb_b"))
+    sims = track_persist(
+        ca.join(F.broadcast(cb), F.col("va") != F.col("vb")).select(
+            "va", "vb", ratio(dot(F.col("emb_a"), F.col("emb_b"))).alias("sim")
+        )
+    )
+    relv = rel.select("vec_id", "rel")
+    first = (
+        relv.orderBy(F.col("rel").desc(), "vec_id")
+        .limit(1)
+        .select(
+            F.lit(1).alias("rank"),
+            "vec_id",
+            F.col("rel").alias("relevance"),
+            ratio(F.lit(0.7) * F.col("rel")).alias("mmr_score"),
+        )
+    )
+    steps = [first]
+    for k in (2, 3, 4):
+        sel = steps[0]
+        for s in steps[1:]:
+            sel = sel.unionByName(s)
+        sel_ids = sel.select(F.col("vec_id").alias("sid"))
+        remaining = relv.join(
+            sel_ids, F.col("vec_id") == F.col("sid"), "left_anti"
+        )
+        scored = (
+            remaining.join(sims, F.col("vec_id") == F.col("va"))
+            .join(sel_ids, F.col("vb") == F.col("sid"), "left_semi")
+            .groupBy("vec_id", "rel")
+            .agg(F.max("sim").alias("msim"))
+            .select(
+                "vec_id",
+                "rel",
+                ratio(
+                    F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.col("msim")
+                ).alias("mmr"),
+            )
+        )
+        pick = (
+            scored.orderBy(F.col("mmr").desc(), "vec_id")
+            .limit(1)
+            .select(
+                F.lit(k).alias("rank"),
+                "vec_id",
+                F.col("rel").alias("relevance"),
+                F.col("mmr").alias("mmr_score"),
+            )
+        )
+        steps.append(pick)
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out

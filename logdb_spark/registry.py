@@ -115,6 +115,9 @@ _R6_NEEDS_ROW_FIRST = (
     "log_backfill_detect",
     "log_rolling_wau",
     "log_p99_trend",
+    "text_containment_dedup",
+    "embed_dim_stats",
+    "sim_mmr_diversify",
 )
 _R2_DRIVER_GREEN = frozenset(
     {
