@@ -118,6 +118,7 @@ _R6_NEEDS_ROW_FIRST = (
     "text_containment_dedup",
     "embed_dim_stats",
     "sim_mmr_diversify",
+    "stream_windowed_topk",
 )
 _R2_DRIVER_GREEN = frozenset(
     {

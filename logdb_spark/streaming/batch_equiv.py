@@ -559,3 +559,55 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(~live, 1)).cast("bigint").alias("n_deleted_keys"),
         dround(F.sum(F.when(live, F.col("val")))).alias("live_value"),
     )
+
+
+def windowed_user_counts(events: DataFrame) -> DataFrame:
+    """Shared by batch + streaming harness: per-user event counts in 1h
+    tumbling windows — the stateful STAGE of the windowed top-k (legal
+    on unbounded input; the rank below is not, see stream_windowed_topk)."""
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(ts_str("w.start").alias("window_start"), "user_id", "n")
+    )
+
+
+@register(
+    "stream_windowed_topk",
+    oracle="""
+        WITH counts AS (
+            SELECT date_trunc('hour', ts) AS window_start, user_id,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+               user_id, n, CAST(rnk AS INT) AS rnk
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY window_start
+                       ORDER BY n DESC, user_id) AS rnk
+            FROM counts
+        ) WHERE rnk <= 3
+    """,
+    section=SECTION,
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 users per 1h window — the streaming leaderboard. Ranking
+    inside an open window is ill-defined on an unbounded stream (rows
+    keep arriving), so the streaming shape is TWO stages: the stateful
+    windowed count (windowed_user_counts above — watermark-bounded
+    state, runs as a genuine streaming agg) feeding a per-closed-window
+    rank downstream of the sink. tests/test_streaming.py executes
+    exactly that split — counts replayed through a real file-source
+    stream, rank applied over the sink — and pins it to this batch
+    form. Rank partitions by (window), a calendar-bounded key, and the
+    count stage shuffles on (window x user): the state-store key a
+    production job would carry."""
+    counts = windowed_user_counts(load_table(spark, sf_dir, "events"))
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), "user_id"
+    )
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 3)
+    )

@@ -424,3 +424,31 @@ def test_stream_python_datasource_equals_batch(spark):
         .collect()
     )
     assert streamed == batch
+
+
+def test_stream_windowed_topk_equals_batch(spark):
+    """The two-stage streaming leaderboard: the stateful windowed
+    count runs as a REAL streaming agg; the per-window rank (illegal
+    on unbounded input) applies downstream of the sink — and the
+    composition matches the batch operator the driver hash-checks."""
+    from pyspark.sql import Window
+
+    from logdb_spark.streaming.batch_equiv import (
+        stream_windowed_topk,
+        windowed_user_counts,
+    )
+
+    stream = read_events_stream(spark, stage_events_dir(SF_SMALL))
+    counts = run_to_memory(
+        windowed_user_counts(stream.withWatermark("ts", "10 minutes")),
+        output_mode="complete",
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), "user_id"
+    )
+    streamed = counts.withColumn(
+        "rnk", F.row_number().over(w).cast("int")
+    ).filter(F.col("rnk") <= 3)
+    batch = stream_windowed_topk(spark, SF_SMALL)
+    cols = ["window_start", "user_id", "n", "rnk"]
+    assert _rows(streamed, cols) == _rows(batch, cols)
