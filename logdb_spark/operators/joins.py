@@ -798,3 +798,140 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("gap_s").cast("bigint").alias("gap_s"),
         )
     )
+
+
+@register(
+    "join_asof_interpolate",
+    oracle="""
+        WITH base AS (
+            SELECT event_id, user_id, event_type,
+                   CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec,
+                   value
+            FROM events
+        ), p AS (
+            SELECT user_id, sec, arg_max(value, event_id) AS pval
+            FROM base WHERE event_type = 'purchase' GROUP BY 1, 2
+        ), un AS (
+            SELECT user_id, sec, event_id, CAST(NULL AS DOUBLE) AS pval,
+                   TRUE AS is_err
+            FROM base WHERE event_type = 'error'
+            UNION ALL
+            SELECT user_id, sec, CAST(NULL AS BIGINT), pval, FALSE FROM p
+        ), br AS (
+            SELECT user_id, sec, event_id, is_err,
+                   last_value(pval IGNORE NULLS) OVER wp AS prev_val,
+                   last_value(CASE WHEN pval IS NOT NULL THEN sec END
+                              IGNORE NULLS) OVER wp AS prev_sec,
+                   first_value(pval IGNORE NULLS) OVER wn AS next_val,
+                   first_value(CASE WHEN pval IS NOT NULL THEN sec END
+                               IGNORE NULLS) OVER wn AS next_sec
+            FROM un
+            WINDOW wp AS (PARTITION BY user_id ORDER BY sec
+                          RANGE BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING),
+                   wn AS (PARTITION BY user_id ORDER BY sec
+                          RANGE BETWEEN 1 FOLLOWING
+                                    AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_id, user_id, sec AS event_sec,
+               sec - prev_sec AS prev_gap_s,
+               next_sec - sec AS next_gap_s,
+               ROUND(prev_val + (next_val - prev_val)
+                     * (sec - prev_sec) * 1.0 / (next_sec - prev_sec), 6)
+                   AS interp_value
+        FROM br
+        WHERE is_err AND prev_sec IS NOT NULL AND next_sec IS NOT NULL
+    """,
+    section=SECTION,
+)
+def join_asof_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with LINEAR INTERPOLATION: each error event gets a
+    value interpolated between the user's bracketing purchase events —
+    the sensor-alignment primitive (backward asof gives a stale
+    left value, forward gives a future one; interpolation weights both
+    by time distance, the standard irregular-time-series resample).
+
+    Shape: ONE union of the probe and reference series, one shuffle
+    on user_id, and two RANGE-framed window passes (strictly-before /
+    strictly-after the probe's second) — not two separate as-of joins
+    re-shuffling the same data. Determinism: the reference series is
+    pre-aggregated to one value per (user, second) via max_by event_id
+    — RANGE frames tie ALL rows of an equal second, so without that
+    the 'last non-null in frame' would be engine-order dependent; with
+    it, ignore-nulls skips the probe rows and lands on the unique
+    reference row. The strict 1-second frame bounds also make
+    next_sec - prev_sec >= 2, so the interpolation denominator can
+    never be zero."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_timestamp(F.date_trunc("second", "ts")).alias("sec"),
+        "value",
+    )
+    p = (
+        base.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "sec")
+        .agg(F.max_by("value", "event_id").alias("pval"))
+    )
+    errs = base.filter(F.col("event_type") == "error").select(
+        "user_id",
+        "sec",
+        "event_id",
+        F.lit(None).cast("double").alias("pval"),
+        F.lit(True).alias("is_err"),
+    )
+    un = errs.unionByName(
+        p.select(
+            "user_id",
+            "sec",
+            F.lit(None).cast("bigint").alias("event_id"),
+            "pval",
+            F.lit(False).alias("is_err"),
+        )
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    psec = F.when(F.col("pval").isNotNull(), F.col("sec"))
+    br = un.select(
+        "user_id",
+        "sec",
+        "event_id",
+        "is_err",
+        F.last("pval", ignorenulls=True).over(wp).alias("prev_val"),
+        F.last(psec, ignorenulls=True).over(wp).alias("prev_sec"),
+        F.first("pval", ignorenulls=True).over(wn).alias("next_val"),
+        F.first(psec, ignorenulls=True).over(wn).alias("next_sec"),
+    )
+    frac = (
+        (F.col("sec") - F.col("prev_sec"))
+        * F.lit(1.0)
+        / (F.col("next_sec") - F.col("prev_sec"))
+    )
+    return (
+        br.filter(
+            F.col("is_err")
+            & F.col("prev_sec").isNotNull()
+            & F.col("next_sec").isNotNull()
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.col("sec").alias("event_sec"),
+            (F.col("sec") - F.col("prev_sec")).alias("prev_gap_s"),
+            (F.col("next_sec") - F.col("sec")).alias("next_gap_s"),
+            ratio(
+                F.col("prev_val")
+                + (F.col("next_val") - F.col("prev_val")) * frac
+            ).alias("interp_value"),
+        )
+    )

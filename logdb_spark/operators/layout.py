@@ -348,3 +348,83 @@ def join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.event_id").alias("id_b"),
         (F.col("b.ts").cast("long") - F.col("a.ts").cast("long")).alias("gap_s"),
     )
+
+
+def zorder_write(
+    spark: SparkSession, sf_dir: str, n_files: int = 8
+) -> str:
+    """Morton-code-clustered events write (see sink_zorder_layout):
+    z = interleave(day_of_month 5 bits, value bucket 5 bits), range-
+    partitioned into n_files and sorted on z within each. Returns the
+    output dir; factored so tests can inspect footer stats."""
+    ev = load_table(spark, sf_dir, "events")
+    da = (F.dayofmonth("ts") - 1).cast("int")  # 0..30, 5 bits
+    vb = F.greatest(
+        F.lit(0),
+        F.least(F.lit(31), F.floor(F.col("value") * 32.0 / 100.0)),
+    ).cast("int")  # 0..31, 5 bits
+    z = F.lit(0)
+    for i in range(5):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(da, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(vb, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    out_dir = scratch_dir("logdb_zorder_")
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set(
+        "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+    )
+    try:
+        (
+            ev.withColumn("zval", z)
+            .repartitionByRange(n_files, "zval")
+            .sortWithinPartitions("zval")
+            .write.mode("overwrite")
+            .parquet(out_dir)
+        )
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    return out_dir
+
+
+@register(
+    "sink_zorder_layout",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS total_value
+        FROM events
+        WHERE day(ts) BETWEEN 10 AND 12
+          AND value >= 20 AND value < 40
+        GROUP BY event_type
+    """,
+    section=SECTION,
+)
+def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order-clustered parquet write + rectangle-query read-back:
+    events are laid out by a 10-bit Morton code interleaving day-of-
+    month (5 bits) with a 32-level value bucket (5 bits), range-
+    partitioned and sorted on that z-value before writing. Unlike the
+    1-D time clustering of sink_sorted_parquet, the interleaved code
+    keeps BOTH dimensions locally narrow in every file, so a
+    rectangle predicate (day range x value range) prunes row groups
+    on min/max footer stats in either dimension — the multi-column
+    data-skipping layout lakehouses call OPTIMIZE ZORDER BY. The
+    z-value is pure JVM bit arithmetic (shiftleft/and/or — never a
+    UDF) and exists only in the physical layout; the read-back
+    rectangle aggregate is oracle-checked against the raw table,
+    proving the clustered roundtrip is value-exact.
+    tests/test_plans.py asserts the physical claim: per-file min/max
+    spans of both key columns are narrow against the global span."""
+    out_dir = zorder_write(spark, sf_dir)
+    back = spark.read.parquet(out_dir)
+    rect = back.filter(
+        F.dayofmonth("ts").between(10, 12)
+        & (F.col("value") >= 20)
+        & (F.col("value") < 40)
+    )
+    return rect.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dround(F.sum(dec4("value"))).alias("total_value"),
+    )

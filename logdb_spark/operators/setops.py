@@ -199,3 +199,51 @@ def set_symmetric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@register(
+    "set_union_by_name_evolution",
+    oracle="""
+        WITH old_batch AS (
+            SELECT event_id, event_type, user_id, value
+            FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-16'
+        ), new_batch AS (
+            SELECT event_id, event_type, props
+            FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-16'
+        ), unioned AS (
+            SELECT * FROM old_batch
+            UNION ALL BY NAME
+            SELECT * FROM new_batch
+        )
+        SELECT event_type, COUNT(*) AS n,
+               COUNT(*) FILTER (WHERE value IS NULL) AS n_missing_value,
+               COUNT(*) FILTER (WHERE props IS NULL) AS n_missing_props,
+               COUNT(*) FILTER (WHERE user_id IS NULL) AS n_missing_user
+        FROM unioned GROUP BY event_type
+    """,
+    section=SECTION,
+)
+def set_union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: an old batch (has user_id + value, no
+    props) unioned with a new batch (dropped user_id/value, added
+    props) BY NAME with missing columns null-filled — the everyday
+    lakehouse append where positional UNION would silently mis-align
+    or hard-fail. Spark: unionByName(allowMissingColumns=True); DuckDB
+    mirror: UNION ALL BY NAME. The audit aggregate counts the
+    null-backfilled cells per column, the number a migration
+    dashboard watches. Map-side projection + one groupBy on a
+    5-value key."""
+    ev = load_table(spark, sf_dir, "events")
+    old_b = ev.filter(F.to_date("ts") < F.lit("2024-01-16")).select(
+        "event_id", "event_type", "user_id", "value"
+    )
+    new_b = ev.filter(F.to_date("ts") >= F.lit("2024-01-16")).select(
+        "event_id", "event_type", "props"
+    )
+    unioned = old_b.unionByName(new_b, allowMissingColumns=True)
+    return unioned.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("value").isNull(), 1)).alias("n_missing_value"),
+        F.count(F.when(F.col("props").isNull(), 1)).alias("n_missing_props"),
+        F.count(F.when(F.col("user_id").isNull(), 1)).alias("n_missing_user"),
+    )

@@ -119,6 +119,9 @@ _R6_NEEDS_ROW_FIRST = (
     "embed_dim_stats",
     "sim_mmr_diversify",
     "stream_windowed_topk",
+    "join_asof_interpolate",
+    "set_union_by_name_evolution",
+    "sink_zorder_layout",
 )
 _R2_DRIVER_GREEN = frozenset(
     {

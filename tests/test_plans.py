@@ -315,3 +315,45 @@ def test_search_ranked_uses_take_ordered_per_query(spark):
     assert "Exchange SinglePartition" not in plan or plan.count(
         "Exchange SinglePartition"
     ) <= 1  # only the final <=30-row rank window may single-partition
+
+
+def test_zorder_layout_clusters_both_dimensions(spark):
+    """sink_zorder_layout's value is PHYSICAL: every file must be
+    narrow in BOTH interleaved dimensions (day-of-month and value),
+    not just one. Per-file footer min/max spans, expressed as a
+    fraction of the global span and summed across the two dimensions,
+    land near ~0.8 for the Morton layout (day quartered + value
+    halved by the top z-bits) vs ~2.0 for any single-column sort or
+    random layout — assert the combined fraction stays below 1.2."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from logdb_spark.operators.layout import zorder_write
+
+    out_dir = zorder_write(spark, SF_SMALL)
+    spans = []
+    for f in glob.glob(f"{out_dir}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        ts_idx = md.schema.names.index("ts")
+        v_idx = md.schema.names.index("value")
+        lo_d = hi_d = lo_v = hi_v = None
+        for rg in range(md.num_row_groups):
+            st_t = md.row_group(rg).column(ts_idx).statistics
+            st_v = md.row_group(rg).column(v_idx).statistics
+            assert st_t is not None and st_v is not None
+            lo_d = st_t.min if lo_d is None else min(lo_d, st_t.min)
+            hi_d = st_t.max if hi_d is None else max(hi_d, st_t.max)
+            lo_v = st_v.min if lo_v is None else min(lo_v, st_v.min)
+            hi_v = st_v.max if hi_v is None else max(hi_v, st_v.max)
+        spans.append(((lo_d.day, hi_d.day), (lo_v, hi_v)))
+    assert len(spans) >= 4, "expected multiple z-range files"
+    g_day = max(s[0][1] for s in spans) - min(s[0][0] for s in spans)
+    g_val = max(s[1][1] for s in spans) - min(s[1][0] for s in spans)
+    assert g_day >= 20 and g_val >= 50  # dataset really spans both dims
+    day_frac = sum((hi - lo) / g_day for (lo, hi), _ in spans) / len(spans)
+    val_frac = sum((hi - lo) / g_val for _, (lo, hi) in spans) / len(spans)
+    assert day_frac + val_frac <= 1.2, (
+        f"files span {day_frac:.2f} of days + {val_frac:.2f} of values — "
+        "not z-clustered in both dimensions"
+    )
