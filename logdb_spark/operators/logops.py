@@ -2197,3 +2197,85 @@ def log_p99_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("stable")
         .alias("trend"),
     )
+
+
+@register(
+    "log_correlation_matrix",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS x
+            FROM events GROUP BY 1, 2
+        ), pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   COUNT(*) AS n,
+                   SUM(a.x) AS sx, SUM(b.x) AS sy,
+                   SUM(a.x * a.x) AS sxx, SUM(b.x * b.x) AS syy,
+                   SUM(a.x * b.x) AS sxy
+            FROM daily a JOIN daily b
+              ON a.day = b.day AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT type_a, type_b, n AS n_days,
+               ROUND((n * sxy - sx * sy) /
+                     sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+                   AS corr
+        FROM pairs
+    """,
+    section=SECTION,
+)
+def log_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-series correlation matrix: Pearson correlation between the
+    daily count series of every event-type pair — 'do errors move with
+    purchases?', the first question of incident forensics
+    (agg_corr_regression correlates two columns of one row stream;
+    this correlates whole TIME SERIES against each other). Assembled
+    from exact integer sums over the day-joined series (counts are
+    ints, so every sum is exact and order-independent; doubles only in
+    the final normalized division) — the same discipline as
+    log_p99_trend. The series relation is (types x days) — calendar-
+    bounded — so the pair self-join is over a tiny aggregate, never
+    over events."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    a = daily.select(
+        F.col("event_type").alias("type_a"),
+        F.col("day").alias("day_a"),
+        F.col("x").alias("xa"),
+    )
+    b = daily.select(
+        F.col("event_type").alias("type_b"),
+        F.col("day").alias("day_b"),
+        F.col("x").alias("xb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("day_a") == F.col("day_b"))
+            & (F.col("type_a") < F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("xa").alias("sx"),
+            F.sum("xb").alias("sy"),
+            F.sum(F.col("xa") * F.col("xa")).alias("sxx"),
+            F.sum(F.col("xb") * F.col("xb")).alias("syy"),
+            F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.col("n").alias("n_days"),
+        ratio(num / den).alias("corr"),
+    )

@@ -386,3 +386,92 @@ def sample_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.lit(leaks == 0).alias("no_user_leakage"),
     )
+
+
+# Poisson(1) CDF breakpoints scaled to the first 4 hex chars (16 bits)
+# of the per-(row, replicate) md5 — end-exclusive upper bounds, so the
+# draw count is a pure hex-string comparison on both engines.
+_POIS_UB = ("5e2d", "bc5a", "eb71", "fb23", "ff10")  # k = 0..4, else 5
+
+
+@register(
+    "sample_poisson_bootstrap",
+    oracle=f"""
+        WITH draws AS (
+            SELECT event_type, value,
+                   substring(md5(concat_ws('_',
+                       CAST(event_id AS VARCHAR), CAST(b AS VARCHAR))),
+                       1, 4) AS h,
+                   CAST(b AS INT) AS replicate
+            FROM events, unnest(range(0, 3)) AS t(b)
+        ), weighted AS (
+            SELECT event_type, replicate, value,
+                   CASE WHEN h < '{_POIS_UB[0]}' THEN 0
+                        WHEN h < '{_POIS_UB[1]}' THEN 1
+                        WHEN h < '{_POIS_UB[2]}' THEN 2
+                        WHEN h < '{_POIS_UB[3]}' THEN 3
+                        WHEN h < '{_POIS_UB[4]}' THEN 4
+                        ELSE 5 END AS k
+            FROM draws
+        )
+        SELECT event_type, replicate,
+               CAST(SUM(k) AS BIGINT) AS n_drawn,
+               CAST(ROUND(SUM(k * CAST(value AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS boot_total
+        FROM weighted GROUP BY event_type, replicate
+    """,
+    section=SECTION,
+)
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap: B=3 resample replicates of the per-type value
+    total in ONE pass — the only bootstrap that works at 100 TB,
+    because Poisson(1) draw counts per (row, replicate) are independent
+    of n, so no resampled copy of the data ever materializes (classic
+    streaming-bootstrap construction). Replicate spread estimates the
+    total's sampling variance.
+
+    Determinism: the draw count comes from hex-prefix comparisons on
+    md5(event_id, replicate) against Poisson(1) CDF breakpoints
+    pre-scaled to 16 bits — no floats until the final decimal-exact
+    weighted sum is rounded. The 3x fan-out is a map-side explode;
+    the single shuffle groups on (type x replicate), a 15-key space."""
+    ev = load_table(spark, sf_dir, "events")
+    draws = ev.select(
+        "event_type",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("b"),
+        "event_id",
+    ).select(
+        "event_type",
+        "value",
+        F.col("b").cast("int").alias("replicate"),
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    F.col("event_id").cast("string"),
+                    F.col("b").cast("string"),
+                )
+            ),
+            1,
+            4,
+        ).alias("h"),
+    )
+    k = (
+        F.when(F.col("h") < _POIS_UB[0], 0)
+        .when(F.col("h") < _POIS_UB[1], 1)
+        .when(F.col("h") < _POIS_UB[2], 2)
+        .when(F.col("h") < _POIS_UB[3], 3)
+        .when(F.col("h") < _POIS_UB[4], 4)
+        .otherwise(5)
+    )
+    from logdb_spark.functions.numeric import dec4, dround
+
+    return (
+        draws.withColumn("k", k)
+        .groupBy("event_type", "replicate")
+        .agg(
+            F.sum("k").alias("n_drawn"),
+            dround(F.sum(F.col("k") * dec4("value"))).alias("boot_total"),
+        )
+    )

@@ -1000,3 +1000,49 @@ def sink_idempotent_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(len(attempts)).cast("int").alias("n_attempts"),
         F.lit(n_both == 2 * n_one).alias("no_double_count"),
     )
+
+
+@register(
+    "scan_file_metadata_cols",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n_rows,
+               CAST(1 AS BIGINT) AS n_files,
+               TRUE AS paths_consistent
+        FROM events GROUP BY event_type
+    """,
+    section=SECTION,
+)
+def scan_file_metadata_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hidden ``_metadata`` file-source columns — per-row lineage
+    (which physical file produced this row) without any user column:
+    events are written partitioned by type (repartitioned on the
+    partition key first, so each type lands in exactly one task →
+    exactly one file per partition dir), read back selecting
+    ``_metadata.file_path``, and audited: rows per type, distinct
+    files per type (pinned to 1 by the repartition), and agreement
+    between the partition-dir name parsed OUT OF THE PATH and the
+    partition column the reader reconstructs. This is the mechanism a
+    backfill uses to trace bad rows to their source file and re-ingest
+    just that file. The oracle states the invariant from the raw
+    table: same counts, one file each, paths consistent."""
+    ev = load_table(spark, sf_dir, "events")
+    out = scratch_dir("logdb_meta_")
+    (
+        ev.select("event_id", "user_id", "event_type")
+        .repartition("event_type")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).select(
+        "event_type",
+        F.col("_metadata.file_path").alias("fpath"),
+    )
+    from_path = F.regexp_extract("fpath", r"event_type=([^/]+)/", 1)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("fpath").alias("n_files"),
+        (F.count(F.when(from_path != F.col("event_type"), 1)) == 0).alias(
+            "paths_consistent"
+        ),
+    )

@@ -122,6 +122,9 @@ _R6_NEEDS_ROW_FIRST = (
     "join_asof_interpolate",
     "set_union_by_name_evolution",
     "sink_zorder_layout",
+    "sample_poisson_bootstrap",
+    "log_correlation_matrix",
+    "scan_file_metadata_cols",
 )
 _R2_DRIVER_GREEN = frozenset(
     {
