@@ -3678,3 +3678,114 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s in steps[1:]:
         out = out.unionByName(s)
     return out
+
+
+@register(
+    "text_containment_prefix_join",
+    # Physical rewrite of the same containment join — same oracle as
+    # text_containment_dedup (the join_range_bucketed precedent:
+    # bucketing/prefix-indexing changes the plan, never the answer).
+    oracle="""
+        WITH g AS (
+            SELECT doc_id,
+                   list_sort(list_distinct(list_transform(
+                       range(1, len(string_split(text, ' '))),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i + 1]))) AS grams
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               ROUND(len(list_intersect(a.grams, b.grams)) * 1.0 /
+                     len(a.grams), 6) AS containment,
+               len(list_intersect(a.grams, b.grams)) = len(a.grams)
+                   AS is_full
+        FROM g a JOIN g b ON a.doc_id <> b.doc_id
+        WHERE len(a.grams) > 0
+          AND len(b.grams) >= CAST(ceil(0.8 * len(a.grams)) AS BIGINT)
+          AND len(list_intersect(a.grams, b.grams)) * 1.0 /
+              len(a.grams) >= 0.8
+    """,
+    section=SECTION,
+)
+def text_containment_prefix_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SCALE path for containment search — and unlike the MinHash
+    banding of the Jaccard composites it is EXACT-COMPLETE, no recall
+    caveat: prefix filtering (the PPJoin family's pigeonhole bound).
+    C(A→B) >= 0.8 means at most floor(0.2|A|) of A's shingles are
+    missing from B, so among A's floor(0.2|A|)+1 globally-RAREST
+    shingles at least one must appear in B — candidates are the pairs
+    sharing such a prefix shingle, found by joining A-prefixes
+    against the full inverted index. Rare-first ordering makes the
+    probed postings the SHORT ones, so candidate volume tracks
+    rare-token co-occurrence, not n². Exact verify runs only on
+    candidates (same intersect kernel as the all-pairs twin); a
+    parity pytest pins this plan's output identical to
+    text_containment_dedup's tiled kernel, and the same DuckDB oracle
+    gates both.
+
+    Shape at 100 TB: one vocab-bounded frequency agg, one window rank
+    per doc (partitioned by doc_id), one inverted-index equi-join on
+    token, one candidate-bounded verify join. No all-pairs stage
+    anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    g = track_persist(
+        d.select(
+            "doc_id",
+            F.array_sort(_BIGRAMS()).alias("grams"),
+            F.size(_BIGRAMS()).alias("n"),
+        ).filter(F.col("n") > 0)
+    )
+    tok = g.select("doc_id", "n", F.explode("grams").alias("token"))
+    # Global shingle rarity: document frequency, ties broken by token
+    # text — a vocab-bounded aggregate (same discipline as the
+    # bitmask dictionary's vocab sort).
+    df_ = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    ranked = tok.join(F.broadcast(df_), "token").select(
+        "doc_id",
+        "n",
+        "token",
+        F.row_number()
+        .over(
+            Window.partitionBy("doc_id").orderBy("df", "token")
+        )
+        .alias("rarity_rn"),
+    )
+    prefix_len = (F.floor(F.lit(0.2) * F.col("n")) + 1).cast("int")
+    a_prefix = ranked.filter(F.col("rarity_rn") <= prefix_len).select(
+        F.col("doc_id").alias("doc_a"), "token"
+    )
+    b_index = tok.select(F.col("doc_id").alias("doc_b"), "token")
+    cands = (
+        a_prefix.join(b_index, "token")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ga = g.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("grams").alias("grams_a"),
+        F.col("n").alias("na"),
+    )
+    gb = g.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("grams").alias("grams_b"),
+        F.col("n").alias("nb"),
+    )
+    ns = F.size(F.array_intersect("grams_a", "grams_b"))
+    return (
+        cands.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .filter(F.col("nb") >= F.ceil(F.lit(0.8) * F.col("na")))
+        .withColumn("ns", ns)
+        .filter(F.col("ns") * F.lit(1.0) / F.col("na") >= 0.8)
+        .select(
+            "doc_a",
+            "doc_b",
+            ratio(F.col("ns") * F.lit(1.0) / F.col("na")).alias(
+                "containment"
+            ),
+            (F.col("ns") == F.col("na")).alias("is_full"),
+        )
+    )

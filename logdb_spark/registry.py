@@ -125,6 +125,7 @@ _R6_NEEDS_ROW_FIRST = (
     "sample_poisson_bootstrap",
     "log_correlation_matrix",
     "scan_file_metadata_cols",
+    "text_containment_prefix_join",
 )
 _R2_DRIVER_GREEN = frozenset(
     {

@@ -247,3 +247,26 @@ def test_cluster_finisher_driver_matches_loop(spark):
     finally:
         llm._CC_DRIVER_MAX_EDGES = saved
     assert fast == loop
+
+
+def test_containment_prefix_join_matches_allpairs(spark):
+    """text_containment_prefix_join is a physical rewrite (PPJoin-style
+    prefix filtering) of text_containment_dedup's all-pairs kernel —
+    the pigeonhole prefix bound is exact-COMPLETE, so the outputs must
+    be identical, not merely high-recall."""
+    from logdb_spark.operators.llm import (
+        text_containment_dedup,
+        text_containment_prefix_join,
+    )
+
+    cols = ["doc_a", "doc_b", "containment", "is_full"]
+    allpairs = sorted(
+        tuple(r) for r in text_containment_dedup(spark, SF_SMALL).collect()
+    )
+    prefix = sorted(
+        tuple(r)
+        for r in text_containment_prefix_join(spark, SF_SMALL)
+        .select(*cols)
+        .collect()
+    )
+    assert allpairs == prefix
