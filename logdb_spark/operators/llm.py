@@ -3728,57 +3728,70 @@ def text_containment_prefix_join(
     Shape at 100 TB: one vocab-bounded frequency agg, one window rank
     per doc (partitioned by doc_id), one inverted-index equi-join on
     token, one candidate-bounded verify join. No all-pairs stage
-    anywhere."""
+    anywhere. Verification runs the dictionary-bitmask popcount
+    kernel (whole-stage codegen bit ops) — the array_intersect form
+    measured 25× slower on the dense fixture's ~3M candidates — with
+    the size bound pushed BEFORE the candidate distinct so ineligible
+    pairs never enter that shuffle."""
     d = load_table(spark, sf_dir, "documents")
-    g = track_persist(
-        d.select(
+    tok = d.select("doc_id", F.explode(_BIGRAMS()).alias("token"))
+
+    def sets_fn():
+        return d.select(
             "doc_id",
-            F.array_sort(_BIGRAMS()).alias("grams"),
+            F.array_sort(_BIGRAMS()).alias("toks"),
             F.size(_BIGRAMS()).alias("n"),
-        ).filter(F.col("n") > 0)
-    )
-    tok = g.select("doc_id", "n", F.explode("grams").alias("token"))
+        )
+
+    docs, kernel, _screen, n_chunks = _pair_kernel(spark, tok, sets_fn)
+    docs = docs.filter(F.col("n") > 0)
+    sizes = docs.select("doc_id", "n")
     # Global shingle rarity: document frequency, ties broken by token
     # text — a vocab-bounded aggregate (same discipline as the
     # bitmask dictionary's vocab sort).
     df_ = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    ranked = tok.join(F.broadcast(df_), "token").select(
-        "doc_id",
-        "n",
-        "token",
-        F.row_number()
-        .over(
-            Window.partitionBy("doc_id").orderBy("df", "token")
+    ranked = (
+        tok.join(F.broadcast(df_), "token")
+        .join(F.broadcast(sizes), "doc_id")
+        .select(
+            "doc_id",
+            "n",
+            "token",
+            F.row_number()
+            .over(Window.partitionBy("doc_id").orderBy("df", "token"))
+            .alias("rarity_rn"),
         )
-        .alias("rarity_rn"),
     )
     prefix_len = (F.floor(F.lit(0.2) * F.col("n")) + 1).cast("int")
     a_prefix = ranked.filter(F.col("rarity_rn") <= prefix_len).select(
-        F.col("doc_id").alias("doc_a"), "token"
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "token"
     )
-    b_index = tok.select(F.col("doc_id").alias("doc_b"), "token")
+    b_index = tok.join(F.broadcast(sizes), "doc_id").select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "token"
+    )
     cands = (
         a_prefix.join(b_index, "token")
-        .filter(F.col("doc_a") != F.col("doc_b"))
+        .filter(
+            (F.col("doc_a") != F.col("doc_b"))
+            & (F.col("nb") >= F.ceil(F.lit(0.8) * F.col("na")))
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
-    ga = g.select(
+    da = docs.select(
         F.col("doc_id").alias("doc_a"),
-        F.col("grams").alias("grams_a"),
+        F.col("toks").alias("toks_a"),
         F.col("n").alias("na"),
     )
-    gb = g.select(
+    db = docs.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("grams").alias("grams_b"),
+        F.col("toks").alias("toks_b"),
         F.col("n").alias("nb"),
     )
-    ns = F.size(F.array_intersect("grams_a", "grams_b"))
     return (
-        cands.join(ga, "doc_a")
-        .join(gb, "doc_b")
-        .filter(F.col("nb") >= F.ceil(F.lit(0.8) * F.col("na")))
-        .withColumn("ns", ns)
+        cands.join(F.broadcast(da), "doc_a")
+        .join(F.broadcast(db), "doc_b")
+        .withColumn("ns", kernel)
         .filter(F.col("ns") * F.lit(1.0) / F.col("na") >= 0.8)
         .select(
             "doc_a",
