@@ -65,9 +65,12 @@ _LOADED = False
 # pair-source auto/LSH, driver union-find finisher, lazy checkpoints;
 # plus this round's recall-boosted composite banding and conditional
 # broadcast — and mm_scene_segments' char-offset/empty-text fix), then
-# the 33 ops with NO driver row in any round (set-difference of
-# registry names vs the union of CORRECTNESS_r0{1..5}.json keys), then
-# new r6 ops. Tiers 1-3 unchanged: r2-green streaming/UDF (stalest
+# the BRAND-NEW r6 ops (zero evidence of any kind until this round's
+# gate), then the 33 ops with no driver row in any round
+# (set-difference of registry names vs the union of
+# CORRECTNESS_r0{1..5}.json keys — these at least carry judge
+# diffcheck evidence from r4/r5, so they absorb the 50-row cap's
+# tail cut). Tiers 1-3 unchanged: r2-green streaming/UDF (stalest
 # hashes), then r1-green, then freshest.
 _R6_NEEDS_ROW_FIRST = (
     # -- implementation changed after last driver row (r4 rows predate
@@ -75,7 +78,24 @@ _R6_NEEDS_ROW_FIRST = (
     "dedup_cluster_assign",
     "dedup_keep_best",
     "text_clean_pipeline",
-    # -- never driver-checked (no row r1-r5) --
+    # -- new in r6: no evidence until this round's gate --
+    "log_cusum_drift",
+    "log_flap_detect",
+    "log_backfill_detect",
+    "log_rolling_wau",
+    "log_p99_trend",
+    "text_containment_dedup",
+    "text_containment_prefix_join",
+    "embed_dim_stats",
+    "sim_mmr_diversify",
+    "stream_windowed_topk",
+    "join_asof_interpolate",
+    "set_union_by_name_evolution",
+    "sink_zorder_layout",
+    "sample_poisson_bootstrap",
+    "log_correlation_matrix",
+    "scan_file_metadata_cols",
+    # -- never driver-checked (no row r1-r5; cap cuts here) --
     "mm_scene_segments",         # also changed this round (char offsets)
     "agg_histogram_percentile",
     "agg_mergeable_rollup",
@@ -109,23 +129,6 @@ _R6_NEEDS_ROW_FIRST = (
     "text_vocab_growth",
     "win_drawdown",
     "win_time_weighted_avg",
-    # -- new in r6 (appended as they are built; cap cuts here) --
-    "log_cusum_drift",
-    "log_flap_detect",
-    "log_backfill_detect",
-    "log_rolling_wau",
-    "log_p99_trend",
-    "text_containment_dedup",
-    "embed_dim_stats",
-    "sim_mmr_diversify",
-    "stream_windowed_topk",
-    "join_asof_interpolate",
-    "set_union_by_name_evolution",
-    "sink_zorder_layout",
-    "sample_poisson_bootstrap",
-    "log_correlation_matrix",
-    "scan_file_metadata_cols",
-    "text_containment_prefix_join",
 )
 _R2_DRIVER_GREEN = frozenset(
     {
