@@ -3708,7 +3708,7 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
     section=SECTION,
 )
 def text_containment_prefix_join(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, strategy: str = "auto"
 ) -> DataFrame:
     """The SCALE path for containment search — and unlike the MinHash
     banding of the Jaccard composites it is EXACT-COMPLETE, no recall
@@ -3732,7 +3732,22 @@ def text_containment_prefix_join(
     kernel (whole-stage codegen bit ops) — the array_intersect form
     measured 25× slower on the dense fixture's ~3M candidates — with
     the size bound pushed BEFORE the candidate distinct so ineligible
-    pairs never enter that shuffle."""
+    pairs never enter that shuffle.
+
+    Cost-based strategy (strategy="auto", the registered default):
+    prefix filtering wins exactly when rare shingles ARE rare. Its
+    candidate volume is ~0.2·Σ_t df(t)² (the prefix-restricted
+    inverted-index join size), so when that estimate exceeds the
+    all-pairs count n²/2 — true on this fixture's adversarially dense
+    vocabulary, where the "rarest" bigram still has df≈n/3 and the
+    estimate is ~20× all-pairs — the op routes to the tiled gemm twin
+    instead, the same decision a set-similarity join planner makes
+    from the same statistics. Both estimates come from relations the
+    op computes anyway (one extra 2-scalar action over the
+    vocab-bounded df aggregate). strategy="prefix"/"allpairs" force a
+    path; the parity pytest runs "prefix" explicitly, so the scale
+    plan stays exercised and output-pinned even while auto picks the
+    cheaper plan at fixture density."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(_BIGRAMS()).alias("token"))
 
@@ -3750,6 +3765,23 @@ def text_containment_prefix_join(
     # text — a vocab-bounded aggregate (same discipline as the
     # bitmask dictionary's vocab sort).
     df_ = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    if strategy == "auto":
+        n_docs = d.count()  # parquet footer count
+        est = df_.agg(
+            F.sum(F.col("df") * F.col("df")).alias("sq")
+        ).collect()[0][0]  # driver-scalar: one 8-byte cost estimate
+        if est is not None and 0.2 * est > n_docs * n_docs / 2:
+            strategy = "allpairs"
+    if strategy == "allpairs" and n_chunks > 0:
+        out = _tiled_bitmask_pairs(
+            spark, docs, 0.8, n_docs=None, metric="containment"
+        )
+        return out.select(
+            "doc_a",
+            "doc_b",
+            ratio(F.col("jac")).alias("containment"),
+            (F.col("jac") >= 1.0).alias("is_full"),
+        )
     ranked = (
         tok.join(F.broadcast(df_), "token")
         .join(F.broadcast(sizes), "doc_id")
