@@ -143,6 +143,9 @@ NESTED_LOOP_ALLOWED = {
     "log_change_point",  # 1-row mean broadcast feeding the CUSUM fold
     "log_error_budget_burndown",  # 1-row budget broadcast
     "log_alert_suppress",  # 1-row spike-threshold broadcast
+    "sim_mmr_diversify",  # 1-row probe broadcast + 8-row shortlist pair cross
+    "text_containment_dedup",  # deliberate block-pair tile cross (gemm kernel)
+    "text_containment_prefix_join",  # auto routes to the same tile cross at fixture density
 }
 
 
