@@ -2279,3 +2279,160 @@ def log_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_days"),
         ratio(num / den).alias("corr"),
     )
+
+
+@register(
+    "log_bounce_rate",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id, date_trunc('second', ts) AS ts
+            FROM events
+        ), flagged AS (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                        OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), numbered AS (
+            SELECT user_id, ts,
+                   SUM(new_s) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        ), sessions AS (
+            SELECT user_id, session_id,
+                   CAST(MIN(ts) AS DATE) AS day,
+                   COUNT(*) AS n_events,
+                   epoch(MAX(ts)) - epoch(MIN(ts)) AS dur_s
+            FROM numbered GROUP BY user_id, session_id
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               COUNT(*) AS n_sessions,
+               COUNT(*) FILTER (WHERE n_events = 1) AS n_bounces,
+               ROUND(COUNT(*) FILTER (WHERE n_events = 1) * 1.0
+                     / COUNT(*), 6) AS bounce_rate,
+               ROUND(SUM(dur_s) * 1.0 / COUNT(*), 6) AS avg_duration_s
+        FROM sessions GROUP BY day
+    """,
+    section=SECTION,
+)
+def log_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: the share of sessions (30-min-gap
+    sessionization, same construction as log_sessionize_gap) that
+    contain exactly ONE event — the engagement-quality number next to
+    the raw session counts, plus the mean session duration. Sessions
+    aggregate per (user, session) first — one user_id shuffle shared
+    with the sessionizing windows — then roll up to ≤31 day rows;
+    durations are integer epoch seconds, so the averages are exact
+    ratios of integers rounded once."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_id", F.date_trunc("second", "ts").alias("ts")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    flagged = e.withColumn(
+        "new_s",
+        F.when(gap > 1800, 1)
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sessions = numbered.groupBy("user_id", "session_id").agg(
+        F.to_date(F.min("ts")).alias("day"),
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+        ).alias("dur_s"),
+    )
+    n_b = F.count(F.when(F.col("n_events") == 1, 1))
+    n_s = F.count(F.lit(1))
+    return sessions.groupBy(
+        F.date_format("day", "yyyy-MM-dd").alias("day")
+    ).agg(
+        n_s.alias("n_sessions"),
+        n_b.alias("n_bounces"),
+        ratio(n_b * F.lit(1.0) / n_s).alias("bounce_rate"),
+        ratio(F.sum("dur_s") * F.lit(1.0) / n_s).alias("avg_duration_s"),
+    )
+
+
+@register(
+    "log_burstiness_fano",
+    oracle="""
+        WITH counts AS (
+            SELECT event_type, date_trunc('hour', ts) AS hh, COUNT(*) AS x
+            FROM events GROUP BY 1, 2
+        ), grid AS (
+            SELECT t.event_type, g.hh
+            FROM (SELECT DISTINCT event_type FROM events) t
+            CROSS JOIN (
+                SELECT UNNEST(generate_series(
+                    (SELECT date_trunc('hour', MIN(ts)) FROM events),
+                    (SELECT date_trunc('hour', MAX(ts)) FROM events),
+                    INTERVAL 1 HOUR)) AS hh
+            ) g
+        ), full_grid AS (
+            SELECT grid.event_type, grid.hh, COALESCE(counts.x, 0) AS x
+            FROM grid LEFT JOIN counts
+              ON counts.event_type = grid.event_type AND counts.hh = grid.hh
+        ), sums AS (
+            SELECT event_type, COUNT(*) AS n, SUM(x) AS sx,
+                   SUM(x * x) AS sxx
+            FROM full_grid GROUP BY event_type
+        )
+        SELECT event_type, n AS n_hours,
+               ROUND(sx * 1.0 / n, 6) AS mean_per_hour,
+               ROUND((n * sxx - sx * sx) * 1.0 / (n * sx), 6) AS fano,
+               2 * (n * sxx - sx * sx) > 3 * n * sx AS bursty
+        FROM sums
+    """,
+    section=SECTION,
+)
+def log_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic burstiness via the Fano factor — hourly-count variance
+    over mean per type, on the ZERO-FILLED hour grid (empty hours are
+    real observations of zero; computing dispersion over only the
+    occupied hours biases it down, the mistake this op exists to
+    avoid). Fano = 1 is Poisson; the bursty flag (Fano > 1.5)
+    compares scaled integers, and the factor itself is
+    (n·Σx² − (Σx)²)/(n·Σx) — all integer until the final round, the
+    log_p99_trend discipline. The grid comes from a 1-row min/max
+    aggregate × the 5-type relation (log_gap_fill's pattern); every
+    relation after the first hourly shuffle is calendar-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hh")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    grid = (
+        ev.agg(
+            F.date_trunc("hour", F.min("ts")).alias("lo"),
+            F.date_trunc("hour", F.max("ts")).alias("hi"),
+        )
+        .select(
+            F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias(
+                "hh"
+            )
+        )
+        .crossJoin(F.broadcast(ev.select("event_type").distinct()))
+    )
+    full_grid = grid.join(counts, ["event_type", "hh"], "left").select(
+        "event_type", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    sums = full_grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    disp = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return sums.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        ratio(F.col("sx") * F.lit(1.0) / F.col("n")).alias("mean_per_hour"),
+        ratio(disp * F.lit(1.0) / (F.col("n") * F.col("sx"))).alias("fano"),
+        (2 * disp > 3 * F.col("n") * F.col("sx")).alias("bursty"),
+    )

@@ -95,6 +95,8 @@ _R6_NEEDS_ROW_FIRST = (
     "sample_poisson_bootstrap",
     "log_correlation_matrix",
     "scan_file_metadata_cols",
+    "log_bounce_rate",
+    "log_burstiness_fano",
     # -- never driver-checked (no row r1-r5; cap cuts here) --
     "mm_scene_segments",         # also changed this round (char offsets)
     "agg_histogram_percentile",
