@@ -2436,3 +2436,259 @@ def log_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio(disp * F.lit(1.0) / (F.col("n") * F.col("sx"))).alias("fano"),
         (2 * disp > 3 * F.col("n") * F.col("sx")).alias("bursty"),
     )
+
+
+@register(
+    "log_markov_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY date_trunc('second', ts), event_id
+                   ) AS prev_type,
+                   date_trunc('second', ts) AS ts_s,
+                   LAG(date_trunc('second', ts)) OVER (
+                       PARTITION BY user_id
+                       ORDER BY date_trunc('second', ts), event_id
+                   ) AS prev_ts
+            FROM events
+        ), trans AS (
+            SELECT prev_type AS from_type, event_type AS to_type,
+                   COUNT(*) AS n
+            FROM seq
+            WHERE prev_type IS NOT NULL
+              AND epoch(ts_s) - epoch(prev_ts) <= 1800
+            GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, n,
+               ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_type), 6)
+                   AS p_next
+        FROM trans
+    """,
+    section=SECTION,
+)
+def log_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over event types: for each
+    user's event stream (session-bounded by the same 30-min gap rule as
+    log_sessionize_gap — a transition across a session break is not
+    behaviour), count from→to steps and normalise per source state.
+
+    Scale shape: ONE user_id shuffle for the lag window (same key the
+    sessionizers use), then a groupBy on the 5×5-bounded type-pair
+    domain — the second shuffle moves at most |types|² rows per
+    partition after partial aggregation. The per-from normalisation
+    runs as a window over the ≤25-row result; trivially bounded."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.date_trunc("second", "ts").alias("ts"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+        (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")).alias(
+            "gap_s"
+        ),
+    ).filter(F.col("from_type").isNotNull() & (F.col("gap_s") <= 1800))
+    trans = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wt = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type", "to_type", "n",
+        ratio(F.col("n") * F.lit(1.0) / F.sum("n").over(wt)).alias("p_next"),
+    )
+
+
+@register(
+    "log_outlier_iqr",
+    oracle="""
+        WITH fences AS (
+            SELECT event_type,
+                   percentile_cont(0.25) WITHIN GROUP (ORDER BY value) AS q1,
+                   percentile_cont(0.75) WITHIN GROUP (ORDER BY value) AS q3
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               COUNT(*) AS n,
+               COUNT(*) FILTER (
+                   WHERE e.value < f.q1 - 1.5 * (f.q3 - f.q1)
+                      OR e.value > f.q3 + 1.5 * (f.q3 - f.q1)) AS n_outliers,
+               ROUND(COUNT(*) FILTER (
+                   WHERE e.value < f.q1 - 1.5 * (f.q3 - f.q1)
+                      OR e.value > f.q3 + 1.5 * (f.q3 - f.q1)) * 1.0
+                     / COUNT(*), 6) AS outlier_share,
+               ROUND(f.q1, 6) AS q1, ROUND(f.q3, 6) AS q3
+        FROM events e JOIN fences f USING (event_type)
+        GROUP BY e.event_type, f.q1, f.q3
+    """,
+    section=SECTION,
+)
+def log_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier rate per event type: exact interpolated
+    quartiles (Spark `percentile` ≡ DuckDB percentile_cont, the
+    agg_percentile_exact equivalence), 1.5·IQR fences, then a second
+    pass counting points outside them.
+
+    Scale shape: pass 1 is a 5-group exact percentile (per-type sorted
+    merge — bounded by the 5-type domain, not data volume); the ≤5-row
+    fence table broadcasts into pass 2, which is a plain partial-agg
+    count — no row ever shuffles on anything wider than event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    fences = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    out = (
+        F.col("value") < F.col("q1") - 1.5 * iqr
+    ) | (F.col("value") > F.col("q3") + 1.5 * iqr)
+    return (
+        ev.join(F.broadcast(fences), "event_type")
+        .groupBy("event_type", "q1", "q3")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(out).alias("n_outliers"),
+            ratio(F.count_if(out) * F.lit(1.0) / F.count(F.lit(1))).alias(
+                "outlier_share"
+            ),
+        )
+        .select(
+            "event_type", "n", "n_outliers", "outlier_share",
+            ratio("q1").alias("q1"), ratio("q3").alias("q3"),
+        )
+    )
+
+
+@register(
+    "log_forecast_linear",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS y
+            FROM events GROUP BY 1, 2
+        ), offs AS (
+            SELECT event_type,
+                   date_diff('day',
+                             MIN(day) OVER (PARTITION BY event_type),
+                             day) AS x,
+                   y
+            FROM daily
+        ), idx AS (
+            SELECT event_type, x, y,
+                   MAX(x) OVER (PARTITION BY event_type) AS xmax
+            FROM offs
+        ), sums AS (
+            SELECT event_type, MAX(xmax) AS xmax, COUNT(*) AS n,
+                   SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * y) AS sxy, SUM(x * x) AS sxx
+            FROM idx GROUP BY event_type
+        )
+        SELECT event_type, n AS n_days,
+               ROUND((n * sxy - sx * sy) * 1.0
+                     / (n * sxx - sx * sx), 6) AS slope,
+               ROUND((sy * sxx - sx * sxy) * 1.0
+                     / (n * sxx - sx * sx), 6) AS intercept,
+               ROUND(((sy * sxx - sx * sxy)
+                      + (xmax + 1) * (n * sxy - sx * sy)) * 1.0
+                     / (n * sxx - sx * sx), 6) AS forecast_next_day
+        FROM sums
+    """,
+    section=SECTION,
+)
+def log_forecast_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily-volume trend: ordinary least squares of count vs
+    day index, plus the one-day-ahead forecast. Both x (day offset from
+    the type's first day) and y (counts) are integers, so every sum in
+    the normal equations is exact; the three outputs are single
+    integer-ratio divides rounded once — bit-identical cross-engine,
+    the log_p99_trend discipline (floating regr_slope would not be).
+
+    Scale shape: daily counts = one (type, day) partial-agg shuffle on
+    a calendar-bounded key; the regression sums collapse those ≤5×days
+    rows per type. Nothing downstream of the first aggregate scales
+    with raw row count."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    wt = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        F.datediff(F.col("day"), F.min("day").over(wt)).alias("x"),
+        "y",
+    ).withColumn("xmax", F.max("x").over(wt))
+    sums = idx.groupBy("event_type").agg(
+        F.max("xmax").alias("xmax"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    icept_num = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    return sums.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        ratio(slope_num * F.lit(1.0) / det).alias("slope"),
+        ratio(icept_num * F.lit(1.0) / det).alias("intercept"),
+        ratio(
+            (icept_num + (F.col("xmax") + 1) * slope_num) * F.lit(1.0) / det
+        ).alias("forecast_next_day"),
+    )
+
+
+@register(
+    "log_rate_limit_flag",
+    oracle="""
+        WITH numbered AS (
+            SELECT user_id, event_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, date_trunc('minute', ts)
+                       ORDER BY date_trunc('second', ts), event_id
+                   ) AS k
+            FROM events
+        )
+        SELECT COUNT(*) AS n_events,
+               COUNT(*) FILTER (WHERE k > 5) AS n_throttled,
+               COUNT(DISTINCT CASE WHEN k > 5 THEN user_id END)
+                   AS n_throttled_users,
+               ROUND(COUNT(*) FILTER (WHERE k > 5) * 1.0 / COUNT(*), 6)
+                   AS throttled_share
+        FROM numbered
+    """,
+    section=SECTION,
+)
+def log_rate_limit_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user-per-minute rate limiting (limit 5): every event beyond
+    the 5th a user emits inside one wall-clock minute is flagged, then
+    the audit rolls up flagged volume and affected users. This is the
+    batch twin of an ingest-side throttle — the flag rule is a plain
+    ROW_NUMBER over (user, minute), deterministic tiebreak on
+    (second-truncated ts, event_id).
+
+    Scale shape: one shuffle on the (user_id, minute) composite — far
+    finer than user_id alone, so hot users spread across partitions by
+    time (built-in skew dilution); per-key window state is the ≤minute
+    event run, never a whole user history. Final rollup is a partial
+    agg to one row."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.date_trunc("second", "ts").alias("ts_s"),
+        F.date_trunc("minute", "ts").alias("ts_m"),
+    )
+    w = Window.partitionBy("user_id", "ts_m").orderBy("ts_s", "event_id")
+    numbered = ev.withColumn("k", F.row_number().over(w))
+    throttled = F.col("k") > 5
+    return numbered.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_if(throttled).alias("n_throttled"),
+        F.count_distinct(
+            F.when(throttled, F.col("user_id"))
+        ).alias("n_throttled_users"),
+        ratio(
+            F.count_if(throttled) * F.lit(1.0) / F.count(F.lit(1))
+        ).alias("throttled_share"),
+    )

@@ -97,6 +97,10 @@ _R6_NEEDS_ROW_FIRST = (
     "scan_file_metadata_cols",
     "log_bounce_rate",
     "log_burstiness_fano",
+    "log_markov_transitions",
+    "log_outlier_iqr",
+    "log_forecast_linear",
+    "log_rate_limit_flag",
     # -- never driver-checked (no row r1-r5; cap cuts here) --
     "mm_scene_segments",         # also changed this round (char offsets)
     "agg_histogram_percentile",

@@ -146,6 +146,7 @@ NESTED_LOOP_ALLOWED = {
     "sim_mmr_diversify",  # 1-row probe broadcast + 8-row shortlist pair cross
     "text_containment_dedup",  # deliberate block-pair tile cross (gemm kernel)
     "text_containment_prefix_join",  # auto routes to the same tile cross at fixture density
+    "log_burstiness_fano",  # 5-row type relation broadcast onto the hour grid
 }
 
 
