@@ -3834,3 +3834,202 @@ def text_containment_prefix_join(
             (F.col("ns") == F.col("na")).alias("is_full"),
         )
     )
+
+
+@register(
+    "text_doc_perplexity",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), big AS (
+            SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+            FROM toks, (SELECT UNNEST(range(1, 200)) AS i)
+            WHERE i < len(t)
+        ), cnt AS (
+            SELECT w1, w2, COUNT(*) AS n12 FROM big GROUP BY w1, w2
+        ), tot AS (
+            SELECT w1, SUM(n12) AS n1 FROM cnt GROUP BY w1
+        ), scored AS (
+            SELECT b.doc_id, LN(c.n12 * 1.0 / t.n1) AS lp
+            FROM big b
+            JOIN cnt c ON c.w1 = b.w1 AND c.w2 = b.w2
+            JOIN tot t ON t.w1 = b.w1
+        )
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               ROUND(-AVG(lp), 6) AS nll,
+               ROUND(EXP(-AVG(lp)), 6) AS perplexity
+        FROM scored GROUP BY doc_id
+    """,
+    section=SECTION,
+)
+def text_doc_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under the corpus's own (unsmoothed)
+    bigram LM — the LM-based quality score text_bigram_lm's table
+    exists to power: fluent/templated docs score low, token-salad
+    scores high. No smoothing is needed because every scored bigram
+    is, by construction, present in the corpus counts (the doc is in
+    the corpus), so P(w2|w1) = n12/n1 > 0 always.
+
+    Scale shape: bigram counts and left-word totals are the
+    text_bigram_lm aggregation (vocab²-bounded keys, map-side combine;
+    the totals derive FROM the counts so the corpus is tokenized
+    once); scoring is two equi-joins of per-doc bigrams against those
+    bounded tables — shuffles keyed on (w1,w2)/(w1), never all-pairs.
+    The −AVG(ln p) → EXP fold matches text_unigram_surprisal's
+    cross-engine float discipline (single 6-dp round at the end).
+    Docs with <2 tokens have no bigrams and drop out (inner join) on
+    both sides."""
+    toks = F.split("text", " ")
+    grams = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        lambda g: g["w2"].isNotNull(),
+    )
+    big = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    )
+    big = track_persist(big)  # feeds the LM aggregation AND the scoring join
+    cnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    cnt = track_persist(cnt)
+    tot = cnt.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    lp = F.log(F.col("n12") * F.lit(1.0) / F.col("n1"))
+    return (
+        big.join(cnt, ["w1", "w2"])
+        .join(tot, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            ratio(-F.avg(lp)).alias("nll"),
+            ratio(F.exp(-F.avg(lp))).alias("perplexity"),
+        )
+    )
+
+
+N_NEG_SAMPLES = 3
+_NEG_BUCKETS = 1024
+_NEG_STRIDE = 337  # coprime to 1024 → j·337 mod 1024 ≠ 0 for j in 1..3
+
+
+@register(
+    "sample_negative_pairs",
+    oracle=f"""
+        WITH hashed AS (
+            SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+                   md5(text) AS th,
+                   CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 7))
+                        AS BIGINT) % {_NEG_BUCKETS} AS b
+            FROM documents
+        ), reps AS (
+            SELECT b, arg_min(doc_id, h) AS rep_doc_id,
+                   arg_min(th, h) AS rep_th
+            FROM hashed GROUP BY b
+        )
+        SELECT d.doc_id, j.j,
+               r.rep_doc_id AS neg_doc_id
+        FROM hashed d
+        CROSS JOIN (SELECT UNNEST(range(1, {N_NEG_SAMPLES} + 1)) AS j) j
+        JOIN reps r
+          ON r.b = (d.b + j.j * {_NEG_STRIDE}) % {_NEG_BUCKETS}
+        WHERE r.rep_th <> d.th
+    """,
+    section=SECTION,
+)
+def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative-pair mining for contrastive training:
+    each document draws k=3 pseudo-random partners that are (a)
+    corpus-stable — md5-derived, so re-runs, engines, and partition
+    layouts all agree — and (b) guaranteed non-positives (pairs whose
+    full text is identical are dropped, so an exact duplicate can
+    never be labelled a negative).
+
+    Construction: docs hash into 1024 buckets; each bucket elects a
+    representative (min-md5 tiebreak, collision-free on distinct ids);
+    doc in bucket b partners with the representatives of buckets
+    b + j·337 mod 1024 (stride coprime to 1024 ⇒ never its own bucket,
+    and the three partner buckets are distinct). At 100 TB this is a
+    map-side hash + ONE broadcast join against the ≤1024-row
+    representative table fanned ×k — no global rank, no shuffle of the
+    corpus, linear in rows. Self-pairs are impossible unless a doc IS
+    its partner bucket's representative with identical text — exactly
+    the accidental-positive case the text filter removes."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        F.md5("text").alias("th"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10)
+            .cast("bigint") % _NEG_BUCKETS
+        ).alias("b"),
+    )
+    reps = d.groupBy("b").agg(
+        F.min_by("doc_id", "h").alias("rep_doc_id"),
+        F.min_by("th", "h").alias("rep_th"),
+    )
+    js = spark.range(1, N_NEG_SAMPLES + 1).select(F.col("id").cast("int").alias("j"))
+    fan = d.crossJoin(F.broadcast(js)).withColumn(
+        "target_b", (F.col("b") + F.col("j") * _NEG_STRIDE) % _NEG_BUCKETS
+    )
+    return (
+        fan.join(
+            F.broadcast(reps.withColumnRenamed("b", "target_b")), "target_b"
+        )
+        .filter(F.col("rep_th") != F.col("th"))
+        .select("doc_id", "j", F.col("rep_doc_id").alias("neg_doc_id"))
+    )
+
+
+@register(
+    "embed_distance_profile",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+        ), pairs AS (
+            SELECT a.vec_id,
+                   ROUND(list_dot_product(a.emb, b.emb), 6) AS cosine
+            FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+        )
+        SELECT CAST(FLOOR((cosine + 1.0) * 10) AS INT) AS bucket,
+               COUNT(*) AS n,
+               ROUND(AVG(cosine), 6) AS mean_cosine
+        FROM pairs GROUP BY 1
+    """,
+    section=SECTION,
+)
+def embed_distance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space sanity profile: the distribution of cosine
+    similarity between id-adjacent vectors (a fixed, deterministic
+    linear sample of pairs), bucketed at 0.1 width over [-1, 1]. A
+    healthy random-ish corpus concentrates near 0; a spike at the top
+    bucket flags near-duplicate contamination, a shifted mode flags
+    normalization drift after a re-embedding — the cheap daily QA
+    check run BEFORE any quadratic dedup.
+
+    Scale shape: one self-equi-join on vec_id+1 (co-partitioned
+    shuffle, linear — never the O(n²) pair sweep the dedup ops own),
+    then a ≤21-bucket aggregate. Cosine is rounded to 6 dp BEFORE
+    bucketing on both engines, so the bucket boundary is decided on
+    identical values (the repo-wide rounding discipline)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    a = e.alias("a")
+    b = e.select(
+        (F.col("vec_id") - 1).alias("vec_id"), F.col("emb").alias("emb_b")
+    ).alias("b")
+    pairs = a.join(b, "vec_id").select(
+        ratio(dot(F.col("emb"), F.col("emb_b"))).alias("cosine")
+    )
+    return pairs.groupBy(
+        F.floor((F.col("cosine") + 1.0) * 10).cast("int").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        ratio(F.avg("cosine")).alias("mean_cosine"),
+    )

@@ -590,3 +590,34 @@ def fn_ip_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("subnet24"),
         (oct_(2) < 128).alias("in_lower_half"),
     )
+
+
+@register(
+    "fn_hash_suite",
+    oracle="""
+        SELECT doc_id,
+               md5(text) AS md5_hex,
+               sha256(text) AS sha256_hex,
+               md5(lang || '|' || source || '|' || text) AS key_hash,
+               substring(sha256(text), 1, 16) AS short_id
+        FROM documents
+    """,
+    section=SECTION,
+)
+def fn_hash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic-hash function surface: md5 and sha256 digests
+    (lowercase hex on both engines), a composite-key hash over a
+    '|'-joined tuple (the content-addressing idiom every dedup op in
+    §2.K keys on), and a truncated digest as a short stable id.
+    Deliberately excludes engine-specific hashes (Spark's murmur3
+    `hash`, xxhash64) — portability across engines IS the property a
+    content-addressed pipeline needs, and the oracle proves it
+    bit-for-bit. Map-only, whole-stage codegen, zero shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("md5_hex"),
+        F.sha2(F.col("text"), 256).alias("sha256_hex"),
+        F.md5(F.concat_ws("|", "lang", "source", "text")).alias("key_hash"),
+        F.substring(F.sha2(F.col("text"), 256), 1, 16).alias("short_id"),
+    )

@@ -101,6 +101,10 @@ _R6_NEEDS_ROW_FIRST = (
     "log_outlier_iqr",
     "log_forecast_linear",
     "log_rate_limit_flag",
+    "text_doc_perplexity",
+    "sample_negative_pairs",
+    "embed_distance_profile",
+    "fn_hash_suite",
     # -- never driver-checked (no row r1-r5; cap cuts here) --
     "mm_scene_segments",         # also changed this round (char offsets)
     "agg_histogram_percentile",

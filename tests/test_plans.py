@@ -147,6 +147,7 @@ NESTED_LOOP_ALLOWED = {
     "text_containment_dedup",  # deliberate block-pair tile cross (gemm kernel)
     "text_containment_prefix_join",  # auto routes to the same tile cross at fixture density
     "log_burstiness_fano",  # 5-row type relation broadcast onto the hour grid
+    "sample_negative_pairs",  # 3-row j-fanout broadcast cross join
 }
 
 
