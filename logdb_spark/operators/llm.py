@@ -4033,3 +4033,64 @@ def embed_distance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         ratio(F.avg("cosine")).alias("mean_cosine"),
     )
+
+
+@register(
+    "text_code_detect",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id, lang, n_chars,
+                   length(text)
+                   - length(regexp_replace(text, '[{};()=<>\\[\\]]', '', 'g'))
+                       AS n_sym,
+                   length(text)
+                   - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        )
+        SELECT doc_id, lang, n_sym, n_digit,
+               ROUND(n_sym * 1.0 / n_chars, 6) AS sym_ratio,
+               ROUND(n_digit * 1.0 / n_chars, 6) AS digit_ratio,
+               ROUND((n_chars - n_tokens + 1) * 1.0 / n_tokens, 6)
+                   AS avg_token_len,
+               50 * n_sym > n_chars OR 5 * n_digit > n_chars AS looks_like_code
+        FROM m
+    """,
+    section=SECTION,
+)
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing heuristic — the curation gate that keeps
+    source code out of (or routes it into) a text training mix:
+    punctuation-symbol density, digit density, and mean token length,
+    with the boolean verdict decided on CROSS-MULTIPLIED INTEGER
+    counts (50·sym > chars ⇔ sym_ratio > 2%; 5·digit > chars ⇔
+    digit_ratio > 20%) so no float threshold can flip between
+    engines. Counts come from length-after-strip arithmetic
+    (len(text) − len(regexp_replace(...))) — identical semantics in
+    both engines, no per-row Python anywhere.
+
+    Scale shape: map-only whole-stage codegen over documents; zero
+    shuffles, trivially linear."""
+    d = load_table(spark, sf_dir, "documents")
+    n_sym = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", r"[{};()=<>\[\]]", ""))
+    )
+    n_digit = F.length("text") - F.length(
+        F.regexp_replace("text", "[0-9]", "")
+    )
+    n_tokens = F.size(F.split("text", " "))
+    return d.select(
+        "doc_id",
+        "lang",
+        n_sym.alias("n_sym"),
+        n_digit.alias("n_digit"),
+        ratio(n_sym * F.lit(1.0) / F.col("n_chars")).alias("sym_ratio"),
+        ratio(n_digit * F.lit(1.0) / F.col("n_chars")).alias("digit_ratio"),
+        ratio(
+            (F.col("n_chars") - n_tokens + 1) * F.lit(1.0) / n_tokens
+        ).alias("avg_token_len"),
+        ((50 * n_sym > F.col("n_chars")) | (5 * n_digit > F.col("n_chars"))).alias(
+            "looks_like_code"
+        ),
+    )

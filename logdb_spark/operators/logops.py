@@ -2692,3 +2692,75 @@ def log_rate_limit_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(throttled) * F.lit(1.0) / F.count(F.lit(1))
         ).alias("throttled_share"),
     )
+
+
+@register(
+    "log_conversion_latency",
+    oracle="""
+        WITH per_user AS (
+            SELECT user_id,
+                   MIN(date_trunc('second', ts))
+                       FILTER (WHERE event_type = 'signup') AS first_signup,
+                   MIN(date_trunc('second', ts))
+                       FILTER (WHERE event_type = 'purchase') AS first_purchase
+            FROM events GROUP BY user_id
+        ), conv AS (
+            SELECT epoch(first_purchase) - epoch(first_signup) AS delay_s
+            FROM per_user
+            WHERE first_signup IS NOT NULL
+              AND first_purchase > first_signup
+        )
+        SELECT COUNT(*) AS n_converted,
+               ROUND(AVG(delay_s), 6) AS mean_delay_s,
+               ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY delay_s), 6)
+                   AS p50_delay_s,
+               ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY delay_s), 6)
+                   AS p90_delay_s
+        FROM conv
+    """,
+    section=SECTION,
+)
+def log_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for every user whose first
+    purchase follows their first signup (log_funnel's conversion
+    definition), the signup→purchase delay in whole seconds —
+    reported as count, mean, and exact interpolated p50/p90. The
+    latency histogram behind the funnel's bare conversion rate: two
+    funnels with equal rates but 1-minute vs 3-day medians are
+    different products.
+
+    Scale shape: ONE user_id shuffle with conditional-min partial
+    aggs (the funnel's own pass), then a global percentile over the
+    ≤|converted users| delay relation — integer seconds, exact
+    interpolated percentile (agg_percentile_exact equivalence),
+    single final round."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(
+                F.col("event_type") == "signup",
+                F.date_trunc("second", "ts"),
+            )
+        ).alias("first_signup"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.date_trunc("second", "ts"),
+            )
+        ).alias("first_purchase"),
+    )
+    conv = per_user.filter(
+        F.col("first_signup").isNotNull()
+        & (F.col("first_purchase") > F.col("first_signup"))
+    ).select(
+        (
+            F.col("first_purchase").cast("long")
+            - F.col("first_signup").cast("long")
+        ).alias("delay_s")
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        ratio(F.avg("delay_s")).alias("mean_delay_s"),
+        ratio(F.expr("percentile(delay_s, 0.5)")).alias("p50_delay_s"),
+        ratio(F.expr("percentile(delay_s, 0.9)")).alias("p90_delay_s"),
+    )

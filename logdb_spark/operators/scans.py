@@ -1046,3 +1046,48 @@ def scan_file_metadata_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
             "paths_consistent"
         ),
     )
+
+
+@register(
+    "ingest_logfmt",
+    oracle="""
+        SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') AS ev_time,
+               user_id AS ev_user,
+               event_type AS ev_type,
+               CAST(printf('%.2f', value) AS DOUBLE) AS ev_value
+        FROM events
+    """,
+    section=SECTION,
+)
+def ingest_logfmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """logfmt ingestion round-trip (``ts=... user=... type=...
+    value=...`` — the key=value wire format Heroku/Grafana loggers
+    emit): format events as logfmt lines in-query, then parse fields
+    back out BY KEY with anchored regexes — order-independent, the
+    point of logfmt vs positional formats like ingest_raw_loglines's
+    pipe layout. The ts value is double-quoted (it contains a space)
+    and the quoted-value regex handles that, the part naive
+    split-on-space parsers get wrong.
+
+    Scale shape: map-only format + 4 regexp_extracts, whole-stage
+    codegen, zero shuffles — same as every other synthesized-line
+    ingest proof (TESTDATA.md has no raw logfmt fixture)."""
+    ev = load_table(spark, sf_dir, "events")
+    lines = ev.select(
+        F.concat(
+            F.lit('ts="'), ts_str("ts"), F.lit('" user='),
+            F.col("user_id").cast("string"),
+            F.lit(" type="), F.col("event_type"),
+            F.lit(" value="), F.format_string("%.2f", "value"),
+        ).alias("line")
+    )
+    return lines.select(
+        F.regexp_extract("line", r'ts="([^"]*)"', 1).alias("ev_time"),
+        F.regexp_extract("line", r"user=(\S+)", 1)
+        .cast("bigint")
+        .alias("ev_user"),
+        F.regexp_extract("line", r"type=(\S+)", 1).alias("ev_type"),
+        F.regexp_extract("line", r"value=(\S+)", 1)
+        .cast("double")
+        .alias("ev_value"),
+    )

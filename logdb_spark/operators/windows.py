@@ -685,3 +685,161 @@ def win_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("peak") == F.col("equity"), F.col("equity")))
         ).alias("high_water_mark"),
     )
+
+
+@register(
+    "win_rolling_zscore",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS y
+            FROM events GROUP BY 1, 2
+        ), win AS (
+            SELECT event_type, day, y,
+                   COUNT(*) OVER w AS n,
+                   SUM(y) OVER w AS sx,
+                   SUM(y * y) OVER w AS sxx
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_type, strftime(day, '%Y-%m-%d') AS day, y,
+               ROUND(sx * 1.0 / n, 6) AS mean7,
+               ROUND((y - sx * 1.0 / n)
+                     / sqrt((n * sxx - sx * sx) * 1.0 / (n * (n - 1))), 6)
+                   AS zscore,
+               ABS(y * n - sx) * ABS(y * n - sx) * (n - 1)
+                   > 9 * (n * sxx - sx * sx) * n AS is_anomaly
+        FROM win
+        WHERE n = 7 AND n * sxx > sx * sx
+    """,
+    section=SECTION,
+)
+def win_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly score: each day's event volume against
+    the mean/σ of the PREVIOUS 7 days (the current day never
+    contaminates its own baseline — the leakage mistake naive rolling
+    z-scores make). Counts are integers, so the window sums sx/sxx are
+    exact; mean, sample-σ and z round once at the output, and the
+    |z| > 3 flag is decided on cross-multiplied INTEGERS
+    ((y·n − sx)²·(n−1) > 9·(n·sxx − sx²)·n) — no float boundary can
+    flip it between engines. Days without a full 7-day baseline (or a
+    zero-variance one) are excluded on both sides.
+
+    Scale shape: one (type, day) partial-agg shuffle, then a
+    calendar-bounded per-type window — frames hold ≤7 rows of state
+    regardless of raw volume."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    win = daily.select(
+        "event_type", "day", "y",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("y").over(w).alias("sx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("sxx"),
+    )
+    n, sx, sxx, y = F.col("n"), F.col("sx"), F.col("sxx"), F.col("y")
+    var_num = n * sxx - sx * sx
+    dev = y * n - sx
+    return (
+        win.filter((n == 7) & (var_num > 0))
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "y",
+            ratio(sx * F.lit(1.0) / n).alias("mean7"),
+            ratio(
+                (y - sx * F.lit(1.0) / n)
+                / F.sqrt(var_num * F.lit(1.0) / (n * (n - 1)))
+            ).alias("zscore"),
+            (F.abs(dev) * F.abs(dev) * (n - 1) > 9 * var_num * n).alias(
+                "is_anomaly"
+            ),
+        )
+    )
+
+
+@register(
+    "win_rolling_regression",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS y
+            FROM events GROUP BY 1, 2
+        ), idx AS (
+            SELECT event_type, day, y,
+                   date_diff('day',
+                             MIN(day) OVER (PARTITION BY event_type),
+                             day) AS x
+            FROM daily
+        ), win AS (
+            SELECT event_type, day, x, y,
+                   COUNT(*) OVER w AS n,
+                   SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+                   SUM(x * y) OVER w AS sxy, SUM(x * x) OVER w AS sxx
+            FROM idx
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, strftime(day, '%Y-%m-%d') AS day, y,
+               ROUND((n * sxy - sx * sy) * 1.0
+                     / (n * sxx - sx * sx), 6) AS slope7,
+               n * sxy > sx * sy AS rising
+        FROM win
+        WHERE n = 7
+    """,
+    section=SECTION,
+)
+def win_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day OLS slope of daily volume per type — the local
+    trend signal (log_forecast_linear is the same normal-equation fold
+    over the WHOLE series; this is its windowed twin for "is it rising
+    RIGHT NOW"). x is the day offset from the type's first day and y
+    the integer count, so all four window sums are exact integers; the
+    slope is one rounded divide and the rising flag compares
+    cross-multiplied integers. Warm-up days (frame < 7 rows) are
+    excluded on both sides.
+
+    Scale shape: identical to win_rolling_zscore — one calendar-
+    bounded shuffle, ≤7 rows of frame state; the x offset needs a
+    per-type MIN which is a second pass over the ≤5×days daily
+    relation, not over events."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    wt = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type", "day", "y",
+        F.datediff("day", F.min("day").over(wt)).alias("x"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, 0)
+    )
+    win = idx.select(
+        "event_type", "day", "y",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ["n", "sx", "sy", "sxy", "sxx"])
+    return (
+        win.filter(n == 7)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "y",
+            ratio((n * sxy - sx * sy) * F.lit(1.0) / (n * sxx - sx * sx)).alias(
+                "slope7"
+            ),
+            (n * sxy > sx * sy).alias("rising"),
+        )
+    )

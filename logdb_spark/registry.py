@@ -105,6 +105,11 @@ _R6_NEEDS_ROW_FIRST = (
     "sample_negative_pairs",
     "embed_distance_profile",
     "fn_hash_suite",
+    "win_rolling_zscore",
+    "win_rolling_regression",
+    "log_conversion_latency",
+    "text_code_detect",
+    "ingest_logfmt",
     # -- never driver-checked (no row r1-r5; cap cuts here) --
     "mm_scene_segments",         # also changed this round (char offsets)
     "agg_histogram_percentile",
