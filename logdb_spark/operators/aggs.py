@@ -987,3 +987,104 @@ def agg_histogram_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio(F.pow(F.lit(2.0), F.min(hit))).alias("p95_lo"),
         ratio(F.pow(F.lit(2.0), F.min(hit) + 1)).alias("p95_hi"),
     )
+
+
+@register(
+    "agg_histogram_equiheight",
+    oracle="""
+        WITH bounds AS (
+            SELECT list_transform(
+                       quantile_cont(value,
+                           [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                       x -> ROUND(x, 6)) AS bs
+            FROM events
+        )
+        SELECT len(list_filter(b.bs, x -> e.value > x)) AS bucket,
+               COUNT(*) AS n,
+               ROUND(MIN(e.value), 6) AS lo,
+               ROUND(MAX(e.value), 6) AS hi
+        FROM events e, bounds b
+        GROUP BY 1
+    """,
+    section=SECTION,
+)
+def agg_histogram_equiheight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-HEIGHT histogram (≈equal row counts per bucket — the
+    histogram query optimizers keep as column statistics, where
+    equi-width buckets would collapse under skew): boundaries are the
+    9 interior deciles (exact interpolated percentile — the
+    agg_percentile_exact cross-engine equivalence) ROUNDED TO 6 DP ON
+    BOTH ENGINES before any row touches them, so bucket assignment
+    compares raw values against bit-identical boundary doubles — the
+    interpolation float can never diverge a comparison. Assignment is rank-free: bucket = how many
+    boundaries the value exceeds (a 9-element array scan per row, not
+    a sort).
+
+    Scale shape: one exact-percentile pass (sort-based per-partition
+    merge) producing a 1-row boundary array, broadcast onto a
+    map-side bucket assignment + 10-key partial agg. No global sort,
+    no per-row shuffle keyed wider than the bucket id."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.transform(
+            F.expr(
+                "percentile(value, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+            ),
+            lambda x: F.round(x, 6),
+        ).alias("bs")
+    )
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            F.size(
+                F.filter(F.col("bs"), lambda x: F.col("value") > x)
+            ).alias("bucket"),
+            "value",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            ratio(F.min("value")).alias("lo"),
+            ratio(F.max("value")).alias("hi"),
+        )
+    )
+
+
+@register(
+    "agg_bool_suite",
+    oracle="""
+        SELECT event_type,
+               bool_and(value > 0) AS all_positive,
+               bool_or(value > 95) AS any_large,
+               COUNT(*) FILTER (WHERE value > 95) AS n_large,
+               bool_and(value IS NOT NULL) AS none_null,
+               ROUND(COUNT(*) FILTER (WHERE value > 95) * 1.0 / COUNT(*), 6)
+                   AS frac_large
+        FROM events
+        GROUP BY event_type
+    """,
+    section=SECTION,
+)
+def agg_bool_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregate surface — bool_and / bool_or / count_if, the
+    assertion-style aggregates monitoring queries lean on ("did every
+    request in the group succeed", "did any value breach the
+    threshold"). SQL-standard EVERY/ANY semantics: nulls are ignored,
+    not falsified, which the none_null probe pins explicitly.
+
+    Scale shape: plain hash aggregation on a low-cardinality key;
+    boolean partial states are single bytes, combined map-side — the
+    cheapest aggregate family there is."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.bool_and(F.col("value") > 0).alias("all_positive"),
+            F.bool_or(F.col("value") > 95).alias("any_large"),
+            F.count_if(F.col("value") > 95).alias("n_large"),
+            F.bool_and(F.col("value").isNotNull()).alias("none_null"),
+            ratio(
+                F.count_if(F.col("value") > 95) * F.lit(1.0) / F.count(F.lit(1))
+            ).alias("frac_large"),
+        )
+    )

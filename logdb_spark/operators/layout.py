@@ -428,3 +428,72 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dround(F.sum(dec4("value"))).alias("total_value"),
     )
+
+
+@register(
+    "join_disjunctive_rewrite",
+    oracle="""
+        WITH pairs AS (
+            SELECT c.c_custkey, s.s_suppkey,
+                   c.c_nationkey = s.s_nationkey AS by_nation,
+                   substring(c.c_name, length(c.c_name) - 1, 2)
+                     = substring(s.s_name, length(s.s_name) - 1, 2) AS by_suffix
+            FROM customer c JOIN supplier s
+              ON c.c_nationkey = s.s_nationkey
+              OR substring(c.c_name, length(c.c_name) - 1, 2)
+                   = substring(s.s_name, length(s.s_name) - 1, 2)
+        )
+        SELECT by_nation, by_suffix, COUNT(*) AS n_pairs,
+               COUNT(DISTINCT c_custkey) AS n_customers,
+               COUNT(DISTINCT s_suppkey) AS n_suppliers
+        FROM pairs GROUP BY by_nation, by_suffix
+    """,
+    section=SECTION,
+)
+def join_disjunctive_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-condition join decomposed into a UNION of equi-joins — the
+    rewrite that turns a nested-loop disaster into two hash joins.
+    ``c JOIN s ON a=b OR x=y`` gives Catalyst no equi-key, so the
+    physical plan is BroadcastNestedLoopJoin (every pair evaluated —
+    quadratic at 100 TB). The rewrite runs each disjunct as its own
+    shuffled equi-join and merges per-pair flag rows with a groupBy
+    max — linear in each join's output, and each leg shuffles on a
+    real key. The oracle runs the naive OR join (DuckDB's optimizer
+    can afford it at fixture scale) — identical result proves the
+    rewrite sound, the plan sweep proves OUR side never nested-loops.
+
+    Match-category audit output (nation-only / suffix-only / both)
+    keeps the result bounded while pinning every pair's flags."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey",
+        F.substring(F.col("c_name"), -2, 2).alias("c_suf"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey",
+        F.substring(F.col("s_name"), -2, 2).alias("s_suf"),
+    )
+    leg_nation = c.join(
+        s, c["c_nationkey"] == s["s_nationkey"]
+    ).select(
+        "c_custkey", "s_suppkey",
+        F.lit(True).alias("by_nation"),
+        (F.col("c_suf") == F.col("s_suf")).alias("by_suffix"),
+    )
+    leg_suffix = c.join(s, c["c_suf"] == s["s_suf"]).select(
+        "c_custkey", "s_suppkey",
+        (F.col("c_nationkey") == F.col("s_nationkey")).alias("by_nation"),
+        F.lit(True).alias("by_suffix"),
+    )
+    pairs = (
+        leg_nation.unionByName(leg_suffix)
+        .groupBy("c_custkey", "s_suppkey")
+        .agg(
+            F.max("by_nation").alias("by_nation"),
+            F.max("by_suffix").alias("by_suffix"),
+        )
+    )
+    return pairs.groupBy("by_nation", "by_suffix").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.count_distinct("c_custkey").alias("n_customers"),
+        F.count_distinct("s_suppkey").alias("n_suppliers"),
+    )

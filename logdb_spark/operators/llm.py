@@ -4094,3 +4094,101 @@ def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             "looks_like_code"
         ),
     )
+
+
+@register(
+    "embed_kmeans_iterate",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+        ), seeds AS (
+            SELECT vec_id AS seed_id, emb AS semb FROM e WHERE vec_id < 8
+        ), scored AS (
+            SELECT e.vec_id, e.emb, s.seed_id,
+                   ROUND(list_dot_product(e.emb, s.semb), 6) AS c,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ROUND(list_dot_product(e.emb, s.semb), 6)
+                                DESC, s.seed_id) AS rk
+            FROM e CROSS JOIN seeds s
+        ), assigned AS (
+            SELECT vec_id, emb, seed_id AS cluster_id
+            FROM scored WHERE rk = 1
+        ), dims AS (
+            SELECT cluster_id,
+                   generate_subscripts(emb, 1) - 1 AS dim,
+                   CAST(ROUND(unnest(emb), 6) AS DECIMAL(18,6)) AS x
+            FROM assigned
+        )
+        SELECT cluster_id, CAST(dim AS INT) AS dim,
+               COUNT(*) AS n_members,
+               ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS centroid
+        FROM dims GROUP BY cluster_id, dim
+    """,
+    section=SECTION,
+)
+def embed_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Lloyd (k-means) iteration, distributed — the building
+    block of embedding-space clustering for data curation (domain
+    buckets, IVF coarse quantizers, dedup partitions): assign every
+    vector to its nearest of k=8 deterministic seed centroids (vectors
+    0..7; unit-norm fixtures make cosine the distance), then recompute
+    each cluster's centroid exactly. Output is the full new codebook —
+    (cluster, dim) → mean — i.e. the state an iterative driver would
+    feed back in; one op = one provably-correct iteration.
+
+    Cross-engine determinism: per-seed cosines are single fixed-order
+    64-term dot products (bit-identical on both engines — the
+    dedup_embedding_cosine evidence), rounded to 6 dp before the
+    argmax with seed_id tiebreak; centroid means use the
+    embed_dim_stats discipline (round components to 6 dp, sum as
+    DECIMAL — order-independent).
+
+    Scale shape: assignment is MAP-ONLY — the 8 seeds travel as one
+    1-row array-of-structs broadcast, and each row's argmax folds over
+    that array in codegen (array_max over (cosine, -seed_id) structs);
+    no per-vector window, no n×k shuffle. The recompute is a
+    posexplode + partial-aggregated groupBy on the (8 clusters × 64
+    dims) bounded key space — the shuffle carries ~512 rows per
+    partition regardless of corpus size."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    seeds = (
+        e.filter(F.col("vec_id") < 8)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("vec_id").alias("sid"), "emb"))
+            ).alias("seed_arr")
+        )
+    )
+    scored = e.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "emb",
+        F.array_max(
+            F.transform(
+                "seed_arr",
+                lambda s: F.struct(
+                    ratio(dot(F.col("emb"), s["emb"])).alias("c"),
+                    (-s["sid"]).alias("nsid"),
+                ),
+            )
+        ).alias("best"),
+    )
+    assigned = scored.select(
+        "emb", (-F.col("best.nsid")).alias("cluster_id")
+    )
+    dims = assigned.select(
+        "cluster_id",
+        F.posexplode(F.col("emb")).alias("dim", "xd"),
+    ).select("cluster_id", "dim", ratio("xd").cast("decimal(18,6)").alias("x"))
+    return dims.groupBy("cluster_id", "dim").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        ratio(F.sum("x").cast("double") / F.count(F.lit(1))).alias("centroid"),
+    ).select(
+        "cluster_id", F.col("dim").cast("int").alias("dim"),
+        "n_members", "centroid",
+    )

@@ -523,3 +523,80 @@ def mm_scene_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("frame_offset").cast("bigint").alias("seg_start"),
         F.max("frame_offset").cast("bigint").alias("seg_last_frame"),
     )
+
+
+@register(
+    "mm_content_sniff",
+    oracle="""
+        WITH tagged AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                        WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                        ELSE 'video/mp4' END AS declared_mime,
+                   CASE WHEN doc_id % 7 = 0 THEN (doc_id + 1) % 3
+                        ELSE doc_id % 3 END AS actual_kind
+            FROM documents
+        ), sniffed AS (
+            SELECT doc_id, declared_mime,
+                   CASE actual_kind WHEN 0 THEN 'PNGH'
+                                    WHEN 1 THEN 'RIFF'
+                                    ELSE 'FTYP' END AS magic,
+                   CASE actual_kind WHEN 0 THEN 'image/png'
+                                    WHEN 1 THEN 'audio/wav'
+                                    ELSE 'video/mp4' END AS sniffed_mime
+            FROM tagged
+        )
+        SELECT doc_id, declared_mime, magic, sniffed_mime,
+               declared_mime <> sniffed_mime AS is_mismatch
+        FROM sniffed
+    """,
+    section=SECTION,
+)
+def mm_content_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-bytes content sniffing — the trust-nothing ingestion gate
+    that catches mislabelled media (a .png that is really an mp4
+    breaks every downstream decoder): read the payload's leading
+    4 bytes, map them to the real type, compare against the declared
+    MIME column. Payloads are manufactured (no media fixture, the
+    §2.K stub discipline) with ASCII-safe stand-in magics
+    (PNGH/RIFF/FTYP) and a deterministic ~14% of docs (doc_id%7==0)
+    written with the WRONG header — the sniffer must recover exactly
+    those as mismatches; the oracle recomputes the injection
+    arithmetic. The sniff itself — substring the first bytes of a
+    binary column, dictionary-map to a type — is the real production
+    logic and is all JVM codegen.
+
+    Scale shape: map-only over documents; at 100 TB this runs in the
+    ingest scan with zero shuffles, reading only the header bytes of
+    each blob column."""
+    d = load_table(spark, sf_dir, "documents")
+    declared = (
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+    )
+    actual_kind = F.when(
+        F.col("doc_id") % 7 == 0, (F.col("doc_id") + 1) % 3
+    ).otherwise(F.col("doc_id") % 3)
+    magic_str = (
+        F.when(actual_kind == 0, "PNGH")
+        .when(actual_kind == 1, "RIFF")
+        .otherwise("FTYP")
+    )
+    # build the payload as binary: wrong-or-right magic + content bytes
+    payload = F.concat(magic_str.cast("binary"), F.col("text").cast("binary"))
+    with_payload = d.select("doc_id", declared.alias("declared_mime"), payload.alias("payload"))
+    sniff_magic = F.substring(F.col("payload"), 1, 4).cast("string")
+    sniffed = (
+        F.when(sniff_magic == "PNGH", "image/png")
+        .when(sniff_magic == "RIFF", "audio/wav")
+        .when(sniff_magic == "FTYP", "video/mp4")
+        .otherwise("application/octet-stream")
+    )
+    return with_payload.select(
+        "doc_id",
+        "declared_mime",
+        sniff_magic.alias("magic"),
+        sniffed.alias("sniffed_mime"),
+        (F.col("declared_mime") != sniffed).alias("is_mismatch"),
+    )

@@ -1091,3 +1091,106 @@ def ingest_logfmt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("ev_value"),
     )
+
+
+@register(
+    "scan_summarize_profile",
+    oracle="""
+        SELECT 'event_id' AS col_name, COUNT(*) AS n_rows,
+               COUNT(*) - COUNT(event_id) AS n_null,
+               COUNT(DISTINCT event_id) AS n_distinct,
+               ROUND(CAST(MIN(event_id) AS DOUBLE), 6) AS min_num,
+               ROUND(CAST(MAX(event_id) AS DOUBLE), 6) AS max_num,
+               CAST(NULL AS VARCHAR) AS min_str,
+               CAST(NULL AS VARCHAR) AS max_str
+        FROM events
+        UNION ALL
+        SELECT 'ts', COUNT(*), COUNT(*) - COUNT(ts), COUNT(DISTINCT ts),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S'),
+               strftime(MAX(ts), '%Y-%m-%d %H:%M:%S')
+        FROM events
+        UNION ALL
+        SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id),
+               COUNT(DISTINCT user_id),
+               ROUND(CAST(MIN(user_id) AS DOUBLE), 6),
+               ROUND(CAST(MAX(user_id) AS DOUBLE), 6),
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        FROM events
+        UNION ALL
+        SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type),
+               COUNT(DISTINCT event_type),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               MIN(event_type), MAX(event_type)
+        FROM events
+        UNION ALL
+        SELECT 'value', COUNT(*), COUNT(*) - COUNT(value),
+               COUNT(DISTINCT value),
+               ROUND(MIN(value), 6), ROUND(MAX(value), 6),
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+        FROM events
+        UNION ALL
+        SELECT 'props', COUNT(*), COUNT(*) - COUNT(props),
+               COUNT(DISTINCT props),
+               CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+               MIN(props), MAX(props)
+        FROM events
+    """,
+    section=SECTION,
+)
+def scan_summarize_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling — the ANALYZE/SUMMARIZE surface every engine
+    grows: one pass over `events` emits, per column, row count, null
+    count, exact distinct cardinality, and typed min/max (numeric
+    columns as 6-dp doubles, string/timestamp columns as strings) —
+    the statistics a cost-based optimizer feeds on and the first query
+    an analyst runs against an unfamiliar table.
+
+    Scale shape: ONE wide aggregation over a single scan. The six
+    exact count_distincts make Catalyst plan an Expand (each input row
+    fans to 6 distinct-tagged rows before partial aggregation) — the
+    standard exact-ANALYZE cost, amortized map-side; the shuffle
+    carries only per-partition partial states. The 1-row aggregate
+    then unpivots driver-free via stack() into the 6 profile rows.
+    String min/max compare binary UTF-8 on both engines (fixture
+    strings are ASCII)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def prof(c, kind):
+        null_ct = F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}_nulls")
+        dist = F.count_distinct(F.col(c)).alias(f"{c}_dist")
+        if kind == "num":
+            mn = F.round(F.min(c).cast("double"), 6).alias(f"{c}_min")
+            mx = F.round(F.max(c).cast("double"), 6).alias(f"{c}_max")
+        elif kind == "ts":
+            mn = ts_str(F.min(c)).alias(f"{c}_min")
+            mx = ts_str(F.max(c)).alias(f"{c}_max")
+        else:
+            mn = F.min(c).alias(f"{c}_min")
+            mx = F.max(c).alias(f"{c}_max")
+        return [null_ct, dist, mn, mx]
+
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c, kind in [
+        ("event_id", "num"), ("ts", "ts"), ("user_id", "num"),
+        ("event_type", "str"), ("value", "num"), ("props", "str"),
+    ]:
+        aggs.extend(prof(c, kind))
+    wide = ev.agg(*aggs)
+
+    def row(c, kind):
+        num = kind == "num"
+        return (
+            f"'{c}', n_rows, {c}_nulls, {c}_dist, "
+            + (f"{c}_min, {c}_max, " if num else "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), ")
+            + ("CAST(NULL AS STRING), CAST(NULL AS STRING)" if num else f"CAST({c}_min AS STRING), CAST({c}_max AS STRING)")
+        )
+
+    stack_expr = "stack(6, " + ", ".join(
+        row(c, k)
+        for c, k in [
+            ("event_id", "num"), ("ts", "ts"), ("user_id", "num"),
+            ("event_type", "str"), ("value", "num"), ("props", "str"),
+        ]
+    ) + ") AS (col_name, n_rows, n_null, n_distinct, min_num, max_num, min_str, max_str)"
+    return wide.selectExpr(stack_expr)

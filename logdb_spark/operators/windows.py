@@ -843,3 +843,67 @@ def win_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n * sxy > sx * sy).alias("rising"),
         )
     )
+
+
+@register(
+    "win_frame_rows_vs_range",
+    oracle="""
+        WITH e AS (
+            SELECT event_id, user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS es,
+                   CAST(value AS DECIMAL(18,4)) AS v
+            FROM events
+        )
+        SELECT event_id, user_id, es,
+               CAST(ROUND(SUM(v) OVER (
+                   PARTITION BY user_id ORDER BY es, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)
+                   AS DOUBLE) AS rows_sum3,
+               CAST(ROUND(SUM(v) OVER (
+                   PARTITION BY user_id ORDER BY es
+                   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2)
+                   AS DOUBLE) AS range_sum30s,
+               COUNT(*) OVER (
+                   PARTITION BY user_id ORDER BY es
+                   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS n_range
+        FROM e
+    """,
+    section=SECTION,
+)
+def win_frame_rows_vs_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS vs RANGE frame semantics side by side — the window-frame
+    distinction every SQL surface must get right: a ROWS frame counts
+    physical rows (so ties on the ordering key need a unique tiebreak
+    to be deterministic — ordered here by (es, event_id)), while a
+    RANGE frame is value-based (all peers at the same timestamp enter
+    together, and the 30-second lookback window stretches over however
+    many rows fall inside it). On a log table with same-second bursts
+    the two frames genuinely diverge, which this op exposes per event.
+
+    Scale shape: both windows share the user_id partition key — ONE
+    exchange, two in-partition sorts. Sums run in DECIMAL(18,4)
+    (order-independent, exact) per the repo rounding discipline."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("long").alias("es"),
+        dec4("value").alias("v"),
+    )
+    w_rows = (
+        Window.partitionBy("user_id")
+        .orderBy("es", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    w_range = (
+        Window.partitionBy("user_id")
+        .orderBy("es")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "es",
+        dround(F.sum("v").over(w_rows)).alias("rows_sum3"),
+        dround(F.sum("v").over(w_range)).alias("range_sum30s"),
+        F.count(F.lit(1)).over(w_range).alias("n_range"),
+    )

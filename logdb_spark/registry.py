@@ -110,6 +110,14 @@ _R6_NEEDS_ROW_FIRST = (
     "log_conversion_latency",
     "text_code_detect",
     "ingest_logfmt",
+    "join_disjunctive_rewrite",
+    "agg_histogram_equiheight",
+    "mm_content_sniff",
+    "scan_summarize_profile",
+    "agg_bool_suite",
+    "win_frame_rows_vs_range",
+    "stream_left_outer_join",
+    "embed_kmeans_iterate",
     # -- never driver-checked (no row r1-r5; cap cuts here) --
     "mm_scene_segments",         # also changed this round (char offsets)
     "agg_histogram_percentile",

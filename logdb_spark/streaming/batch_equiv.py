@@ -611,3 +611,71 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= 3)
     )
+
+
+@register(
+    "stream_left_outer_join",
+    oracle="""
+        WITH ev AS (
+            SELECT user_id, event_id, event_type,
+                   date_trunc('second', ts) AS ts
+            FROM events
+        ), clicks AS (
+            SELECT user_id, event_id AS click_id, ts AS c_ts
+            FROM ev WHERE event_type = 'click'
+        ), purchases AS (
+            SELECT user_id AS p_user, ts AS p_ts
+            FROM ev WHERE event_type = 'purchase'
+        )
+        SELECT c.click_id, c.user_id,
+               COUNT(p.p_ts) AS n_purchases,
+               COUNT(p.p_ts) > 0 AS matched,
+               MIN(epoch(p.p_ts) - epoch(c.c_ts)) AS first_lag_s
+        FROM clicks c LEFT JOIN purchases p
+          ON c.user_id = p.p_user
+         AND p.p_ts >= c.c_ts
+         AND p.p_ts <= c.c_ts + INTERVAL 30 MINUTE
+        GROUP BY c.click_id, c.user_id
+    """,
+    section=SECTION,
+)
+def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join semantics — the attribution query
+    where the unanswered click matters as much as the converted one:
+    every click row survives; purchases within the 30-minute window
+    attach, and a click with no purchase emits its null row. In
+    streaming execution this is the watermark-gated case (Spark holds
+    the left row in state and emits the null-padded result only once
+    the watermark passes c_ts + 30 min, proving no match can still
+    arrive); the batch form is the identical equi+interval left join,
+    so the oracle pins the join's row semantics exactly — outer rows,
+    match counts, and first-conversion lag.
+
+    Scale shape: equi key user_id drives the shuffle on both sides;
+    the interval predicate is a post-join filter within the key group,
+    and streaming state is bounded by watermark + the 30-min bound.
+    The aggregate reuses the same user-keyed exchange."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.date_trunc("second", "ts").alias("ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTE")),
+        "left",
+    )
+    return joined.groupBy("click_id", "user_id").agg(
+        F.count("p_ts").alias("n_purchases"),
+        (F.count("p_ts") > 0).alias("matched"),
+        F.min(
+            F.col("p_ts").cast("long") - F.col("c_ts").cast("long")
+        ).alias("first_lag_s"),
+    )

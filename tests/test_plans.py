@@ -148,6 +148,8 @@ NESTED_LOOP_ALLOWED = {
     "text_containment_prefix_join",  # auto routes to the same tile cross at fixture density
     "log_burstiness_fano",  # 5-row type relation broadcast onto the hour grid
     "sample_negative_pairs",  # 3-row j-fanout broadcast cross join
+    "agg_histogram_equiheight",  # 1-row decile-boundary array broadcast
+    "embed_kmeans_iterate",  # 1-row seed-codebook array broadcast
 }
 
 
