@@ -145,3 +145,84 @@ def test_hll_sketch_merge_identity(spark):
     exact = ev.select("user_id").distinct().count()
     assert merged == direct, f"merge identity broken: {merged} != {direct}"
     assert abs(merged - exact) <= max(2, 0.05 * exact), (merged, exact)
+
+
+def test_equiheight_buckets_balanced(spark):
+    """Equi-height histogram: 10 buckets, each within ±2% of n/10
+    rows (interpolated-decile boundaries guarantee near-equal
+    heights up to ties at the boundary values)."""
+    rows = _run("agg_histogram_equiheight", spark).collect()
+    assert len(rows) == 10
+    n = sum(r["n"] for r in rows)
+    for r in rows:
+        assert abs(r["n"] - n / 10) <= max(2, 0.02 * n), (r["bucket"], r["n"])
+
+
+def test_kmeans_iterate_partition_of_corpus(spark):
+    """One Lloyd step: cluster sizes partition the corpus (every
+    vector assigned exactly once), every cluster id is a seed id, and
+    each (cluster, dim) pair appears exactly once in the codebook."""
+    from logdb_spark.sources.load import load_table
+
+    rows = _run("embed_kmeans_iterate", spark).collect()
+    n_vecs = load_table(spark, SF_SMALL, "embeddings").count()
+    by_cluster = {}
+    seen = set()
+    for r in rows:
+        key = (r["cluster_id"], r["dim"])
+        assert key not in seen, f"duplicate codebook entry {key}"
+        seen.add(key)
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["n_members"])
+    assert set(by_cluster) <= set(range(8))
+    # n_members is constant across a cluster's dims, and sizes sum to n
+    sizes = {c: ms.pop() for c, ms in by_cluster.items() if len(ms) == 1}
+    assert len(sizes) == len(by_cluster), "n_members varies within a cluster"
+    assert sum(sizes.values()) == n_vecs
+
+
+def test_frame_rows_subset_of_range(spark):
+    """ROWS BETWEEN 2 PRECEDING frame is ≤3 rows; the 30s RANGE frame
+    always contains at least the current row and, when it spans ≥3
+    rows, dominates the 3-row sum for non-negative values."""
+    rows = _run("win_frame_rows_vs_range", spark).collect()
+    assert rows
+    for r in rows:
+        assert r["n_range"] >= 1
+        if r["n_range"] >= 3:
+            assert r["range_sum30s"] >= r["rows_sum3"] - 1e-9, r
+
+
+def test_profile_counts_consistent(spark):
+    """Table profile: n_rows constant across columns, n_distinct +
+    n_null ≤ n_rows + 1, and the event_id column is a unique key
+    (distinct == rows, nulls == 0)."""
+    rows = {r["col_name"]: r for r in _run("scan_summarize_profile", spark).collect()}
+    n = {r["n_rows"] for r in rows.values()}
+    assert len(n) == 1
+    n = n.pop()
+    for r in rows.values():
+        assert r["n_distinct"] + r["n_null"] <= n + (1 if r["n_null"] else 0)
+    eid = rows["event_id"]
+    assert eid["n_null"] == 0 and eid["n_distinct"] == n
+
+
+def test_left_outer_join_keeps_all_clicks(spark):
+    """The outer attribution join emits exactly one row per click —
+    matched or not — and matched implies n_purchases ≥ 1 with a
+    non-negative lag."""
+    import pyspark.sql.functions as F
+
+    from logdb_spark.sources.load import load_table
+
+    rows = _run("stream_left_outer_join", spark)
+    n_clicks = (
+        load_table(spark, SF_SMALL, "events")
+        .filter(F.col("event_type") == "click")
+        .count()
+    )
+    assert rows.count() == n_clicks
+    for r in rows.collect():
+        if r["matched"]:
+            assert r["n_purchases"] >= 1 and r["first_lag_s"] >= 0
+        else:
+            assert r["n_purchases"] == 0 and r["first_lag_s"] is None
