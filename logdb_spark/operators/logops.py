@@ -2764,3 +2764,88 @@ def log_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio(F.expr("percentile(delay_s, 0.5)")).alias("p50_delay_s"),
         ratio(F.expr("percentile(delay_s, 0.9)")).alias("p90_delay_s"),
     )
+
+
+@register(
+    "log_spike_attribution",
+    oracle="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS hour, COUNT(*) AS n_err
+            FROM events WHERE event_type = 'error'
+            GROUP BY 1
+        ), thr AS (
+            SELECT SUM(n_err) * 1.5 / COUNT(*) AS cut FROM hourly
+        ), spikes AS (
+            SELECT hour FROM hourly, thr WHERE n_err > cut
+        ), tagged AS (
+            SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+                   date_trunc('hour', ts) IN (SELECT hour FROM spikes)
+                       AS in_spike
+            FROM events WHERE event_type = 'error'
+        ), per_k AS (
+            SELECT k,
+                   COUNT(*) FILTER (WHERE in_spike) AS n_spike,
+                   COUNT(*) FILTER (WHERE NOT in_spike) AS n_base
+            FROM tagged GROUP BY k
+        ), totals AS (
+            SELECT SUM(n_spike) AS t_spike, SUM(n_base) AS t_base
+            FROM per_k
+        )
+        SELECT k, n_spike, n_base,
+               ROUND(n_spike * 1.0 / t_spike, 6) AS spike_share,
+               ROUND(n_base * 1.0 / t_base, 6) AS base_share,
+               ROUND((n_spike * 1.0 / t_spike)
+                     / NULLIF(n_base * 1.0 / t_base, 0), 6) AS lift
+        FROM per_k, totals
+    """,
+    section=SECTION,
+)
+def log_spike_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incident attribution — "what changed during the spike?": hours
+    whose error count exceeds 1.5× the hourly mean are the incident
+    window; every error's dimension value (the props ``k`` field — a
+    shard/region/build id) is then profiled INSIDE vs OUTSIDE that
+    window, and the lift ratio (spike share ÷ baseline share) ranks
+    which dimension values are over-represented in the incident — the
+    first question an on-call asks, answered as one relational pass.
+
+    Scale shape: hourly error counts are a calendar-bounded aggregate;
+    the spike-hour set and the 1-row threshold/totals each broadcast
+    back (≤ #hours rows), so the big table is scanned twice (hourly
+    agg, per-k tag) with every join broadcast and the final agg on the
+    ~100-value dimension key. No windows, no global sorts."""
+    err = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "error"
+    ).select(
+        F.date_trunc("hour", "ts").alias("hour"),
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+    hourly = err.groupBy("hour").agg(F.count(F.lit(1)).alias("n_err"))
+    thr = hourly.agg(
+        (F.sum("n_err") * 1.5 / F.count(F.lit(1))).alias("cut")
+    )
+    spikes = (
+        hourly.crossJoin(F.broadcast(thr))
+        .filter(F.col("n_err") > F.col("cut"))
+        .select("hour", F.lit(True).alias("in_spike"))
+    )
+    tagged = err.join(F.broadcast(spikes), "hour", "left").select(
+        "k", F.coalesce("in_spike", F.lit(False)).alias("in_spike")
+    )
+    per_k = tagged.groupBy("k").agg(
+        F.count(F.when(F.col("in_spike"), 1)).alias("n_spike"),
+        F.count(F.when(~F.col("in_spike"), 1)).alias("n_base"),
+    )
+    totals = per_k.agg(
+        F.sum("n_spike").alias("t_spike"), F.sum("n_base").alias("t_base")
+    )
+    spike_share = F.col("n_spike") * F.lit(1.0) / F.col("t_spike")
+    base_share = F.col("n_base") * F.lit(1.0) / F.col("t_base")
+    return per_k.crossJoin(F.broadcast(totals)).select(
+        "k",
+        "n_spike",
+        "n_base",
+        ratio(spike_share).alias("spike_share"),
+        ratio(base_share).alias("base_share"),
+        ratio(spike_share / F.nullif(base_share, F.lit(0))).alias("lift"),
+    )

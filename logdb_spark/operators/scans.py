@@ -1194,3 +1194,68 @@ def scan_summarize_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     ) + ") AS (col_name, n_rows, n_null, n_distinct, min_num, max_num, min_str, max_str)"
     return wide.selectExpr(stack_expr)
+
+
+@register(
+    "scan_incremental_manifest",
+    oracle="""
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CAST(event_id AS DECIMAL(18,0))) AS BIGINT)
+                   AS sum_event_id,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        WHERE day(ts) > 15
+    """,
+    section=SECTION,
+)
+def scan_incremental_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-checkpointed incremental ingestion — the batch-ETL
+    pattern that keeps a 100 TB store from re-reading history: batch 1
+    (days 1-15) lands in the data dir and its FILE LIST is snapshotted
+    into a manifest; batch 2 (the rest) lands later; the incremental
+    pass reads the whole dir but anti-joins ``_metadata.file_path``
+    against the manifest, so only files unseen by the checkpoint
+    contribute rows. The emitted aggregate is computed from the
+    incrementally-selected rows; the oracle restates it from the raw
+    table's day>15 slice — equality proves the file-level diff
+    selected exactly the second batch, no dupes, no gaps.
+
+    Scale shape: the manifest is a bounded file list (one row per
+    file, not per data row) — written as its own parquet to pin the
+    snapshot BEFORE batch 2 exists (a lazy manifest plan would re-list
+    the dir and see batch 2's files), then broadcast into a
+    left_anti hash join against the per-row lineage column. The data
+    read stays a plain splittable parquet scan."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.dayofmonth("ts").alias("dom")
+    )
+    out = scratch_dir("logdb_incr_")
+    data_dir = out + "/data"
+    manifest_dir = out + "/manifest"
+    ev.filter(F.col("dom") <= 15).write.mode("overwrite").parquet(data_dir)
+    # snapshot the checkpoint: materialize batch-1's file list NOW
+    (
+        spark.read.parquet(data_dir)
+        .select(F.col("_metadata.file_path").alias("seen_path"))
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(manifest_dir)
+    )
+    ev.filter(F.col("dom") > 15).write.mode("append").parquet(data_dir)
+    manifest = spark.read.parquet(manifest_dir)
+    incremental = (
+        spark.read.parquet(data_dir)
+        .withColumn("fpath", F.col("_metadata.file_path"))
+        .join(
+            F.broadcast(manifest),
+            F.col("fpath") == F.col("seen_path"),
+            "left_anti",
+        )
+    )
+    return incremental.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("event_id").cast("decimal(18,0)"))
+        .cast("bigint")
+        .alias("sum_event_id"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -118,6 +118,8 @@ _R6_NEEDS_ROW_FIRST = (
     "win_frame_rows_vs_range",
     "stream_left_outer_join",
     "embed_kmeans_iterate",
+    "scan_incremental_manifest",
+    "log_spike_attribution",
     # -- never driver-checked (no row r1-r5; cap cuts here) --
     "mm_scene_segments",         # also changed this round (char offsets)
     "agg_histogram_percentile",

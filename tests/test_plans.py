@@ -150,6 +150,7 @@ NESTED_LOOP_ALLOWED = {
     "sample_negative_pairs",  # 3-row j-fanout broadcast cross join
     "agg_histogram_equiheight",  # 1-row decile-boundary array broadcast
     "embed_kmeans_iterate",  # 1-row seed-codebook array broadcast
+    "log_spike_attribution",  # 1-row threshold/totals broadcasts
 }
 
 
