@@ -1088,3 +1088,150 @@ def agg_bool_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("frac_large"),
         )
     )
+
+
+@register(
+    "agg_theta_sketch_setops",
+    # Tolerance reformulation (the agg_approx_count_distinct pattern):
+    # theta sketches support SET ALGEBRA that HLL cannot (intersection,
+    # difference), at bounded relative error (lgK=14 → rse ≈ 0.8%; 5%
+    # tolerance is > 6σ and deterministic on a fixed fixture). The
+    # oracle emits the EXACT set cardinalities (hash-matched) and
+    # literal TRUE for each estimate-within-tolerance claim.
+    oracle="""
+        WITH flags AS (
+            SELECT user_id,
+                   bool_or(event_type = 'click') AS c,
+                   bool_or(event_type = 'purchase') AS p
+            FROM events
+            WHERE event_type IN ('click', 'purchase')
+            GROUP BY user_id
+        )
+        SELECT COUNT(*) FILTER (WHERE c) AS n_click,
+               COUNT(*) FILTER (WHERE p) AS n_purchase,
+               COUNT(*) AS n_union,
+               COUNT(*) FILTER (WHERE c AND p) AS n_both,
+               COUNT(*) FILTER (WHERE c AND NOT p) AS n_click_only,
+               TRUE AS union_ok, TRUE AS intersect_ok, TRUE AS diff_ok
+        FROM flags
+    """,
+    section=SECTION,
+)
+def agg_theta_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra — the mergeable-sketch feature HLL
+    lacks: union AND intersection AND difference over distinct-user
+    sets ("users who clicked ∩ users who purchased") from two
+    one-pass sketches, no re-scan per question. At 100 TB the exact
+    per-user flags require a user-keyed shuffle of every row; the
+    sketches are tiny mergeable states combined map-side, and any set
+    expression over them is then O(sketch) — this op runs BOTH paths
+    and pins the sketch estimates inside 5% of the exact answers
+    (exact values hash-matched, booleans carry the sketch claim).
+
+    Scale: one pass builds both sketches; the exact twin exists to
+    bound them at fixture scale."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    sketches = ev.agg(
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "click", F.col("user_id")), 14
+        ).alias("sk_c"),
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "purchase", F.col("user_id")), 14
+        ).alias("sk_p"),
+    )
+    flags = ev.groupBy("user_id").agg(
+        F.bool_or(F.col("event_type") == "click").alias("c"),
+        F.bool_or(F.col("event_type") == "purchase").alias("p"),
+    )
+    exact = flags.agg(
+        F.count_if("c").alias("n_click"),
+        F.count_if("p").alias("n_purchase"),
+        F.count(F.lit(1)).alias("n_union"),
+        F.count_if(F.col("c") & F.col("p")).alias("n_both"),
+        F.count_if(F.col("c") & ~F.col("p")).alias("n_click_only"),
+    )
+    est_u = F.theta_sketch_estimate(F.theta_union("sk_c", "sk_p"))
+    est_i = F.theta_sketch_estimate(F.theta_intersection("sk_c", "sk_p"))
+    est_d = F.theta_sketch_estimate(F.theta_difference("sk_c", "sk_p"))
+
+    def ok(est, exact_col):
+        return F.abs(est - F.col(exact_col)) <= 0.05 * F.col(exact_col)
+
+    return exact.crossJoin(F.broadcast(sketches)).select(
+        "n_click",
+        "n_purchase",
+        "n_union",
+        "n_both",
+        "n_click_only",
+        ok(est_u, "n_union").alias("union_ok"),
+        ok(est_i, "n_both").alias("intersect_ok"),
+        ok(est_d, "n_click_only").alias("diff_ok"),
+    )
+
+
+@register(
+    "agg_kll_quantile_merge",
+    # Tolerance reformulation: KLL (k=200) guarantees ~1.65% one-pass
+    # RANK error; the checkable claim is "each merged-sketch quantile
+    # lies inside the exact ±3%-rank bracket". Exact quantiles are
+    # hash-matched, booleans carry the sketch claim.
+    oracle="""
+        SELECT ROUND(quantile_cont(value, 0.50), 6) AS p50_exact,
+               ROUND(quantile_cont(value, 0.90), 6) AS p90_exact,
+               ROUND(quantile_cont(value, 0.99), 6) AS p99_exact,
+               TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+        FROM events
+    """,
+    section=SECTION,
+)
+def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantiles — KLL sketches built PER DAY and folded
+    into one global sketch, the incremental-rollup shape a 100 TB
+    store needs (yesterday's sketch is never recomputed; today's
+    partial merges in): per-day ``kll_sketch_agg_double`` states,
+    collected as a ≤31-element bounded list and folded pairwise with
+    ``kll_sketch_merge_double`` (KLL merge is associative), then
+    queried at p50/p90/p99. Each estimate is pinned inside the exact
+    ±3%-rank bracket (> the sketch's guaranteed 1.65% one-pass rank
+    error); exact quantiles hash-match the oracle.
+
+    Scale: per-day sketches aggregate with map-side partials; the
+    fold runs over a calendar-bounded array in ONE final 1-row agg —
+    no re-scan, no global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.kll_sketch_agg_double("value").alias("sk")
+    )
+    merged = daily.agg(F.collect_list("sk").alias("sks")).select(
+        F.aggregate(
+            F.slice("sks", 2, 10000),
+            F.element_at("sks", 1),
+            lambda acc, x: F.kll_sketch_merge_double(acc, x),
+        ).alias("sk")
+    )
+    exact = ev.agg(
+        *[
+            F.expr(f"percentile(value, {q})").alias(f"e{tag}")
+            for q, tag in [(0.50, "50"), (0.90, "90"), (0.99, "99")]
+        ],
+        *[
+            F.expr(f"percentile(value, {q})").alias(f"{side}{tag}")
+            for (q, tag, side) in [
+                (0.47, "50", "lo"), (0.53, "50", "hi"),
+                (0.87, "90", "lo"), (0.93, "90", "hi"),
+                (0.96, "99", "lo"), (1.00, "99", "hi"),
+            ]
+        ],
+    )
+    out = exact.crossJoin(F.broadcast(merged))
+    cols = []
+    for tag, q in [("50", 0.50), ("90", 0.90), ("99", 0.99)]:
+        est = F.kll_sketch_get_quantile_double("sk", F.lit(q))
+        cols.append(ratio(F.col(f"e{tag}")).alias(f"p{tag}_exact"))
+        cols.append(
+            ((est >= F.col(f"lo{tag}")) & (est <= F.col(f"hi{tag}")))
+            .alias(f"p{tag}_ok")
+        )
+    return out.select(*[cols[i] for i in (0, 2, 4, 1, 3, 5)])

@@ -120,6 +120,8 @@ _R6_NEEDS_ROW_FIRST = (
     "embed_kmeans_iterate",
     "scan_incremental_manifest",
     "log_spike_attribution",
+    "agg_theta_sketch_setops",
+    "agg_kll_quantile_merge",
     # -- never driver-checked (no row r1-r5; cap cuts here) --
     "mm_scene_segments",         # also changed this round (char offsets)
     "agg_histogram_percentile",

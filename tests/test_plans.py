@@ -151,6 +151,8 @@ NESTED_LOOP_ALLOWED = {
     "agg_histogram_equiheight",  # 1-row decile-boundary array broadcast
     "embed_kmeans_iterate",  # 1-row seed-codebook array broadcast
     "log_spike_attribution",  # 1-row threshold/totals broadcasts
+    "agg_theta_sketch_setops",  # 1-row sketch-pair broadcast
+    "agg_kll_quantile_merge",  # 1-row merged-sketch broadcast
 }
 
 
