@@ -935,3 +935,69 @@ def join_asof_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("interp_value"),
         )
     )
+
+
+@register(
+    "join_not_in_null_trap",
+    oracle="""
+        WITH clickers AS (
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+        ), purchasers AS (
+            SELECT NULLIF(user_id,
+                          (SELECT MIN(user_id) FROM events
+                           WHERE event_type = 'purchase')) AS user_id
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT
+            (SELECT COUNT(*) FROM clickers
+             WHERE user_id NOT IN (SELECT user_id FROM purchasers))
+                AS n_not_in,
+            (SELECT COUNT(*) FROM clickers c
+             WHERE NOT EXISTS (SELECT 1 FROM purchasers p
+                               WHERE p.user_id = c.user_id))
+                AS n_not_exists,
+            TRUE AS not_in_collapsed
+    """,
+    section=SECTION,
+)
+def join_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN vs NOT EXISTS with a NULL in the subquery — the
+    three-valued-logic trap every SQL engine must honor, not fix:
+    ``x NOT IN (set containing NULL)`` is never TRUE (x <> NULL is
+    UNKNOWN), so the NOT IN count collapses to 0, while NOT EXISTS —
+    the query the user almost always meant — returns the real
+    "clicked but never purchased" count. One purchasing user's id is
+    NULLIFed to plant the trap deterministically. Both engines must
+    agree on both counts, proving our anti-join semantics are
+    null-aware, not naively rewritten.
+
+    Physical note: Spark plans the NOT IN as a null-aware anti join
+    (the NAAJ-specialized broadcast join), NOT a nested loop — the
+    reason this belongs in the join inventory. The NOT EXISTS leg is
+    a plain left_anti hash join on the equi key."""
+    ev = load_table(spark, sf_dir, "events")
+    for name, df in [("ev_trap", ev)]:
+        df.createOrReplaceTempView(name)
+    return spark.sql(
+        """
+        WITH clickers AS (
+            SELECT DISTINCT user_id FROM ev_trap WHERE event_type = 'click'
+        ), purchasers AS (
+            SELECT NULLIF(user_id,
+                          (SELECT MIN(user_id) FROM ev_trap
+                           WHERE event_type = 'purchase')) AS user_id
+            FROM ev_trap WHERE event_type = 'purchase'
+        )
+        SELECT
+            (SELECT COUNT(*) FROM clickers
+             WHERE user_id NOT IN (SELECT user_id FROM purchasers))
+                AS n_not_in,
+            (SELECT COUNT(*) FROM clickers c
+             WHERE NOT EXISTS (SELECT 1 FROM purchasers p
+                               WHERE p.user_id = c.user_id))
+                AS n_not_exists,
+            (SELECT COUNT(*) FROM clickers
+             WHERE user_id NOT IN (SELECT user_id FROM purchasers)) = 0
+                AS not_in_collapsed
+        """
+    )

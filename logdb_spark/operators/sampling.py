@@ -475,3 +475,75 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.sum(F.col("k") * dec4("value"))).alias("boot_total"),
         )
     )
+
+
+@register(
+    "sample_temporal_split",
+    oracle="""
+        WITH es AS (
+            SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events
+        ), cut AS (
+            SELECT quantile_disc(es, 0.8) AS t80 FROM es
+        )
+        SELECT CASE WHEN es <= t80 THEN 'train'
+                    WHEN es <= t80 + 3600 THEN 'embargo'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n_events,
+               MIN(es) AS first_es,
+               MAX(es) AS last_es,
+               TRUE AS no_time_leakage
+        FROM es, cut
+        GROUP BY 1
+    """,
+    section=SECTION,
+)
+def sample_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split with an embargo gap — the time-series
+    evaluation discipline (walk-forward CV): train is everything up to
+    the exact 80th-percentile timestamp (quantile_DISC — an actual
+    observed second, so the boundary is a real data point, identical
+    on both engines), then a one-hour embargo absorbs the
+    serially-correlated boundary (rows there belong to NEITHER split
+    — the leak window where labels of train-adjacent rows overlap
+    test features), and test is strictly after. no_time_leakage is
+    computed in-plan: max(train) ≤ t80 < t80+3600 < min(test).
+
+    Scale shape: one exact-percentile pass to a 1-row cutoff
+    broadcast, then a map-only split tag + 3-key agg. No global
+    sort; the discrete quantile is Spark's sort-free
+    percentile machinery."""
+    es = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("long").alias("es")
+    )
+    cut = es.agg(
+        F.expr("percentile_disc(0.8) WITHIN GROUP (ORDER BY es)")
+        .cast("long")
+        .alias("t80")
+    )
+    tagged = es.crossJoin(F.broadcast(cut)).select(
+        "es",
+        "t80",
+        F.when(F.col("es") <= F.col("t80"), "train")
+        .when(F.col("es") <= F.col("t80") + 3600, "embargo")
+        .otherwise("test")
+        .alias("split"),
+    )
+    per = tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("es").alias("first_es"),
+        F.max("es").alias("last_es"),
+        F.first("t80").alias("t80"),
+    )
+    leak_ok = (
+        F.when(F.col("split") == "train", F.col("last_es") <= F.col("t80"))
+        .when(
+            F.col("split") == "embargo",
+            (F.col("first_es") > F.col("t80"))
+            & (F.col("last_es") <= F.col("t80") + 3600),
+        )
+        .otherwise(F.col("first_es") > F.col("t80") + 3600)
+    )
+    return per.select(
+        "split", "n_events", "first_es", "last_es",
+        leak_ok.alias("no_time_leakage"),
+    )

@@ -153,6 +153,7 @@ NESTED_LOOP_ALLOWED = {
     "log_spike_attribution",  # 1-row threshold/totals broadcasts
     "agg_theta_sketch_setops",  # 1-row sketch-pair broadcast
     "agg_kll_quantile_merge",  # 1-row merged-sketch broadcast
+    "sample_temporal_split",  # 1-row quantile-cutoff broadcast
 }
 
 
