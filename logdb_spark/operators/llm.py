@@ -4192,3 +4192,115 @@ def embed_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id", F.col("dim").cast("int").alias("dim"),
         "n_members", "centroid",
     )
+
+
+@register(
+    "embed_pq_codebook",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+        ), cw AS (
+            SELECT vec_id AS code, emb AS cemb FROM e WHERE vec_id < 4
+        ), scored AS (
+            SELECT e.vec_id, s.s AS subspace, cw.code,
+                   ROUND(
+                       list_dot_product(list_slice(e.emb, s.s*8+1, s.s*8+8),
+                                        list_slice(e.emb, s.s*8+1, s.s*8+8))
+                       - 2 * list_dot_product(
+                             list_slice(e.emb, s.s*8+1, s.s*8+8),
+                             list_slice(cw.cemb, s.s*8+1, s.s*8+8))
+                       + list_dot_product(
+                             list_slice(cw.cemb, s.s*8+1, s.s*8+8),
+                             list_slice(cw.cemb, s.s*8+1, s.s*8+8)),
+                       6) AS d2
+            FROM e
+            CROSS JOIN generate_series(0, 7) s(s)
+            CROSS JOIN cw
+        ), best AS (
+            SELECT vec_id, subspace, code, d2
+            FROM scored
+            QUALIFY row_number() OVER (
+                PARTITION BY vec_id, subspace ORDER BY d2, code) = 1
+        )
+        SELECT CAST(subspace AS INT) AS subspace, code,
+               COUNT(*) AS n_assigned,
+               ROUND(CAST(SUM(CAST(d2 AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(*), 6) AS mean_sq_err
+        FROM best
+        GROUP BY subspace, code
+    """,
+    section=SECTION,
+)
+def embed_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization assignment — the vector-DB compression
+    workhorse (IVF-PQ): the 64-dim embedding splits into 8 contiguous
+    8-dim subspaces, each quantized independently against a 4-codeword
+    codebook (deterministic seeds: vectors 0..3), giving an 8-byte
+    code per vector at 32× compression; the output is the codebook
+    utilization histogram — per (subspace, codeword): assignment count
+    and mean squared reconstruction error, exactly the diagnostics a
+    PQ trainer watches for dead or overloaded codewords.
+
+    Cross-engine determinism: subspace distances expand to
+    ‖a‖² − 2a·b + ‖b‖² over three fixed-order 8-term dot products (the
+    proven bit-identical primitive — dedup_embedding_cosine), rounded
+    to 6 dp before the argmin with codeword tiebreak; error means sum
+    as DECIMAL. Scale shape: the codebook is a 1-row broadcast; per
+    row, the 8 subspace argmins fold inside codegen (array_max over
+    negated-distance structs) and explode to 8 tagged rows — map-only
+    until the final (8×4)-key bounded agg."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    codebook = (
+        e.filter(F.col("vec_id") < 4)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("vec_id").alias("code"), "emb"))
+            ).alias("cb")
+        )
+    )
+
+    def sub(arr, s):
+        return F.slice(arr, s * 8 + 1, 8)
+
+    def d2(a, b):
+        return ratio(dot(a, a) - 2 * dot(a, b) + dot(b, b))
+
+    # per subspace: struct(-d2, -code) maximized == (d2, code) minimized
+    assigns = e.crossJoin(F.broadcast(codebook)).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda s: F.struct(
+                    s.alias("subspace"),
+                    F.array_max(
+                        F.transform(
+                            "cb",
+                            lambda c: F.struct(
+                                (-d2(sub(F.col("emb"), s), sub(c["emb"], s))).alias("nd2"),
+                                (-c["code"]).alias("ncode"),
+                            ),
+                        )
+                    ).alias("best"),
+                ),
+            )
+        ).alias("a")
+    )
+    return (
+        assigns.select(
+            F.col("a.subspace").cast("int").alias("subspace"),
+            (-F.col("a.best.ncode")).alias("code"),
+            (-F.col("a.best.nd2")).cast("decimal(18,6)").alias("d2"),
+        )
+        .groupBy("subspace", "code")
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            ratio(F.sum("d2").cast("double") / F.count(F.lit(1))).alias(
+                "mean_sq_err"
+            ),
+        )
+    )

@@ -154,6 +154,7 @@ NESTED_LOOP_ALLOWED = {
     "agg_theta_sketch_setops",  # 1-row sketch-pair broadcast
     "agg_kll_quantile_merge",  # 1-row merged-sketch broadcast
     "sample_temporal_split",  # 1-row quantile-cutoff broadcast
+    "embed_pq_codebook",  # 1-row PQ-codebook broadcast
 }
 
 
