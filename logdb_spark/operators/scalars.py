@@ -621,3 +621,45 @@ def fn_hash_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws("|", "lang", "source", "text")).alias("key_hash"),
         F.substring(F.sha2(F.col("text"), 256), 1, 16).alias("short_id"),
     )
+
+
+@register(
+    "fn_format_suite",
+    oracle="""
+        SELECT p_partkey,
+               lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS key_padded,
+               rpad(p_brand, 12, '.') AS brand_padded,
+               translate(p_brand, '#', '-') AS brand_dashed,
+               repeat('*', CAST(p_size % 5 AS INT)) AS size_stars,
+               reverse(substring(p_name, 1, 8)) AS name_rev8,
+               printf('%.2f', p_retailprice) AS price_fmt,
+               printf('%08.2f|%d', p_retailprice, p_size) AS audit_line
+        FROM part
+    """,
+    section=SECTION,
+)
+def fn_format_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String FORMATTING surface — the render-side scalar family
+    (fn_string_suite covers the parse side): zero-padded fixed-width
+    keys (lpad — the join-key normalization trick for legacy
+    fixed-width feeds), rpad column alignment, translate character
+    mapping, repeat, reverse, and C-style printf/format_string
+    rendering including width/zero-fill flags — the formatter every
+    log emitter and report sink leans on. All JVM codegen, map-only;
+    printf format strings behave identically across engines (the
+    ingest_logfmt oracle already pins '%.2f')."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("key_padded"),
+        F.rpad("p_brand", 12, ".").alias("brand_padded"),
+        F.translate("p_brand", "#", "-").alias("brand_dashed"),
+        F.repeat(F.lit("*"), (F.col("p_size") % 5).cast("int")).alias(
+            "size_stars"
+        ),
+        F.reverse(F.substring("p_name", 1, 8)).alias("name_rev8"),
+        F.format_string("%.2f", "p_retailprice").alias("price_fmt"),
+        F.format_string("%08.2f|%d", "p_retailprice", "p_size").alias(
+            "audit_line"
+        ),
+    )

@@ -125,6 +125,7 @@ _R6_NEEDS_ROW_FIRST = (
     "join_not_in_null_trap",
     "sample_temporal_split",
     "embed_pq_codebook",
+    "fn_format_suite",
     # -- never driver-checked (no row r1-r5; cap cuts here) --
     "mm_scene_segments",         # also changed this round (char offsets)
     "agg_histogram_percentile",
