@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from logdb_spark.functions.numeric import ratio
+from logdb_spark.functions.temporal import ts_str
 from logdb_spark.registry import register
 from logdb_spark.sources.load import load_table
 
@@ -661,5 +662,47 @@ def fn_format_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.format_string("%.2f", "p_retailprice").alias("price_fmt"),
         F.format_string("%08.2f|%d", "p_retailprice", "p_size").alias(
             "audit_line"
+        ),
+    )
+
+
+@register(
+    "fn_timezone_suite",
+    oracle="""
+        SELECT event_id,
+               strftime(ts + INTERVAL 330 MINUTE,
+                        '%Y-%m-%d %H:%M:%S') AS ist_time,
+               strftime(ts - INTERVAL 8 HOUR,
+                        '%Y-%m-%d %H:%M:%S') AS pst_time,
+               CAST(EXTRACT(hour FROM ts + INTERVAL 330 MINUTE)
+                    AS BIGINT) AS ist_hour,
+               CAST(ts + INTERVAL 330 MINUTE AS DATE)
+                   <> CAST(ts AS DATE) AS date_rolls_over
+        FROM events
+    """,
+    section=SECTION,
+)
+def fn_timezone_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone shifting — the "what time was that for the user"
+    surface: UTC event timestamps rendered in fixed-offset zones
+    (+05:30 India, -08:00 Pacific-standard) via from_utc_timestamp,
+    plus the derived local hour and a date-rollover flag (the boundary
+    where a UTC event lands on a different LOCAL calendar day — the
+    classic daily-aggregation-by-wrong-zone bug, made explicit).
+    Fixed offsets, not named zones: named-zone arithmetic depends on
+    the engines' bundled tzdata editions agreeing on historical DST —
+    a cross-engine hash must not bet on that; the oracle mirrors with
+    plain interval arithmetic, which IS the fixed-offset semantics.
+    Map-only JVM codegen."""
+    ev = load_table(spark, sf_dir, "events")
+    ist = F.from_utc_timestamp("ts", "+05:30")
+    pst = F.from_utc_timestamp("ts", "-08:00")
+    return ev.select(
+        "event_id",
+        ts_str(ist).alias("ist_time"),
+        ts_str(pst).alias("pst_time"),
+        F.hour(ist).cast("bigint").alias("ist_hour"),
+        (ist.cast("date") != F.col("ts").cast("date")).alias(
+            "date_rolls_over"
         ),
     )

@@ -126,6 +126,7 @@ _R6_NEEDS_ROW_FIRST = (
     "sample_temporal_split",
     "embed_pq_codebook",
     "fn_format_suite",
+    "fn_timezone_suite",
     # -- never driver-checked (no row r1-r5; cap cuts here) --
     "mm_scene_segments",         # also changed this round (char offsets)
     "agg_histogram_percentile",
