@@ -127,6 +127,7 @@ _R6_NEEDS_ROW_FIRST = (
     "embed_pq_codebook",
     "fn_format_suite",
     "fn_timezone_suite",
+    "stream_transform_with_state",
     # -- never driver-checked (no row r1-r5; cap cuts here) --
     "mm_scene_segments",         # also changed this round (char offsets)
     "agg_histogram_percentile",

@@ -679,3 +679,40 @@ def stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_ts").cast("long") - F.col("c_ts").cast("long")
         ).alias("first_lag_s"),
     )
+
+
+def purchase_totals(events: DataFrame) -> DataFrame:
+    """Shared by batch + the transformWithStateInPandas harness twin:
+    per-user lifetime purchase count and spend."""
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            dround(F.sum(dec4("value"))).alias("total_spend"),
+        )
+    )
+
+
+@register(
+    "stream_transform_with_state",
+    oracle="""
+        SELECT user_id, COUNT(*) AS n_purchases,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS total_spend
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    """,
+    section=SECTION,
+)
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 StatefulProcessor surface (transformWithStateInPandas —
+    the typed-state successor to applyInPandasWithState: named
+    ValueState/ListState/MapState handles + timers on a RocksDB state
+    store): per-user lifetime purchase count and spend, state = two
+    numbers per key. Batch-equivalent form registered here (identical
+    aggregate semantics); the harness test runs the REAL
+    StatefulProcessor over the staged stream and pins equality against
+    this relation. Scale: one user-keyed shuffle; per-key state O(1);
+    emission one row per key per micro-batch in Update mode."""
+    return purchase_totals(load_table(spark, sf_dir, "events"))

@@ -91,3 +91,69 @@ def stateful_alerts_stream(events: DataFrame) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+# --- transformWithStateInPandas (Spark 4 stateful processor API) -----
+
+TWS_OUT_SCHEMA = "user_id bigint, n_purchases bigint, total_spend double"
+
+
+def make_spend_processor():
+    """Per-user purchase tracker on the Spark 4 StatefulProcessor API —
+    the successor surface to applyInPandasWithState: explicit typed
+    state handles (ValueState here; ListState/MapState/timers exist on
+    the same handle), RocksDB-backed per-key state, watermark-driven
+    lifecycle. State per key is TWO numbers (count, sum) — O(1), the
+    cheapest possible stateful operator; emission is one updated row
+    per key per micro-batch (Update mode)."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType,
+    )
+
+    class SpendProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg",
+                StructType(
+                    [
+                        StructField("n", LongType()),
+                        StructField("total", DoubleType()),
+                    ]
+                ),
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (0, 0.0) if not self._agg.exists() else self._agg.get()
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._agg.update((int(n), float(total)))
+            yield pd.DataFrame(
+                {
+                    "user_id": pd.Series([key[0]], dtype="int64"),
+                    "n_purchases": pd.Series([n], dtype="int64"),
+                    "total_spend": pd.Series([total], dtype="float64"),
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return SpendProcessor()
+
+
+def tws_spend_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of batch_equiv.purchase_totals via
+    transformWithStateInPandas."""
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=make_spend_processor(),
+            outputStructType=TWS_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
