@@ -286,3 +286,94 @@ def udtf_parse_keyvals(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM v_kv_lines, LATERAL parse_keyvals(event_id, line) s
         """
     )
+
+
+@register(
+    "udf_arrow_scalar",
+    oracle="""
+        SELECT event_id,
+               CAST(floor(value + 0.5) AS BIGINT) % 10 AS value_digit,
+               upper(substring(event_type, 1, 1)) || lower(substring(event_type, 2))
+                   AS type_title
+        FROM events
+    """,
+    section=SECTION,
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized plain Python UDF (`useArrow=True`, Spark 4) —
+    the MIDDLE rung between pickled row-at-a-time and pandas_udf:
+    same scalar-function authoring model as @udf, but arguments cross
+    the boundary as Arrow batches (one serialization per batch, not
+    per row). The function body still runs per-row in Python, so
+    pandas_udf's vectorized kernels stay faster — this op exists to
+    cover the surface and its oracle (pure SQL arithmetic) again
+    proves the logic never needed Python at all."""
+
+    @F.udf(returnType="bigint", useArrow=True)
+    def value_digit(value: float) -> int:
+        # floor(x+0.5), NOT Python round(): round() is banker's
+        # rounding and diverges from SQL's half-away at .5 boundaries
+        import math
+
+        return int(math.floor(value + 0.5)) % 10
+
+    @F.udf(returnType=StringType(), useArrow=True)
+    def title_case(s: str) -> str:
+        return s[:1].upper() + s[1:].lower() if s else s
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        value_digit("value").alias("value_digit"),
+        title_case("event_type").alias("type_title"),
+    )
+
+
+@register(
+    "udtf_arrow_ngrams",
+    oracle="""
+        WITH g AS (
+            SELECT doc_id,
+                   unnest(range(1, length(text) - 1)) AS pos,
+                   text
+            FROM documents WHERE length(text) >= 3
+        )
+        SELECT doc_id, substring(text, CAST(pos AS INT), 3) AS trigram,
+               COUNT(*) AS n
+        FROM g GROUP BY 1, 2
+        HAVING COUNT(*) >= 3
+    """,
+    section=SECTION,
+)
+def udtf_arrow_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python UDTF (`useArrow=True`, Spark 4): emits
+    every character trigram of a document, downstream-aggregated to
+    repeated trigrams (≥3 occurrences — the repetition fingerprint a
+    spam filter keys on). The UDTF is the variable-fanout escape hatch
+    (one input row → len(text)−2 output rows); Arrow batches the
+    emitted rows out. The oracle re-expresses the fanout relationally
+    (generate_series positional substring) — proving, as with every
+    UDF-surface twin, that the JVM path exists; the UDTF form is
+    surface parity. Downstream agg shuffles on (doc, trigram) with
+    map-side partials."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, trigram string", useArrow=True)
+    class Trigrams:
+        def eval(self, doc_id: int, text: str):
+            if text is None:
+                return
+            for i in range(len(text) - 2):
+                yield doc_id, text[i : i + 3]
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d.createOrReplaceTempView("v_tri_docs")
+    spark.udtf.register("char_trigrams", Trigrams)
+    return spark.sql(
+        """
+        SELECT t.doc_id, t.trigram, COUNT(*) AS n
+        FROM v_tri_docs, LATERAL char_trigrams(doc_id, text) t
+        GROUP BY t.doc_id, t.trigram
+        HAVING COUNT(*) >= 3
+        """
+    )

@@ -128,6 +128,8 @@ _R6_NEEDS_ROW_FIRST = (
     "fn_format_suite",
     "fn_timezone_suite",
     "stream_transform_with_state",
+    "udf_arrow_scalar",
+    "udtf_arrow_ngrams",
     # -- never driver-checked (no row r1-r5; cap cuts here) --
     "mm_scene_segments",         # also changed this round (char offsets)
     "agg_histogram_percentile",
