@@ -59,7 +59,8 @@ _LOADED = False
 
 # Driver-gate coverage rotation. The driver correctness report caps at
 # 50 enumeration entries per round, so enumeration order IS evidence
-# budget. Union of driver rows r1-r5 covers 208/241 ops; r6 tiering
+# budget. Union of driver rows r1-r5 covers 208 of the 241 ops that
+# existed at r5 close (the registry has since grown in r6); r6 tiering
 # (ADVICE r5 #3): tier 0 leads with ops whose IMPLEMENTATION changed
 # after their freshest driver row (the dedup composites — rewired r5:
 # pair-source auto/LSH, driver union-find finisher, lazy checkpoints;
