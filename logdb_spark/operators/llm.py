@@ -4304,3 +4304,111 @@ def embed_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_RRF_K = 20  # depth of each ranked list
+_RRF_C = 60  # the standard RRF dampening constant
+
+
+@register(
+    "sim_hybrid_rrf",
+    oracle=f"""
+        WITH lex AS (
+            SELECT doc_id,
+                   len(list_filter(string_split(text, ' '),
+                       t -> t IN ('spark', 'join', 'merge'))) AS lex_score
+            FROM documents
+        ), lex_top AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY lex_score DESC, doc_id)
+                       AS lex_rank
+            FROM lex
+            QUALIFY lex_rank <= {_RRF_K}
+        ), e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+            FROM embeddings
+        ), probe AS (SELECT emb FROM e WHERE vec_id = 0),
+        vec_top AS (
+            SELECT e.vec_id AS doc_id,
+                   row_number() OVER (
+                       ORDER BY ROUND(list_dot_product(e.emb, probe.emb), 6)
+                                DESC, e.vec_id) AS vec_rank
+            FROM e, probe WHERE e.vec_id <> 0
+            QUALIFY vec_rank <= {_RRF_K}
+        )
+        SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+               l.lex_rank, v.vec_rank,
+               ROUND(COALESCE(1.0 / ({_RRF_C} + l.lex_rank), 0)
+                     + COALESCE(1.0 / ({_RRF_C} + v.vec_rank), 0), 6)
+                   AS rrf_score
+        FROM lex_top l FULL OUTER JOIN vec_top v ON l.doc_id = v.doc_id
+        ORDER BY rrf_score DESC, doc_id
+        LIMIT 10
+    """,
+    section=SECTION,
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search via Reciprocal-Rank Fusion — the fusion rule
+    hybrid retrieval stacks standardize on (score = Σ 1/(60+rank)):
+    a LEXICAL leg (query-term occurrence count over document tokens)
+    and a VECTOR leg (cosine against probe vector 0, over the docs
+    that carry embeddings — partial embedding coverage is the normal
+    production state) each produce a top-20 ranked list; RRF merges
+    them rank-wise, rewarding documents both modalities surface. The
+    classic win: rank fusion needs no score calibration between
+    incomparable scales (term counts vs cosines).
+
+    Scale shape: each leg is a TakeOrderedAndProject top-K over one
+    corpus scan (no global sort); ranks are then assigned by a window
+    over the BOUNDED K-row shortlist, the two 20-row lists full-outer
+    join, and the fused top-10 is again TakeOrdered. Determinism: both
+    legs tiebreak on doc id; cosines round to 6 dp before ranking."""
+    d = load_table(spark, sf_dir, "documents")
+    lex_score = F.size(
+        F.filter(
+            F.split("text", " "),
+            lambda t: (t == "spark") | (t == "join") | (t == "merge"),
+        )
+    )
+    lex_short = (
+        d.select("doc_id", lex_score.alias("lex_score"))
+        .orderBy(F.desc("lex_score"), "doc_id")
+        .limit(_RRF_K)
+    )
+    # rank within the bounded K-row shortlist (window over ≤20 rows)
+    w_lex = Window.orderBy(F.desc("lex_score"), "doc_id")
+    lex_top = lex_short.select(
+        "doc_id", F.row_number().over(w_lex).alias("lex_rank")
+    )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    )
+    probe = e.filter(F.col("vec_id") == 0).select(
+        F.col("emb").alias("probe_emb")
+    )
+    vec_short = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            ratio(dot(F.col("emb"), F.col("probe_emb"))).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), "doc_id")
+        .limit(_RRF_K)
+    )
+    w_vec = Window.orderBy(F.desc("cos"), "doc_id")
+    vec_top = vec_short.select(
+        "doc_id", F.row_number().over(w_vec).alias("vec_rank")
+    )
+    fused = lex_top.join(vec_top, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        ratio(
+            F.coalesce(1.0 / (_RRF_C + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_C + F.col("vec_rank")), F.lit(0.0))
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(10)

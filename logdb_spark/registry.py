@@ -131,6 +131,7 @@ _R6_NEEDS_ROW_FIRST = (
     "stream_transform_with_state",
     "udf_arrow_scalar",
     "udtf_arrow_ngrams",
+    "sim_hybrid_rrf",
     # -- never driver-checked (no row r1-r5; cap cuts here) --
     "mm_scene_segments",         # also changed this round (char offsets)
     "agg_histogram_percentile",

@@ -155,6 +155,7 @@ NESTED_LOOP_ALLOWED = {
     "agg_kll_quantile_merge",  # 1-row merged-sketch broadcast
     "sample_temporal_split",  # 1-row quantile-cutoff broadcast
     "embed_pq_codebook",  # 1-row PQ-codebook broadcast
+    "sim_hybrid_rrf",  # 1-row probe broadcast
 }
 
 
