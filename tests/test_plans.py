@@ -370,3 +370,58 @@ def test_zorder_layout_clusters_both_dimensions(spark):
         f"files span {day_frac:.2f} of days + {val_frac:.2f} of values — "
         "not z-clustered in both dimensions"
     )
+
+
+def test_profile_single_scan_with_expand(spark):
+    """scan_summarize_profile must profile ALL columns in ONE scan:
+    the exact multi-distinct plan is an Expand over a single events
+    read — not one aggregation pass per column — and no window
+    appears anywhere."""
+    plan = plan_of(spark, "scan_summarize_profile")
+    assert "Expand" in plan, "exact multi-distinct should plan an Expand"
+    import re
+
+    scans = re.findall(r"^\(\d+\) Scan parquet", plan, re.M)
+    assert len(scans) == 1, f"expected one events scan, got {len(scans)}"
+    assert "windowspecdefinition" not in plan
+
+
+def test_hybrid_rrf_legs_are_take_ordered(spark):
+    """Both RRF legs must plan TakeOrderedAndProject (per-partition
+    heaps + merge of K) — a global Sort for a top-20 would ship every
+    score to one task at 100 TB."""
+    plan = plan_of(spark, "sim_hybrid_rrf")
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_kmeans_assignment_is_map_only(spark):
+    """embed_kmeans_iterate's assignment stage must stay map-side: the
+    codebook argmax folds inside codegen against a broadcast 1-row
+    array — no window, no shuffled join; the only shuffle is the
+    bounded (cluster × dim) aggregation (partial+final pair)."""
+    plan = plan_of(spark, "embed_kmeans_iterate")
+    assert "windowspecdefinition" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_incremental_manifest_uses_broadcast_anti_join():
+    """scan_incremental_manifest's file-diff must be a broadcast
+    left_anti hash join on the lineage column (the manifest is rows =
+    files, always broadcastable), never a shuffled join of the data
+    rows. Side-effecting op: plan inspected via a fresh run."""
+    import contextlib
+    import io
+
+    from logdb_spark.plans.session import get_spark
+
+    spark = get_spark("logdb-tests")
+    df = OPS["scan_incremental_manifest"].fn(spark, SF_SMALL)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
