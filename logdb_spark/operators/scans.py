@@ -1259,3 +1259,63 @@ def scan_incremental_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_event_id"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "sink_dynamic_partition_overwrite",
+    oracle="""
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               COUNT(*) AS n_rows,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))
+                          * CASE WHEN day(ts) = 5 THEN 2 ELSE 1 END), 2)
+                    AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1
+    """,
+    section=SECTION,
+)
+def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the idempotent-backfill write
+    mode every partitioned log store depends on: with
+    ``partitionOverwriteMode=dynamic``, ``mode("overwrite")`` replaces
+    ONLY the partitions present in the incoming batch and leaves every
+    other partition untouched (static mode would wipe the whole
+    table). Proven by doing it: the full month lands day-partitioned,
+    then a corrected batch for day 5 (values doubled — a backfill
+    fixing a known-bad day) overwrites in dynamic mode; the emitted
+    per-day aggregate comes from the RE-READ table and the oracle
+    restates it from the source (day 5 doubled, all other days
+    original) — a wiped or duplicated partition hash-mismatches.
+
+    Scale shape: both writes shuffle once on the partition key; the
+    overwrite touches one partition's files regardless of table
+    size — the whole point."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        F.to_date(F.date_trunc("day", "ts")).alias("day"),
+    )
+    out = scratch_dir("logdb_dpo_")
+    ev.repartition("day").write.mode("overwrite").partitionBy("day").parquet(out)
+    fixed = ev.filter(F.dayofmonth("ts") == 5).withColumn(
+        "value", F.col("value") * 2
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            fixed.repartition("day")
+            .write.mode("overwrite")
+            .partitionBy("day")
+            .parquet(out)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(out)
+    return back.groupBy(
+        F.date_format(F.col("day").cast("date"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dround(F.sum(dec4("value"))).alias("sum_value"),
+    )

@@ -907,3 +907,64 @@ def win_frame_rows_vs_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.sum("v").over(w_range)).alias("range_sum30s"),
         F.count(F.lit(1)).over(w_range).alias("n_range"),
     )
+
+
+@register(
+    "win_calendar_range_frame",
+    oracle="""
+        WITH daily AS (
+            SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                   SUM(CAST(value AS DECIMAL(18,4))) AS rev
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1, 2
+        )
+        SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+               CAST(ROUND(SUM(rev) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   RANGE BETWEEN INTERVAL 1 MONTH PRECEDING
+                             AND CURRENT ROW), 2) AS DOUBLE)
+                   AS trailing_month_rev,
+               COUNT(*) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   RANGE BETWEEN INTERVAL 1 MONTH PRECEDING
+                             AND CURRENT ROW) AS n_active_days
+        FROM daily
+    """,
+    section=SECTION,
+)
+def win_calendar_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALENDAR-interval RANGE frames — the window semantics numeric
+    offsets can't express: "trailing one MONTH of revenue" where the
+    frame's lower bound is real month arithmetic (variable length,
+    end-of-month clamping), evaluated per row by the engine. The
+    fixed-width cousins (win_moving_avg_range's 3600-second frame,
+    win_frame_rows_vs_range's 30-second frame) pin numeric RANGE;
+    this pins the interval-literal boundary form on a timestamp
+    ordering both engines must age identically.
+
+    Scale shape: events pre-aggregate to user-days (one shuffle,
+    map-side combined), the interval window reuses the same user
+    partition key — frames walk at most ~31 rows per user. Decimal
+    revenue, rounded once at emission."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sum(dec4("value")).alias("rev"))
+    )
+    daily.createOrReplaceTempView("v_cal_daily")
+    return spark.sql(
+        """
+        SELECT user_id, date_format(day, 'yyyy-MM-dd') AS day,
+               CAST(ROUND(SUM(rev) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   RANGE BETWEEN INTERVAL 1 MONTH PRECEDING
+                             AND CURRENT ROW), 2) AS DOUBLE)
+                   AS trailing_month_rev,
+               COUNT(*) OVER (
+                   PARTITION BY user_id ORDER BY day
+                   RANGE BETWEEN INTERVAL 1 MONTH PRECEDING
+                             AND CURRENT ROW) AS n_active_days
+        FROM v_cal_daily
+        """
+    )
