@@ -1242,7 +1242,10 @@ def scan_incremental_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(manifest_dir)
     )
     ev.filter(F.col("dom") > 15).write.mode("append").parquet(data_dir)
-    manifest = spark.read.parquet(manifest_dir)
+    # explicit schema: an empty batch-1 writes a schemaless dir and a
+    # bare read would fail "unable to infer schema" — the checkpoint
+    # contract (one string column of seen paths) is static anyway
+    manifest = spark.read.schema("seen_path string").parquet(manifest_dir)
     incremental = (
         spark.read.parquet(data_dir)
         .withColumn("fpath", F.col("_metadata.file_path"))
