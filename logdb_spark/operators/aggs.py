@@ -16,6 +16,7 @@ from logdb_spark.functions.numeric import dec4, dround, money, ratio
 from logdb_spark.functions.ranking import global_row_number
 from logdb_spark.registry import register
 from logdb_spark.sources.load import load_table
+from logdb_spark.sources.scratch import scratch_dir
 
 SECTION = "2.D aggregations"
 
@@ -1235,3 +1236,60 @@ def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"p{tag}_ok")
         )
     return out.select(*[cols[i] for i in (0, 2, 4, 1, 3, 5)])
+
+
+@register(
+    "agg_incremental_mv_merge",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                     / COUNT(*), 6) AS mean_value
+        FROM events
+        GROUP BY event_type
+    """,
+    section=SECTION,
+)
+def agg_incremental_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-view incremental maintenance — the refresh path a
+    100 TB store runs nightly: yesterday's aggregate lives as STORED
+    PARTIALS (per-type n and exact-decimal Σv for days ≤25, written to
+    parquet — the MV), today's delta (days >25) aggregates alone, and
+    the refresh MERGES partial states (Σn, ΣΣv) without ever
+    re-reading base rows — count and sum are mergeable, and mean
+    derives at the end. The oracle recomputes from the full table:
+    equality proves merge(MV, delta) ≡ full recompute, the invariant
+    incremental view maintenance must uphold.
+
+    Scale shape: the base scan happens ONCE (when the MV materializes)
+    — the refresh reads the tiny partials file + the delta slice; the
+    merge is a bounded-key (event_type) aggregate of partial rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", dec4("value").alias("v"), F.dayofmonth("ts").alias("dom")
+    )
+
+    def partials(df):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("pn"), F.sum("v").alias("psum")
+        )
+
+    mv_dir = scratch_dir("logdb_mv_")
+    partials(ev.filter(F.col("dom") <= 25)).write.mode("overwrite").parquet(
+        mv_dir
+    )
+    base = spark.read.schema(
+        "event_type string, pn bigint, psum decimal(28,4)"
+    ).parquet(mv_dir)
+    delta = partials(ev.filter(F.col("dom") > 25))
+    merged = base.unionByName(delta).groupBy("event_type").agg(
+        F.sum("pn").alias("n"), F.sum("psum").alias("total_dec")
+    )
+    return merged.select(
+        "event_type",
+        "n",
+        F.col("total_dec").cast("double").alias("total"),
+        ratio(F.col("total_dec").cast("double") / F.col("n")).alias(
+            "mean_value"
+        ),
+    )

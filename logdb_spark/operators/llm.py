@@ -4412,3 +4412,79 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf_score"),
     )
     return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(10)
+
+
+@register(
+    "text_kl_divergence",
+    oracle="""
+        WITH toks AS (
+            SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents WHERE source IN ('src0', 'src1')
+        ), counts AS (
+            SELECT tok,
+                   COUNT(*) FILTER (WHERE source = 'src0') AS c0,
+                   COUNT(*) FILTER (WHERE source = 'src1') AS c1
+            FROM toks GROUP BY tok
+        ), tot AS (
+            SELECT SUM(c0) AS n0, SUM(c1) AS n1, COUNT(*) AS v
+            FROM counts
+        ), probs AS (
+            SELECT (c0 + 1.0) / (n0 + v) AS p,
+                   (c1 + 1.0) / (n1 + v) AS q,
+                   c0, c1
+            FROM counts, tot
+        )
+        SELECT (SELECT v FROM tot) AS vocab_size,
+               CAST((SELECT n0 FROM tot) AS BIGINT) AS n_tokens_src0,
+               CAST((SELECT n1 FROM tot) AS BIGINT) AS n_tokens_src1,
+               COUNT(*) FILTER (WHERE c0 > 0 AND c1 > 0) AS vocab_shared,
+               ROUND(SUM(p * ln(p / q)), 6) AS kl_src0_src1,
+               ROUND(SUM(q * ln(q / p)), 6) AS kl_src1_src0
+        FROM probs
+    """,
+    section=SECTION,
+)
+def text_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-divergence monitor — add-one-smoothed unigram KL
+    divergence between two sources, both directions: the
+    domain-shift / contamination detector a data-mixture curator runs
+    when deciding whether src1 still looks like src0 (KL≈0 → same
+    distribution; asymmetry says which corpus has mass the other
+    lacks). Laplace smoothing over the UNION vocabulary keeps every
+    log finite without dropping unseen tokens.
+
+    Determinism: the vocab-bounded Σ p·ln(p/q) is a sum of doubles
+    rounded to 6 dp — the agg_entropy discipline (sum order can move
+    last-ulp only, far below the rounding cut). Scale shape: one
+    token explode with map-side combine onto the vocab-bounded key,
+    then a 1-row totals broadcast and a vocab-keyed final sum — no
+    windows, no per-doc state."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("source").isin("src0", "src1"))
+        .select("source", F.explode(F.split("text", " ")).alias("tok"))
+    )
+    counts = toks.groupBy("tok").agg(
+        F.count(F.when(F.col("source") == "src0", 1)).alias("c0"),
+        F.count(F.when(F.col("source") == "src1", 1)).alias("c1"),
+    )
+    tot = counts.agg(
+        F.sum("c0").alias("n0"),
+        F.sum("c1").alias("n1"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    p = (F.col("c0") + 1.0) / (F.col("n0") + F.col("v"))
+    q = (F.col("c1") + 1.0) / (F.col("n1") + F.col("v"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("v").alias("vocab_size"),
+            F.first("n0").alias("n_tokens_src0"),
+            F.first("n1").alias("n_tokens_src1"),
+            F.count(F.when((F.col("c0") > 0) & (F.col("c1") > 0), 1)).alias(
+                "vocab_shared"
+            ),
+            ratio(F.sum(p * F.log(p / q))).alias("kl_src0_src1"),
+            ratio(F.sum(q * F.log(q / p))).alias("kl_src1_src0"),
+        )
+    )

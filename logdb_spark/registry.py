@@ -134,6 +134,8 @@ _R6_NEEDS_ROW_FIRST = (
     "sim_hybrid_rrf",
     "win_calendar_range_frame",
     "sink_dynamic_partition_overwrite",
+    "text_kl_divergence",
+    "agg_incremental_mv_merge",
     # -- never driver-checked (no row r1-r5; cap cuts here) --
     "mm_scene_segments",         # also changed this round (char offsets)
     "agg_histogram_percentile",

@@ -156,6 +156,7 @@ NESTED_LOOP_ALLOWED = {
     "sample_temporal_split",  # 1-row quantile-cutoff broadcast
     "embed_pq_codebook",  # 1-row PQ-codebook broadcast
     "sim_hybrid_rrf",  # 1-row probe broadcast
+    "text_kl_divergence",  # 1-row vocab-totals broadcast
 }
 
 
