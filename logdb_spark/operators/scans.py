@@ -1322,3 +1322,59 @@ def sink_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
         F.count(F.lit(1)).alias("n_rows"),
         dround(F.sum(dec4("value"))).alias("sum_value"),
     )
+
+
+@register(
+    "ingest_gzip_text",
+    oracle="""
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(event_id) AS BIGINT) AS sum_ids,
+               COUNT(DISTINCT user_id) AS n_users,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS sum_value
+        FROM events
+    """,
+    section=SECTION,
+)
+def ingest_gzip_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GZIP-compressed raw-log ingestion — how log archives actually
+    arrive (rotated .log.gz): lines written through the text sink with
+    the gzip codec, read back transparently by codec inference from
+    the .gz extension, parsed and checksum-aggregated against the
+    source.
+
+    THE scale caveat this op exists to document: gzip is a
+    NON-SPLITTABLE codec — each .gz file is decompressed by exactly
+    one task, so a single 50 GB archive serializes one core while a
+    directory of many ~128 MB archives parallelizes perfectly. The
+    write side here repartitions to multiple files for that reason
+    (the shape a 100 TB archive ingest wants); prefer zstd/bzip2 or
+    re-chunked archives when the producer can be changed."""
+    ev = load_table(spark, sf_dir, "events")
+    out = scratch_dir("logdb_gz_")
+    (
+        ev.select(
+            F.concat_ws(
+                "|",
+                F.col("event_id"),
+                F.col("user_id"),
+                F.col("value").cast("string"),
+            ).alias("value")
+        )
+        .repartition(8)  # many small .gz files: the splittability workaround
+        .write.mode("overwrite")
+        .option("compression", "gzip")
+        .text(out)
+    )
+    line = r"^(\d+)\|(\d+)\|([^|]*)$"
+    back = spark.read.text(out).select(
+        F.regexp_extract("value", line, 1).cast("bigint").alias("event_id"),
+        F.regexp_extract("value", line, 2).cast("bigint").alias("user_id"),
+        F.regexp_extract("value", line, 3).cast("double").alias("val"),
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").alias("sum_ids"),
+        F.countDistinct("user_id").alias("n_users"),
+        dround(F.sum(dec4("val"))).alias("sum_value"),
+    )

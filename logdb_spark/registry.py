@@ -136,6 +136,7 @@ _R6_NEEDS_ROW_FIRST = (
     "sink_dynamic_partition_overwrite",
     "text_kl_divergence",
     "agg_incremental_mv_merge",
+    "ingest_gzip_text",
     # -- never driver-checked (no row r1-r5; cap cuts here) --
     "mm_scene_segments",         # also changed this round (char offsets)
     "agg_histogram_percentile",
