@@ -80,6 +80,11 @@ _R6_NEEDS_ROW_FIRST = (
     "dedup_keep_best",
     "text_clean_pipeline",
     # -- new in r6: no evidence until this round's gate --
+    "sql_q2_min_cost_supply",
+    "sql_q9_product_profit",
+    "sql_q11_important_stock",
+    "sql_q16_supplier_relationship",
+    "sql_q20_potential_promo",
     "log_cusum_drift",
     "log_flap_detect",
     "log_backfill_detect",
