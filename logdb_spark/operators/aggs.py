@@ -1293,3 +1293,81 @@ def agg_incremental_mv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_value"
         ),
     )
+
+
+_CMS_DEPTH = 4
+
+
+@register(
+    "agg_count_min_sketch",
+    oracle=f"""
+        WITH rows_ AS (SELECT UNNEST(range({_CMS_DEPTH})) AS r),
+        hashed AS (
+            SELECT r, substring(md5('r' || CAST(r AS VARCHAR) || ':'
+                                    || CAST(user_id AS VARCHAR)), 1, 2) AS bkt
+            FROM events CROSS JOIN rows_
+        ),
+        cms AS (
+            SELECT r, bkt, COUNT(*) AS c FROM hashed GROUP BY r, bkt
+        ),
+        top_users AS (
+            SELECT user_id, COUNT(*) AS exact_cnt
+            FROM events GROUP BY user_id
+            ORDER BY exact_cnt DESC, user_id LIMIT 10
+        )
+        SELECT t.user_id, t.exact_cnt, MIN(c.c) AS cms_est
+        FROM top_users t
+        JOIN cms c ON c.bkt = substring(md5('r' || CAST(c.r AS VARCHAR)
+                                            || ':' || CAST(t.user_id AS VARCHAR)), 1, 2)
+        GROUP BY t.user_id, t.exact_cnt
+        ORDER BY t.exact_cnt DESC, t.user_id
+    """,
+    section=SECTION,
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch with EXACT cross-engine parity: depth-4 ×
+    width-256 counter matrix where row r's bucket for a key is the
+    first hex byte of md5('r<r>:<key>') — the same engine-neutral
+    md5 discipline the sampling family uses, so Spark and DuckDB
+    build bit-identical sketches and the oracle hash-checks the
+    estimates themselves, not just error bounds. Build is one
+    map-side 4× row expansion (explode of a 4-element literal array —
+    NOT a join) followed by a partial-agg shuffle keyed on (r, bkt)
+    ≤ 1024 groups: at 100 TB the shuffle carries at most
+    depth × width pre-combined counters per map partition, the
+    textbook mergeability that makes CMS a streaming/distributed
+    sketch. Probing the 10 heaviest users (TakeOrdered, no global
+    sort) recomputes their row-wise buckets and takes MIN over the 4
+    counters; estimate ≥ exact always, with overestimates only on
+    byte-bucket collisions. ~1.8k distinct users over 256 buckets at
+    sf0.1 makes collisions real — the driver gate pins that both
+    engines agree on exactly which estimates overcount and by how
+    much."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    rows = F.array(*[F.lit(i) for i in range(_CMS_DEPTH)])
+    bkt = lambda r, uid: F.substring(  # noqa: E731
+        F.md5(F.concat(F.lit("r"), r.cast("string"), F.lit(":"), uid.cast("string"))),
+        1,
+        2,
+    )
+    cms = (
+        ev.select("user_id", F.explode(rows).alias("r"))
+        .select("r", bkt(F.col("r"), F.col("user_id")).alias("bkt"))
+        .groupBy("r", "bkt")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "user_id")
+        .limit(10)
+    )
+    probes = top.select(
+        "user_id", "exact_cnt", F.explode(rows).alias("r")
+    ).select("user_id", "exact_cnt", "r", bkt(F.col("r"), F.col("user_id")).alias("bkt"))
+    return (
+        probes.join(F.broadcast(cms), ["r", "bkt"])
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("c").alias("cms_est"))
+        .orderBy(F.col("exact_cnt").desc(), "user_id")
+    )

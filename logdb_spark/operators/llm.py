@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from logdb_spark.functions.numeric import ratio
-from logdb_spark.functions.vector import dot
+from logdb_spark.functions.vector import dot, l2_norm
 from logdb_spark.registry import register, track_persist
 from logdb_spark.sources.load import load_table
 
@@ -4487,4 +4487,98 @@ def text_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ratio(F.sum(p * F.log(p / q))).alias("kl_src0_src1"),
             ratio(F.sum(q * F.log(q / p))).alias("kl_src1_src0"),
         )
+    )
+
+
+@register(
+    "embed_matryoshka_recall",
+    oracle="""
+        WITH e AS (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+                   FROM embeddings),
+        p AS (SELECT vec_id AS probe_id, emb AS pemb, emb[1:16] AS pemb16
+              FROM e WHERE vec_id < 10),
+        c AS (SELECT vec_id, emb, emb[1:16] AS emb16 FROM e WHERE vec_id >= 10),
+        scored AS (
+            SELECT probe_id, c.vec_id,
+                   ROUND(list_dot_product(c.emb, p.pemb), 6) AS cos_f,
+                   ROUND(list_dot_product(c.emb16, p.pemb16)
+                         / (sqrt(list_dot_product(c.emb16, c.emb16))
+                            * sqrt(list_dot_product(p.pemb16, p.pemb16))),
+                         6) AS cos_t
+            FROM c CROSS JOIN p
+        ),
+        rk AS (
+            SELECT probe_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY cos_f DESC, vec_id) AS rf,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY cos_t DESC, vec_id) AS rt
+            FROM scored
+        )
+        SELECT probe_id,
+               CAST(COUNT(*) FILTER (WHERE rf <= 5 AND rt <= 5) AS BIGINT)
+                   AS overlap_at_5,
+               CAST(MAX(CASE WHEN rf = 1 THEN
+                             CASE WHEN rt <= 5 THEN 1 ELSE 0 END END) AS INT)
+                   AS top1_kept
+        FROM rk GROUP BY probe_id ORDER BY probe_id
+    """,
+    section=SECTION,
+)
+def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation quality check: for each of 10 probe
+    vectors, compare full-width (64-d) cosine top-5 against top-5
+    under the FIRST-16-DIMS prefix (renormalized — truncated vectors
+    are no longer unit-norm), reporting per-probe overlap@5 and
+    whether the full-width top-1 survives. This is the measurement a
+    pipeline runs before committing to truncated embeddings for a
+    cheap ANN prefilter: high overlap ⇒ the prefix preserves
+    neighborhood structure and the 4× narrower vectors can drive the
+    candidate stage. Plan shape: 10-row probe batch broadcast against
+    one corpus scan (deliberate broadcast pair scoring, the
+    sim_topk_cosine pattern), both rankings computed from the SAME
+    scored relation by two probe-partitioned window ranks — no join
+    between the two top-5 sets, just one aggregation with rank
+    predicates — so at 100 TB the cost is one corpus pass plus a
+    probe-keyed shuffle of ~2k scored rows per probe. Cosines are
+    6-dp rounded before ranking with a vec_id tiebreak, making both
+    engines' rankings identical."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+    ).withColumn("emb16", F.slice("emb", 1, 16))
+    probes = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("emb").alias("pemb"),
+        F.col("emb16").alias("pemb16"),
+    )
+    cands = e.filter(F.col("vec_id") >= 10)
+    scored = cands.crossJoin(F.broadcast(probes)).select(
+        "probe_id",
+        "vec_id",
+        ratio(dot(F.col("emb"), F.col("pemb"))).alias("cos_f"),
+        ratio(
+            dot(F.col("emb16"), F.col("pemb16"))
+            / (l2_norm(F.col("emb16")) * l2_norm(F.col("pemb16")))
+        ).alias("cos_t"),
+    )
+    wf = Window.partitionBy("probe_id").orderBy(F.col("cos_f").desc(), "vec_id")
+    wt = Window.partitionBy("probe_id").orderBy(F.col("cos_t").desc(), "vec_id")
+    rk = scored.select(
+        "probe_id",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wt).alias("rt"),
+    )
+    return (
+        rk.groupBy("probe_id")
+        .agg(
+            F.sum(((F.col("rf") <= 5) & (F.col("rt") <= 5)).cast("bigint")).alias(
+                "overlap_at_5"
+            ),
+            F.max(
+                F.when(F.col("rf") == 1, (F.col("rt") <= 5).cast("int"))
+            ).alias("top1_kept"),
+        )
+        .orderBy("probe_id")
     )

@@ -2849,3 +2849,135 @@ def log_spike_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio(base_share).alias("base_share"),
         ratio(spike_share / F.nullif(base_share, F.lit(0))).alias("lift"),
     )
+
+
+def _pagerank_oracle(iters: int) -> str:
+    """Unrolled power-iteration oracle: it{k} re-applies the identical
+    damped update to it{k-1}; the Spark side runs the same update as a
+    DataFrame loop. Every SUM term is a DECIMAL(28,12) cast of a
+    bit-identical double product, so partial-sum order cannot matter."""
+    step = """
+        it{k} AS (
+            SELECT nodes.node, nn.nn,
+                   CAST(CAST(0.15 AS DOUBLE) / nn.nn
+                        + CAST(0.85 AS DOUBLE)
+                          * CAST(COALESCE(SUM(
+                                CAST(CAST(p.r AS DOUBLE) * e.w / o.ow
+                                     AS DECIMAL(28,12))), 0) AS DOUBLE)
+                        AS DECIMAL(28,12)) AS r
+            FROM nodes CROSS JOIN nn
+            LEFT JOIN edges e ON e.dst = nodes.node
+            LEFT JOIN it{p} p ON p.node = e.src
+            LEFT JOIN outw  o ON o.src = e.src
+            GROUP BY nodes.node, nn.nn
+        )"""
+    chain = ",".join(
+        step.format(k=k, p=k - 1) for k in range(1, iters + 1)
+    )
+    return f"""
+        WITH ordered AS (
+            SELECT user_id, event_type,
+                   LEAD(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS nxt
+            FROM events
+        ),
+        edges AS (
+            SELECT event_type AS src, nxt AS dst, CAST(COUNT(*) AS DOUBLE) AS w
+            FROM ordered WHERE nxt IS NOT NULL GROUP BY event_type, nxt
+        ),
+        outw AS (SELECT src, SUM(w) AS ow FROM edges GROUP BY src),
+        nodes AS (SELECT DISTINCT event_type AS node FROM events),
+        nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM nodes),
+        it0 AS (
+            SELECT node, nn,
+                   CAST(CAST(1.0 AS DOUBLE) / nn AS DECIMAL(28,12)) AS r
+            FROM nodes CROSS JOIN nn
+        ),
+        {chain}
+        SELECT node AS event_type,
+               ROUND(CAST(r AS DOUBLE), 8) AS pagerank
+        FROM it{iters}
+        ORDER BY pagerank DESC, event_type
+    """
+
+
+@register("log_pagerank_influence", oracle=_pagerank_oracle(3), section=SECTION)
+def log_pagerank_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank over the event-type transition graph — a
+    GENUINE ITERATIVE ALGORITHM as a DataFrame loop, the third of the
+    iteration family (k-means in embed_kmeans_iterate, label
+    propagation in dedup_cluster_assign). Edges are consecutive
+    event pairs per user (LEAD over the user timeline, determinismed
+    by the event_id tiebreak), collapsed to a weighted node graph
+    BOUNDED BY THE EVENT-TYPE VOCABULARY — so however many events are
+    scanned (one pass, one window shuffle on user_id), the iterated
+    relation is tiny and each of the 3 power steps is a join between
+    a ≤|V|² edge list and a |V|-row rank vector. At 100 TB the same
+    split holds: one heavy edge-extraction pass, then driver-cheap
+    iterations (this is why the loop carries the node count as a
+    1-row broadcast column instead of a driver .count()). Rank
+    updates keep the cross-engine discipline: each contribution
+    r·w/ow is an IEEE double cast to DECIMAL(28,12) BEFORE the
+    order-independent exact sum; damping arithmetic re-enters doubles
+    on the single summed value. The oracle unrolls the identical
+    update as chained CTEs — same numbers, no loop. Dangling-node
+    mass is dropped (no dead-end redistribution) on both sides
+    alike."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    nxt = F.lead("event_type").over(
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    edges = (
+        ev.select(F.col("event_type").alias("src"), nxt.alias("dst"))
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    g = track_persist(edges.join(outw, "src"))  # |V|² rows, reused 3×
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    nrel = nodes.agg(F.count(F.lit(1)).cast("double").alias("nn"))
+    r = track_persist(
+        nodes.crossJoin(F.broadcast(nrel)).select(
+            "node",
+            "nn",
+            (F.lit(1.0) / F.col("nn")).cast("decimal(28,12)").alias("r"),
+        )
+    )
+    for _ in range(3):
+        contrib = (
+            g.join(
+                F.broadcast(r.select(F.col("node").alias("src"), "r")), "src"
+            )
+            .select(
+                "dst",
+                (F.col("r").cast("double") * F.col("w") / F.col("ow"))
+                .cast("decimal(28,12)")
+                .alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        r = (
+            r.select("node", "nn")
+            .join(F.broadcast(contrib), r["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                "nn",
+                (
+                    F.lit(0.15) / F.col("nn")
+                    + F.lit(0.85)
+                    * F.coalesce(F.col("s"), F.lit(0)).cast("double")
+                )
+                .cast("decimal(28,12)")
+                .alias("r"),
+            )
+        )
+    return r.select(
+        "node",
+        F.round(F.col("r").cast("double"), 8).alias("pagerank"),
+    ).select(
+        F.col("node").alias("event_type"), "pagerank"
+    ).orderBy(F.col("pagerank").desc(), "event_type")

@@ -706,3 +706,65 @@ def fn_timezone_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "date_rolls_over"
         ),
     )
+
+
+@register(
+    "fn_collation_suite",
+    oracle="""
+        WITH words AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN upper(regexp_extract(text, '^[A-Za-z]+'))
+                        ELSE regexp_extract(text, '^[A-Za-z]+') END AS wm
+            FROM documents
+        )
+        SELECT lower(wm) AS key,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) FILTER (WHERE lower(wm) LIKE 'th%') AS BIGINT)
+                   AS n_prefix_th,
+               CAST(COUNT(*) FILTER (WHERE lower(wm) = 'the') AS BIGINT)
+                   AS n_eq_the
+        FROM words
+        GROUP BY lower(wm)
+        ORDER BY n_docs DESC, key
+    """,
+    section=SECTION,
+)
+def fn_collation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collation surface: UTF8_LCASE grouping, equality, and
+    prefix matching evaluated ON THE COLLATED TYPE — no lower()
+    normalization on the Spark side. Leading words of documents are
+    case-mangled deterministically (even doc_ids uppercased), then
+    grouped and probed under ``collate(w, 'UTF8_LCASE')``; the
+    engine's collation-aware hash/compare does the case folding
+    inside codegen, which at 100 TB means the groupBy shuffle
+    partitions case variants of the same word to the SAME reducer —
+    semantics lower() would replicate but collation gets natively,
+    including for ordering and join keys. The group representative of
+    a collated key is whichever variant is encountered first
+    (nondeterministic under parallelism), so the emitted key is
+    min(lower(w)) — identical across members of an ASCII lcase group
+    — never the raw collated value. Oracle mirrors with explicit
+    lower() on every comparison, pinning that collated semantics ≡
+    casefold semantics for this corpus."""
+    w = F.regexp_extract(F.col("text"), "^[A-Za-z]+", 0)
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.when(F.col("doc_id") % 2 == 0, F.upper(w)).otherwise(w).alias("wm")
+    )
+    cw = F.collate(F.col("wm"), "UTF8_LCASE")
+    return (
+        docs.select(
+            cw.alias("cw"),
+            cw.startswith(F.lit("th")).alias("is_th"),
+            (cw == F.lit("the")).alias("is_the"),
+        )
+        .groupBy("cw")
+        .agg(
+            F.min(F.lower(F.col("cw"))).alias("key"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("is_th").cast("bigint")).alias("n_prefix_th"),
+            F.sum(F.col("is_the").cast("bigint")).alias("n_eq_the"),
+        )
+        .select("key", "n_docs", "n_prefix_th", "n_eq_the")
+        .orderBy(F.col("n_docs").desc(), "key")
+    )

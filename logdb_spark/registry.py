@@ -80,6 +80,10 @@ _R6_NEEDS_ROW_FIRST = (
     "dedup_keep_best",
     "text_clean_pipeline",
     # -- new in r6: no evidence until this round's gate --
+    "agg_count_min_sketch",
+    "fn_collation_suite",
+    "embed_matryoshka_recall",
+    "log_pagerank_influence",
     "sql_q2_min_cost_supply",
     "sql_q9_product_profit",
     "sql_q11_important_stock",

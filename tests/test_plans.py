@@ -157,6 +157,8 @@ NESTED_LOOP_ALLOWED = {
     "embed_pq_codebook",  # 1-row PQ-codebook broadcast
     "sim_hybrid_rrf",  # 1-row probe broadcast
     "text_kl_divergence",  # 1-row vocab-totals broadcast
+    "embed_matryoshka_recall",  # 10-row probe-batch broadcast
+    "log_pagerank_influence",  # 1-row node-count broadcast into the rank loop
 }
 
 
