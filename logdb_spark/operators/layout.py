@@ -497,3 +497,58 @@ def join_disjunctive_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("c_custkey").alias("n_customers"),
         F.count_distinct("s_suppkey").alias("n_suppliers"),
     )
+
+
+def pushdown_agg_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lazy v2-scan aggregate — factored out so the plan test can
+    assert PushedAggregation under the same confs the operator uses."""
+    return (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+    )
+
+
+@register(
+    "scan_aggregate_pushdown",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(l_quantity) AS min_qty,
+               MAX(l_quantity) AS max_qty,
+               MIN(l_extendedprice) AS min_price,
+               MAX(l_extendedprice) AS max_price
+        FROM lineitem
+    """,
+    section=SECTION,
+)
+def scan_aggregate_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT/MIN/MAX answered from PARQUET FOOTER STATISTICS instead
+    of row data: with spark.sql.parquet.aggregatePushdown on the DSv2
+    reader, the scan node lists PushedAggregation and each task reads
+    only row-group metadata — at 100 TB the difference between a
+    full-table scan and a few KB of footers per file, the same trick
+    metadata-only count(*) services in warehouse engines. The session
+    keeps parquet on the default V1 reader (other operators' plans —
+    DPP, bucketing — are V1 behaviors), so this operator flips to V2
+    + pushdown only for its own read and RESTORES both confs in a
+    finally block after forcing execution with localCheckpoint() —
+    the conf must still be set when the job actually runs, so lazy
+    return without the checkpoint would silently lose the pushdown.
+    MIN/MAX of doubles come straight from identical parquet stats in
+    both engines; no rounding needed. Pushdown requires no
+    filter/groupBy (Spark bails to row scans otherwise) — this op
+    pins the supported shape."""
+    prev_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    prev_agg = spark.conf.get("spark.sql.parquet.aggregatePushdown")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try:
+        return pushdown_agg_frame(spark, sf_dir).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_agg)

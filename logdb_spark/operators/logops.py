@@ -2981,3 +2981,117 @@ def log_pagerank_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("node").alias("event_type"), "pagerank"
     ).orderBy(F.col("pagerank").desc(), "event_type")
+
+
+@register(
+    "log_ab_lift",
+    oracle="""
+        WITH assigned AS (
+            SELECT user_id,
+                   CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                             < '8' THEN 'A' ELSE 'B' END AS variant,
+                   event_type, value
+            FROM events
+        ),
+        per_user AS (
+            SELECT variant, user_id,
+                   MAX(CASE WHEN event_type = 'purchase' AND value > 195
+                            THEN 1 ELSE 0 END) AS converted
+            FROM assigned GROUP BY variant, user_id
+        ),
+        arms AS (
+            SELECT variant,
+                   CAST(COUNT(*) AS BIGINT) AS n_users,
+                   CAST(SUM(converted) AS BIGINT) AS n_conv
+            FROM per_user GROUP BY variant
+        ),
+        wide AS (
+            SELECT
+                MAX(CASE WHEN variant = 'A' THEN n_users END) AS n_a,
+                MAX(CASE WHEN variant = 'A' THEN n_conv END) AS conv_a,
+                MAX(CASE WHEN variant = 'B' THEN n_users END) AS n_b,
+                MAX(CASE WHEN variant = 'B' THEN n_conv END) AS conv_b
+            FROM arms
+        )
+        SELECT n_a, conv_a, n_b, conv_b,
+               ROUND(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+               ROUND(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+               ROUND((CAST(conv_a AS DOUBLE) / n_a
+                      - CAST(conv_b AS DOUBLE) / n_b)
+                     / NULLIF(CAST(conv_b AS DOUBLE) / n_b, 0), 6) AS rel_lift,
+               ROUND((CAST(conv_a AS DOUBLE) / n_a
+                      - CAST(conv_b AS DOUBLE) / n_b)
+                     / NULLIF(sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                            * (1 - CAST(conv_a + conv_b AS DOUBLE)
+                                   / (n_a + n_b))
+                            * (CAST(1.0 AS DOUBLE) / n_a
+                               + CAST(1.0 AS DOUBLE) / n_b)), 0), 6) AS z_score
+        FROM wide
+    """,
+    section=SECTION,
+)
+def log_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout from raw logs: users are assigned to
+    arms by the engine-neutral md5-hex split (first nibble < '8' →
+    A, the deterministic ~50/50 the sampling family standardized),
+    per-user conversion is MAX(high-value purchase: value > 195) so
+    repeat converters count once and the rate has real variation
+    (every fixture user makes SOME purchase — the plain flag would be
+    a degenerate all-ones readout with a 0/0 z-score), and the one-row readout carries both arms' user/converter
+    counts, conversion rates, relative lift, and the pooled
+    two-proportion z-score. Plan: one events scan → user-keyed
+    partial-agg shuffle (per_user) → 2-group agg → 1-row pivot; at
+    100 TB the only real shuffle is the user rollup, which
+    pre-combines map-side. The z-score arithmetic runs on single
+    scalar values (no partial-sum ordering), so plain IEEE doubles
+    with one 6-dp output rounding are bit-identical cross-engine."""
+    assigned = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.when(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+            < "8",
+            "A",
+        )
+        .otherwise("B")
+        .alias("variant"),
+        ((F.col("event_type") == "purchase") & (F.col("value") > 195))
+        .cast("int")
+        .alias("is_purchase"),
+    )
+    per_user = assigned.groupBy("variant", "user_id").agg(
+        F.max("is_purchase").alias("converted")
+    )
+    arms = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_conv"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("variant") == "A", F.col("n_users"))).alias("n_a"),
+        F.max(F.when(F.col("variant") == "A", F.col("n_conv"))).alias(
+            "conv_a"
+        ),
+        F.max(F.when(F.col("variant") == "B", F.col("n_users"))).alias("n_b"),
+        F.max(F.when(F.col("variant") == "B", F.col("n_conv"))).alias(
+            "conv_b"
+        ),
+    )
+    ra = F.col("conv_a").cast("double") / F.col("n_a")
+    rb = F.col("conv_b").cast("double") / F.col("n_b")
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = F.sqrt(
+        pooled
+        * (1 - pooled)
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    return wide.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.round((ra - rb) / F.nullif(rb, F.lit(0.0)), 6).alias("rel_lift"),
+        F.round((ra - rb) / F.nullif(se, F.lit(0.0)), 6).alias("z_score"),
+    )

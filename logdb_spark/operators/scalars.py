@@ -768,3 +768,63 @@ def fn_collation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("key", "n_docs", "n_prefix_th", "n_eq_the")
         .orderBy(F.col("n_docs").desc(), "key")
     )
+
+
+@register(
+    "fn_interval_suite",
+    oracle="""
+        WITH d_ AS (
+            SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+                   DATE '1998-01-01' AS ref
+            FROM orders
+        )
+        SELECT o_orderkey,
+               strftime(d, '%Y-%m-%d') AS order_day,
+               strftime(CAST(d + INTERVAL 2 MONTH AS DATE), '%Y-%m-%d')
+                   AS plus_2m,
+               strftime(last_day(d), '%Y-%m-%d') AS eom,
+               strftime(CAST(date_trunc('quarter', d) AS DATE), '%Y-%m-%d')
+                   AS q_start,
+               strftime(CAST(d + INTERVAL 45 DAY AS DATE), '%Y-%m-%d')
+                   AS plus_45d,
+               CAST(datediff('day', d, ref) AS INT) AS days_to_ref,
+               ROUND((12 * (year(ref) - year(d)) + (month(ref) - month(d)))
+                     + CASE WHEN day(ref) = day(d)
+                                 OR (ref = last_day(ref) AND d = last_day(d))
+                            THEN 0
+                            ELSE (day(ref) - day(d)) / 31.0 END,
+                     6) AS months_to_ref
+        FROM d_
+    """,
+    section=SECTION,
+)
+def fn_interval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-interval arithmetic suite: add_months month-end
+    clamping (Jan 31 + 1 month = Feb 29), last_day, quarter
+    date_trunc, fixed-day interval addition, day diffs, and
+    months_between against a reference date. The interesting parity
+    target is months_between: Spark's rule (integer months when the
+    day-of-month matches or both dates are month-ends, else a /31
+    day fraction) is mirrored in the oracle as EXPLICIT arithmetic —
+    pinning the semantics rather than trusting a same-named function
+    (DuckDB has none). All expressions are JVM codegen map-only over
+    one pruned (o_orderkey, o_orderdate) scan; at 100 TB this is a
+    pure narrow stage with zero shuffle. Dates are emitted as
+    formatted strings so the driver gate compares calendar values,
+    not engine-local date encodings; the fraction is 6-dp rounded
+    inside Spark's own 8-dp months_between rounding so both engines
+    agree."""
+    ref = F.lit("1998-01-01").cast("date")
+    d = F.col("o_orderdate").cast("date")
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format(d, "yyyy-MM-dd").alias("order_day"),
+        F.date_format(F.add_months(d, 2), "yyyy-MM-dd").alias("plus_2m"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("eom"),
+        F.date_format(F.date_trunc("quarter", d), "yyyy-MM-dd").alias(
+            "q_start"
+        ),
+        F.date_format(F.date_add(d, 45), "yyyy-MM-dd").alias("plus_45d"),
+        F.datediff(ref, d).alias("days_to_ref"),
+        F.round(F.months_between(ref, d), 6).alias("months_to_ref"),
+    )

@@ -1378,3 +1378,69 @@ def ingest_gzip_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         dround(F.sum(dec4("val"))).alias("sum_value"),
     )
+
+
+@register(
+    "ingest_xml_records",
+    oracle="""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) FILTER (WHERE event_id % 100 <> 0) AS BIGINT)
+                   AS n_parsed,
+               CAST(COUNT(*) FILTER (WHERE event_id % 100 = 0) AS BIGINT)
+                   AS n_rejected,
+               CAST(SUM(CASE WHEN event_id % 100 <> 0
+                             THEN event_id END) AS BIGINT) AS sum_id,
+               CAST(SUM(CASE WHEN event_id % 100 <> 0
+                             THEN user_id END) AS BIGINT) AS sum_user,
+               CAST(COUNT(DISTINCT CASE WHEN event_id % 100 <> 0
+                                        THEN event_type END) AS BIGINT)
+                   AS n_types
+        FROM events
+    """,
+    section=SECTION,
+)
+def ingest_xml_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML record ingestion via Spark 4's native from_xml — the
+    semi-structured sibling of ingest_json_props: events are rendered
+    to <e><id>…</id><u>…</u><t>…</t></e> envelopes in-query (the
+    fixture set ships no raw XML, same synthesis-then-parse pattern
+    as ingest_raw_loglines), every 100th record is corrupted by
+    truncating the closing tag, and the permissive parser must map
+    corrupt envelopes to a NULL struct — never a failed task, the
+    malformed-input contract every ingest operator here pins. The
+    checksum aggregate (counts, id/user sums, distinct types over
+    parsed rows only) proves field-level fidelity end-to-end; the
+    oracle computes the same checksums straight from the source rows
+    with the %100 corruption mask. from_xml is a JVM expression
+    (StaxXmlParser) inside the projection — map-only, one scan, no
+    Python in the loop — so at 100 TB this is a pure narrow stage
+    exactly like the real spark.read.format('xml') path whose parser
+    it shares. Only integer/string fields enter the envelope: double
+    rendering differs between engines, and THIS op is about parse
+    plumbing, not float formatting."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    xml_ok = F.concat(
+        F.lit("<e><id>"),
+        F.col("event_id").cast("string"),
+        F.lit("</id><u>"),
+        F.col("user_id").cast("string"),
+        F.lit("</u><t>"),
+        F.col("event_type"),
+        F.lit("</t></e>"),
+    )
+    xml = F.when(F.col("event_id") % 100 == 0, F.substring(xml_ok, 1, 20)).otherwise(
+        xml_ok
+    )
+    parsed = ev.select(
+        F.from_xml(xml, "STRUCT<id: BIGINT, u: BIGINT, t: STRING>").alias("s")
+    ).select("s.id", "s.u", "s.t")
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("id").alias("n_parsed"),
+        F.sum(F.col("id").isNull().cast("bigint")).alias("n_rejected"),
+        F.sum("id").alias("sum_id"),
+        F.sum("u").alias("sum_user"),
+        F.countDistinct("t").alias("n_types"),
+    )

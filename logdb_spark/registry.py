@@ -80,6 +80,10 @@ _R6_NEEDS_ROW_FIRST = (
     "dedup_keep_best",
     "text_clean_pipeline",
     # -- new in r6: no evidence until this round's gate --
+    "fn_interval_suite",
+    "log_ab_lift",
+    "scan_aggregate_pushdown",
+    "ingest_xml_records",
     "agg_count_min_sketch",
     "fn_collation_suite",
     "embed_matryoshka_recall",

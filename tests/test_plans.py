@@ -428,3 +428,24 @@ def test_incremental_manifest_uses_broadcast_anti_join():
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_aggregate_pushdown_reaches_parquet_footer(spark):
+    """scan_aggregate_pushdown's v2 scan must list PushedAggregation
+    (COUNT/MIN/MAX answered from footer stats, not row data). The
+    registered op checkpoints eagerly (conf hygiene), so assert on
+    the factored lazy frame under the same confs."""
+    from logdb_spark.operators.layout import pushdown_agg_frame
+
+    prev_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    prev_agg = spark.conf.get("spark.sql.parquet.aggregatePushdown")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    try:
+        df = pushdown_agg_frame(spark, SF_SMALL)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_agg)
+    assert "PushedAggregation" in plan
+    assert "count(*)" in plan or "COUNT(*)" in plan
