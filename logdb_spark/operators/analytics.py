@@ -1044,3 +1044,97 @@ def sql_q20_potential_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the HAVING threshold agrees cross-engine. DuckDB runs the
     identical text."""
     return _sql(spark, sf_dir, _Q20_CORE)
+
+
+@register(
+    "sql_pivot_clause",
+    oracle="""
+        SELECT day, click, view, purchase, signup, error
+        FROM (
+            PIVOT (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type
+                   FROM events)
+            ON event_type IN ('click', 'view', 'purchase', 'signup', 'error')
+            USING count(*)
+        )
+        ORDER BY day
+    """,
+    section=SECTION,
+)
+def sql_pivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL PIVOT CLAUSE surface — the same day × event-type count
+    matrix log_pivot_types builds with the DataFrame API, here written
+    as SQL in BOTH engines' native pivot dialects (Spark's
+    PIVOT (agg FOR col IN …) subquery clause, DuckDB's PIVOT … ON …
+    USING statement). The semantic wrinkle under test: Spark emits
+    NULL for a (day, type) cell with no rows while DuckDB emits 0, so
+    the Spark side COALESCEs every pivoted column — the explicit IN
+    list is what makes that (and stable output columns) possible, and
+    is also what Catalyst needs to plan this as ONE groupBy(day)
+    aggregate with 5 conditional counts: no per-type scans, one
+    shuffle keyed on ~31 days, AQE-coalesced. An unlisted type is
+    dropped by both dialects by construction."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT day,
+               COALESCE(click, 0) AS click,
+               COALESCE(view, 0) AS view,
+               COALESCE(purchase, 0) AS purchase,
+               COALESCE(signup, 0) AS signup,
+               COALESCE(error, 0) AS error
+        FROM (
+            SELECT date_format(ts, 'yyyy-MM-dd') AS day, event_type
+            FROM events
+        )
+        PIVOT (count(*) FOR event_type
+               IN ('click' click, 'view' view, 'purchase' purchase,
+                   'signup' signup, 'error' error))
+        ORDER BY day
+        """
+    )
+
+
+@register(
+    "sql_unpivot_clause",
+    oracle="""
+        SELECT o_orderkey, metric, val
+        FROM (
+            UNPIVOT (SELECT o_orderkey,
+                            CAST(o_totalprice AS DOUBLE) AS total_price,
+                            CAST(o_orderkey % 7 AS DOUBLE) AS bucket7,
+                            CAST(year(o_orderdate) AS DOUBLE) AS order_year
+                     FROM orders)
+            ON total_price, bucket7, order_year
+            INTO NAME metric VALUE val
+        )
+    """,
+    section=SECTION,
+)
+def sql_unpivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL UNPIVOT CLAUSE surface — wide-to-long over three
+    per-order metrics, written in both engines' native dialects
+    (Spark's UNPIVOT (val FOR metric IN …), DuckDB's UNPIVOT … ON …
+    INTO NAME/VALUE). Complements sql_pivot_clause the way
+    log_unpivot_metrics (the DataFrame stack() form) complements
+    log_pivot_types; the clause form is what users port from
+    warehouse SQL. Catalyst plans this as a single Expand node — a
+    3× map-side row multiplication with NO shuffle and NO join, which
+    is the property that matters at 100 TB (the naive UNION ALL of 3
+    per-metric scans reads the table three times; Expand reads it
+    once). Metrics are pre-cast to one DOUBLE type because UNPIVOT
+    value columns must share a type in both dialects — the mixed-type
+    case is exactly what log_unpivot_metrics' string-cast variant
+    covers."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, metric, val
+        FROM (
+            SELECT o_orderkey,
+                   CAST(o_totalprice AS DOUBLE) AS total_price,
+                   CAST(o_orderkey % 7 AS DOUBLE) AS bucket7,
+                   CAST(year(o_orderdate) AS DOUBLE) AS order_year
+            FROM orders
+        ) UNPIVOT (val FOR metric IN (total_price, bucket7, order_year))
+        """
+    )

@@ -3095,3 +3095,67 @@ def log_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((ra - rb) / F.nullif(rb, F.lit(0.0)), 6).alias("rel_lift"),
         F.round((ra - rb) / F.nullif(se, F.lit(0.0)), 6).alias("z_score"),
     )
+
+
+@register(
+    "log_sequence_pattern",
+    oracle="""
+        WITH seqs AS (
+            SELECT user_id,
+                   string_agg(substring(event_type, 1, 1), ''
+                              ORDER BY ts, event_id) AS seq
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(length(seq) AS INT) AS seq_len,
+               CAST(CASE WHEN regexp_matches(seq, 'v.*c.*p')
+                         THEN 1 ELSE 0 END AS INT) AS has_funnel,
+               CAST((length(seq) - length(replace(seq, 'ee', ''))) / 2
+                    AS INT) AS n_error_bursts,
+               CAST(strpos(seq, 'p') AS INT) AS first_purchase_pos
+        FROM seqs
+    """,
+    section=SECTION,
+)
+def log_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex over the ORDERED per-user event sequence — the
+    MATCH_RECOGNIZE-lite every log store grows: each user's timeline
+    is collapsed to a compact initial-letter string ('vcvpe…') and
+    patterns run on it as ordinary regexes — ordered funnel
+    v.*c.*p (view then click then purchase, any interleaving, which
+    log_funnel's per-stage timestamp joins cannot express as one
+    pattern), non-overlapping error bursts 'ee' via the replace
+    length trick (same non-overlap semantics in both engines), and
+    first-purchase position. Ordering is total (ts then event_id) so
+    the string — hence every regex verdict — is deterministic;
+    Spark builds it shuffle-once with array_sort(collect_list(struct))
+    rather than a window-then-agg double shuffle. Per-user sequences
+    are bounded by the session cap documented at
+    MAX_EVENTS_PER_USER-scale corpora; a 670-char string per user at
+    sf0.1 is ~1 MB per thousand users — the compaction is WHY
+    sequence regex stays tractable at 100 TB while row-level pattern
+    joins explode. DuckDB mirrors with ordered string_agg +
+    regexp_matches."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.substring("event_type", 1, 1).alias("c")
+    )
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "event_id", "c"))),
+            lambda s: s["c"],
+        ),
+        "",
+    )
+    seqs = ev.groupBy("user_id").agg(seq.alias("seq"))
+    return seqs.select(
+        "user_id",
+        F.length("seq").alias("seq_len"),
+        F.col("seq").rlike("v.*c.*p").cast("int").alias("has_funnel"),
+        (
+            (F.length("seq") - F.length(F.replace(F.col("seq"), F.lit("ee"))))
+            / 2
+        )
+        .cast("int")
+        .alias("n_error_bursts"),
+        F.instr("seq", "p").alias("first_purchase_pos"),
+    )

@@ -377,3 +377,89 @@ def udtf_arrow_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         HAVING COUNT(*) >= 3
         """
     )
+
+
+_COGROUP_CUTOFF = "2024-01-16 00:00:00"
+
+
+@register(
+    "udaf_cogroup_pandas",
+    oracle=f"""
+        WITH a AS (
+            SELECT user_id, COUNT(*) AS n_early,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                       / COUNT(*) AS mean_early
+            FROM events WHERE ts < TIMESTAMP '{_COGROUP_CUTOFF}'
+            GROUP BY user_id
+        ),
+        b AS (
+            SELECT user_id, COUNT(*) AS n_late,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                       / COUNT(*) AS mean_late
+            FROM events WHERE ts >= TIMESTAMP '{_COGROUP_CUTOFF}'
+            GROUP BY user_id
+        )
+        SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+               COALESCE(n_early, 0) AS n_early,
+               COALESCE(n_late, 0) AS n_late,
+               mean_early, mean_late,
+               mean_late - mean_early AS mean_shift
+        FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+    """,
+    section=SECTION,
+)
+def udaf_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COGROUPED applyInPandas — the two-relation Arrow escape hatch
+    (groupBy().cogroup().applyInPandas): each user's early-window and
+    late-window event frames arrive TOGETHER as two pandas frames,
+    the shape for per-key reconciliation logic too imperative for a
+    join (drift checks, schema-divergent comparisons). Here it
+    computes the per-user activity drift across a mid-month cutoff:
+    counts and exact means per side, plus the mean shift. Shuffle is
+    one hash partition per side on user_id — the same single
+    co-partitioned exchange a full-outer join would pay, with Arrow
+    batch transfer on top (the documented cost of the hatch). A key
+    missing on one side arrives as an empty frame and reports n=0 /
+    NULL mean, mirroring the oracle's FULL OUTER JOIN semantics.
+    Means follow udaf_pandas_group's determinism discipline: inputs
+    are 2-dp, so an integer-cents exact sum + ONE double division is
+    bit-identical to SUM(DECIMAL)::DOUBLE / COUNT in any arrival
+    order — no rounding anywhere, including the subtraction."""
+    from decimal import Decimal
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value", "ts")
+    cutoff = F.lit(_COGROUP_CUTOFF).cast("timestamp")
+    early = ev.filter(F.col("ts") < cutoff)
+    late = ev.filter(F.col("ts") >= cutoff)
+
+    def exact_mean(pdf: pd.DataFrame):
+        if len(pdf) == 0:
+            return None
+        cents = (pdf["value"].to_numpy() * 100).round().astype("int64").sum()
+        return float(Decimal(int(cents)) / Decimal(100)) / len(pdf)
+
+    def compare(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        uid = left["user_id"].iloc[0] if len(left) else right["user_id"].iloc[0]
+        me, ml = exact_mean(left), exact_mean(right)
+        return pd.DataFrame(
+            {
+                "user_id": [uid],
+                "n_early": [len(left)],
+                "n_late": [len(right)],
+                "mean_early": [me],
+                "mean_late": [ml],
+                "mean_shift": [
+                    ml - me if me is not None and ml is not None else None
+                ],
+            }
+        )
+
+    return (
+        early.groupBy("user_id")
+        .cogroup(late.groupBy("user_id"))
+        .applyInPandas(
+            compare,
+            "user_id bigint, n_early bigint, n_late bigint, "
+            "mean_early double, mean_late double, mean_shift double",
+        )
+    )

@@ -80,6 +80,10 @@ _R6_NEEDS_ROW_FIRST = (
     "dedup_keep_best",
     "text_clean_pipeline",
     # -- new in r6: no evidence until this round's gate --
+    "udaf_cogroup_pandas",
+    "sql_pivot_clause",
+    "sql_unpivot_clause",
+    "log_sequence_pattern",
     "fn_interval_suite",
     "log_ab_lift",
     "scan_aggregate_pushdown",
