@@ -449,3 +449,47 @@ def test_aggregate_pushdown_reaches_parquet_footer(spark):
         spark.conf.set("spark.sql.parquet.aggregatePushdown", prev_agg)
     assert "PushedAggregation" in plan
     assert "count(*)" in plan or "COUNT(*)" in plan
+
+
+def test_unpivot_is_single_expand(spark):
+    """sql_unpivot_clause must plan as ONE Expand over ONE scan — the
+    UNION-ALL-of-3-scans shape would read the table three times."""
+    plan = plan_of(spark, "sql_unpivot_clause", extended=False)
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_pivot_is_single_aggregate_no_join(spark):
+    """sql_pivot_clause: the explicit IN list lets Catalyst plan one
+    groupBy(day) with conditional counts — no join, no per-type
+    scans, partial+final aggregation."""
+    plan = plan_of(spark, "sql_pivot_clause", extended=False)
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_cms_build_is_exploded_partial_agg(spark):
+    """agg_count_min_sketch: the 4x row expansion must be a Generate
+    (explode of a literal array), never a join, and the counter build
+    must pre-combine map-side."""
+    plan = plan_of(spark, "agg_count_min_sketch", extended=False)
+    assert "Generate explode" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "BroadcastHashJoin" in plan  # probe joins the tiny sketch
+
+
+def test_sequence_pattern_single_shuffle(spark):
+    """log_sequence_pattern: collect_list(struct) + array_sort is the
+    shuffle-once form — a window-sort-then-agg would shuffle twice."""
+    plan = plan_of(spark, "log_sequence_pattern", extended=False)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+
+
+def test_cogroup_is_copartitioned_arrow(spark):
+    """udaf_cogroup_pandas: one co-partitioned exchange per side into
+    the Arrow cogroup node — no join materialization."""
+    plan = plan_of(spark, "udaf_cogroup_pandas", extended=False)
+    assert "FlatMapCoGroupsInPandas" in plan
+    assert plan.count("Exchange hashpartitioning") == 2
