@@ -226,3 +226,37 @@ def test_left_outer_join_keeps_all_clicks(spark):
             assert r["n_purchases"] >= 1 and r["first_lag_s"] >= 0
         else:
             assert r["n_purchases"] == 0 and r["first_lag_s"] is None
+
+
+def test_cms_estimate_never_undercounts(spark):
+    """Count-min sketch's defining one-sided error: est(u) >= exact(u)
+    for every probe (collisions only ADD counts), with the overcount
+    bounded by the depth-row minimum. An undercount means the probe
+    hashed into the wrong buckets — the bug class the oracle could
+    share if both engines derived buckets from the same wrong string."""
+    rows = _run("agg_count_min_sketch", spark).collect()
+    assert rows, "expected probe rows"
+    assert all(r["cms_est"] >= r["exact_cnt"] for r in rows)
+
+
+def test_pagerank_is_a_damped_distribution(spark):
+    """Power-iteration sanity: every rank holds at least the teleport
+    floor 0.15/N, and total mass is at most 1 (dangling-node loss is
+    the only leak; a sum above 1 means an edge was double-counted)."""
+    rows = _run("log_pagerank_influence", spark).collect()
+    n = len(rows)
+    assert n >= 2
+    total = sum(r["pagerank"] for r in rows)
+    assert total <= 1.0 + 1e-6
+    assert all(r["pagerank"] >= 0.15 / n - 1e-9 for r in rows)
+
+
+def test_matryoshka_overlap_bounded_by_k(spark):
+    """overlap@5 is a set intersection of two 5-element top lists:
+    0 <= overlap <= 5, and top1_kept=1 forces overlap >= 1."""
+    rows = _run("embed_matryoshka_recall", spark).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["overlap_at_5"] <= 5
+        if r["top1_kept"] == 1:
+            assert r["overlap_at_5"] >= 1
