@@ -427,10 +427,12 @@ def udaf_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     order — no rounding anywhere, including the subtraction."""
     from decimal import Decimal
 
+    # ts is filter-only: dropping it before the cogroup keeps the
+    # Arrow transfer to the two columns compare() actually reads.
     ev = load_table(spark, sf_dir, "events").select("user_id", "value", "ts")
     cutoff = F.lit(_COGROUP_CUTOFF).cast("timestamp")
-    early = ev.filter(F.col("ts") < cutoff)
-    late = ev.filter(F.col("ts") >= cutoff)
+    early = ev.filter(F.col("ts") < cutoff).select("user_id", "value")
+    late = ev.filter(F.col("ts") >= cutoff).select("user_id", "value")
 
     def exact_mean(pdf: pd.DataFrame):
         if len(pdf) == 0:
