@@ -493,3 +493,26 @@ def test_cogroup_is_copartitioned_arrow(spark):
     plan = plan_of(spark, "udaf_cogroup_pandas", extended=False)
     assert "FlatMapCoGroupsInPandas" in plan
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_aggregate_pushdown_restores_session_confs(spark):
+    """scan_aggregate_pushdown flips useV1SourceList + aggregate
+    pushdown for its own read; every later operator in the same
+    session (driver gate, diffcheck, bench all run the registry
+    sequentially) must still plan parquet through the default V1 path.
+    Run the op, then assert both confs are back and a fresh read plans
+    WITHOUT PushedAggregation."""
+    before_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    before_agg = spark.conf.get("spark.sql.parquet.aggregatePushdown")
+    OPS["scan_aggregate_pushdown"].fn(spark, SF_SMALL).collect()
+    assert spark.conf.get("spark.sql.sources.useV1SourceList") == before_v1
+    assert (
+        spark.conf.get("spark.sql.parquet.aggregatePushdown") == before_agg
+    )
+    import pyspark.sql.functions as F
+
+    df = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedAggregation" not in plan
