@@ -80,6 +80,7 @@ _R6_NEEDS_ROW_FIRST = (
     "dedup_keep_best",
     "text_clean_pipeline",
     # -- new in r6: no evidence until this round's gate --
+    "sink_python_stream_datasource",
     "udaf_cogroup_pandas",
     "sql_pivot_clause",
     "sql_unpivot_clause",

@@ -19,6 +19,7 @@ import os
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -62,8 +63,62 @@ class _JsonShardWriter(DataSourceWriter):
                 pass
 
 
+class _JsonShardStreamWriter(DataSourceStreamWriter):
+    """Streaming flavor of the shard sink: same write-one-shard-per-
+    task contract, but commit()/abort() arrive PER MICRO-BATCH with
+    the batchId — the streaming epoch protocol. Each batch finalizes
+    its own ``_MANIFEST-<batchId>.json`` naming exactly the shards of
+    that epoch, so a downstream consumer reads acknowledged batches
+    only; an aborted epoch's shards are unlinked and its manifest
+    never appears (the at-least-once file writes become exactly-once
+    through manifest-gated visibility — the standard streaming-sink
+    idempotence recipe). Shard names carry a uuid: two attempts of
+    the same task must never collide across retries or epochs."""
+
+    def __init__(self, options):
+        self.dir = options["path"]
+
+    def write(self, iterator):
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(
+            self.dir, f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl"
+        )
+        n = 0
+        with open(path, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), sort_keys=True) + "\n")
+                n += 1
+        return _ShardCommit(path, n)
+
+    def commit(self, messages, batchId):
+        manifest = {
+            "batch": batchId,
+            "files": sorted(
+                os.path.basename(m.path) for m in messages if m is not None
+            ),
+            "rows": sum(m.n for m in messages if m is not None),
+        }
+        path = os.path.join(self.dir, f"_MANIFEST-{batchId:05d}.json")
+        with open(path, "w") as f:
+            json.dump(manifest, f, sort_keys=True)
+
+    def abort(self, messages, batchId):
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(m.path)
+            except OSError:
+                pass
+
+
 class JsonShardDataSource(DataSource):
-    """df.write.format("jsonshard").option("path", dir).save()"""
+    """df.write.format("jsonshard").option("path", dir).save() — and
+    df.writeStream.format("jsonshard") via streamWriter()."""
 
     @classmethod
     def name(cls) -> str:
@@ -71,6 +126,9 @@ class JsonShardDataSource(DataSource):
 
     def writer(self, schema, overwrite):
         return _JsonShardWriter(self.options)
+
+    def streamWriter(self, schema, overwrite):
+        return _JsonShardStreamWriter(self.options)
 
 
 _REGISTERED_SESSIONS: set[int] = set()

@@ -590,3 +590,65 @@ def test_transform_with_state_equals_batch(spark):
         for r in batch.collect()
     }
     assert s_rows == b_rows
+
+
+def test_stream_sink_manifests_cover_all_shards_exactly_once(spark):
+    """4-epoch replay through the Python streaming sink
+    (jsonshard streamWriter): every shard on disk must be named by
+    EXACTLY ONE epoch manifest (an orphan shard means a write escaped
+    the commit protocol; a doubly-claimed shard means epochs leaked
+    into each other), per-manifest row counts must sum to the source
+    count, and the read-back must match the staged rows exactly."""
+    import glob
+    import json
+    import os
+
+    from logdb_spark.sources.jsonshard import register_jsonshard
+    from logdb_spark.sources.scratch import scratch_dir
+
+    register_jsonshard(spark)
+    staged = scratch_dir("logdb_streamsink_t_src_")
+    src = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    src.repartition(4).write.mode("overwrite").parquet(staged)
+    out = scratch_dir("logdb_streamsink_t_out_")
+    ckpt = scratch_dir("logdb_streamsink_t_ckpt_")
+    q = (
+        spark.readStream.schema(
+            "event_id bigint, user_id bigint, event_type string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged)
+        .writeStream.format("jsonshard")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    manifests = sorted(glob.glob(os.path.join(out, "_MANIFEST-*.json")))
+    assert len(manifests) == 4, "expected one manifest per staged file"
+    claimed = []
+    manifest_rows = 0
+    for mp in manifests:
+        with open(mp) as f:
+            m = json.load(f)
+        claimed.extend(m["files"])
+        manifest_rows += m["rows"]
+    on_disk = sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(out, "part-*.jsonl"))
+    )
+    assert sorted(claimed) == on_disk, "orphan or doubly-claimed shard"
+    assert len(set(claimed)) == len(claimed)
+
+    n_src = src.count()
+    assert manifest_rows == n_src
+    back = spark.read.schema(
+        "event_id bigint, user_id bigint, event_type string"
+    ).json(out + "/part-*.jsonl")
+    assert _rows(back, ["event_id", "user_id", "event_type"]) == _rows(
+        src, ["event_id", "user_id", "event_type"]
+    )
