@@ -4582,3 +4582,239 @@ def embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id")
     )
+
+
+# BM25 parameters (the Lucene/standard defaults) and the shared ranked
+# workload — reuses _SEARCH_QUERIES so tf-idf and BM25 rank the same
+# queries and a user can compare the two scorers side by side.
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_oracle() -> str:
+    all_terms = sorted({t for _, ts in _SEARCH_QUERIES for t in ts})
+    dfs = ", ".join(
+        f"SUM(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END)"
+        f" AS df_{t}"
+        for t in all_terms
+    )
+    scored = []
+    for qname, qterms in _SEARCH_QUERIES:
+        terms_sql = " + ".join(
+            f"ln((n - df_{t} + 0.5) / (df_{t} + 0.5) + 1.0)"
+            f" * ((len(list_filter(toks, x -> x = '{t}')) * {_BM25_K1 + 1.0})"
+            f" / (len(list_filter(toks, x -> x = '{t}'))"
+            f" + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * (dl / avgdl))))"
+            for t in qterms
+        )
+        scored.append(
+            f"SELECT '{qname}' AS query, doc_id, {terms_sql} AS s"
+            " FROM d CROSS JOIN stats"
+        )
+    union = " UNION ALL ".join(scored)
+    return f"""
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS toks,
+                   CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl
+            FROM documents
+        ), stats AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) / COUNT(*)
+                       AS avgdl,
+                   {dfs}
+            FROM d
+        ), scored AS ({union})
+        SELECT query,
+               CAST(row_number() OVER (
+                   PARTITION BY query ORDER BY s DESC, doc_id) AS INT)
+                   AS rank,
+               doc_id,
+               ROUND(s, 6) AS score
+        FROM scored
+        WHERE s > 0
+        QUALIFY row_number() OVER (
+            PARTITION BY query ORDER BY s DESC, doc_id) <= {_SEARCH_K}
+    """
+
+
+@register("text_search_bm25", oracle=_bm25_oracle(), section=SECTION)
+def text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the same fixed query workload as
+    text_search_ranked — the production search scorer (Lucene default
+    k1=1.2, b=0.75): saturating term frequency (a 100th occurrence
+    adds almost nothing, unlike raw tf·idf) and document-length
+    normalization (a term hit in a short doc outranks the same hit in
+    a long one), with the Robertson-Sparck-Jones idf
+    ln((N-df+0.5)/(df+0.5)+1).
+
+    Scale shape mirrors text_search_ranked exactly: per-doc term
+    counts are map-only higher-order expressions (no token explode);
+    N, avgdl and the per-term dfs are ONE bounded agg action folded
+    into the plan as literals; each query's top-k plans as
+    TakeOrderedAndProject (per-partition heap, k·partitions merge —
+    no global sort); the rank window runs over ≤ k rows per query.
+    Determinism: idf/dl/avgdl arithmetic is written with the SAME
+    parenthesization in both engines over bit-identical inputs
+    (integer-derived doubles), and the score rounds at the boundary
+    only."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    all_terms = sorted({t for _, ts in _SEARCH_QUERIES for t in ts})
+    stats = d.select(F.size(toks).alias("dl"), *[
+        F.array_contains(toks, t).cast("int").alias(f"c_{t}")
+        for t in all_terms
+    ]).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sum_dl"),
+        *[F.sum(f"c_{t}").alias(f"df_{t}") for t in all_terms],
+    ).first()  # driver-scalar: N, total length, |query vocab| dfs
+    n = float(stats["n"])
+    avgdl = float(stats["sum_dl"]) / stats["n"]
+    dl = F.size(toks).cast("double")
+    parts = []
+    for qname, qterms in _SEARCH_QUERIES:
+        score = None
+        for t in qterms:
+            df_t = float(stats[f"df_{t}"])
+            idf = F.log(F.lit((n - df_t + 0.5) / (df_t + 0.5) + 1.0))
+
+            def _eq(term):
+                return lambda x: x == F.lit(term)
+
+            tf = F.size(F.filter(toks, _eq(t))).cast("double")
+            norm = tf + F.lit(_BM25_K1) * (
+                F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * (dl / F.lit(avgdl))
+            )
+            term_score = idf * ((tf * F.lit(_BM25_K1 + 1.0)) / norm)
+            score = term_score if score is None else score + term_score
+        parts.append(
+            d.select(
+                F.lit(qname).alias("query"), "doc_id", score.alias("s")
+            )
+            .filter(F.col("s") > 0)
+            .orderBy(F.col("s").desc(), "doc_id")
+            .limit(_SEARCH_K)
+        )
+    hits = parts[0]
+    for p in parts[1:]:
+        hits = hits.unionAll(p)
+    w = Window.partitionBy("query").orderBy(F.col("s").desc(), "doc_id")
+    return hits.select(
+        "query",
+        F.row_number().over(w).alias("rank"),
+        "doc_id",
+        ratio(F.col("s")).alias("score"),
+    )
+
+
+@register(
+    "embed_covariance_pairs",
+    oracle="""
+        WITH dims AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+                   CAST(ROUND(CAST(unnest(embedding) AS DOUBLE), 6)
+                        AS DECIMAL(18,6)) AS x
+            FROM embeddings
+        ), sums AS (
+            SELECT dim, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx
+            FROM dims GROUP BY dim
+        ), psums AS (
+            SELECT a.dim AS di, b.dim AS dj, SUM(a.x * b.x) AS sxy
+            FROM dims a JOIN dims b
+              ON a.vec_id = b.vec_id AND a.dim < b.dim
+            GROUP BY 1, 2
+        ), cov AS (
+            SELECT di, dj,
+                   (sa.n * CAST(sxy AS DOUBLE)
+                    - CAST(sa.sx AS DOUBLE) * CAST(sb.sx AS DOUBLE))
+                   / (sa.n * (sa.n - 1.0)) AS cv,
+                   (sa.n * CAST(sa.sxx AS DOUBLE)
+                    - CAST(sa.sx AS DOUBLE) * CAST(sa.sx AS DOUBLE))
+                   / (sa.n * (sa.n - 1.0)) AS va,
+                   (sb.n * CAST(sb.sxx AS DOUBLE)
+                    - CAST(sb.sx AS DOUBLE) * CAST(sb.sx AS DOUBLE))
+                   / (sb.n * (sb.n - 1.0)) AS vb
+            FROM psums JOIN sums sa ON sa.dim = di
+                       JOIN sums sb ON sb.dim = dj
+        )
+        SELECT CAST(di AS INT) AS dim_i, CAST(dj AS INT) AS dim_j,
+               ROUND(cv, 6) AS covariance,
+               ROUND(cv / sqrt(va * vb), 6) AS correlation
+        FROM cov
+        ORDER BY abs(cv) DESC, di, dj LIMIT 20
+    """,
+    section=SECTION,
+)
+def embed_covariance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most-covarying embedding dimension pairs — the redundancy
+    detector that motivates whitening/PCA before quantization: two
+    dimensions that move together waste codebook bits, and the
+    correlation readout says how much (the off-diagonal covariance
+    matrix entries embed_dim_stats' per-dim marginals can't see).
+
+    Scale shape: the cross-product expansion is MAP-ONLY — each row
+    emits its d(d-1)/2 upper-triangle products via nested
+    array-transform (no self-join, no (vec_id, dim) shuffle: the
+    oracle's dims-join formulation would shuffle n·d rows; here
+    nothing shuffles but the partial aggregates) — and partial
+    aggregation combines them map-side to d²/2 rows per partition, so
+    the single shuffle carries ~(d²/2)·n_partitions rows grouped on a
+    d²-bounded key. Top-20 is TakeOrderedAndProject over d²/2 rows.
+    Exactness: the embed_dim_stats decimal discipline — float32→double
+    exact, 6-dp decimal per value, DECIMAL sums (order-independent);
+    doubles reappear only in the final covariance division on
+    identical exact inputs."""
+    e = load_table(spark, sf_dir, "embeddings")
+    xs = F.transform(
+        "embedding",
+        lambda v: F.round(v.cast("double"), 6).cast("decimal(18,6)"),
+    )
+    d_minus_1 = F.size("embedding") - 1
+    pairs = (
+        e.select(xs.alias("xs"), d_minus_1.alias("dm1"))
+        .select(
+            F.explode(
+                F.flatten(
+                    F.expr(
+                        "transform(sequence(0, dm1 - 1), i ->"
+                        " transform(sequence(i + 1, dm1), j ->"
+                        " struct(i AS di, j AS dj,"
+                        " xs[i] * xs[j] AS xy, xs[i] AS xi, xs[j] AS xj)))"
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.di", "p.dj", "p.xy", "p.xi", "p.xj")
+    )
+    sums = pairs.groupBy("di", "dj").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xy").alias("sxy"),
+        F.sum("xi").alias("sxi"),
+        F.sum("xj").alias("sxj"),
+        F.sum(F.col("xi") * F.col("xi")).alias("sxixi"),
+        F.sum(F.col("xj") * F.col("xj")).alias("sxjxj"),
+    )
+    n = F.col("n")
+    denom = n * (n - F.lit(1.0))
+    cv = (n * F.col("sxy").cast("double")
+          - F.col("sxi").cast("double") * F.col("sxj").cast("double")) / denom
+    va = (n * F.col("sxixi").cast("double")
+          - F.col("sxi").cast("double") * F.col("sxi").cast("double")) / denom
+    vb = (n * F.col("sxjxj").cast("double")
+          - F.col("sxj").cast("double") * F.col("sxj").cast("double")) / denom
+    return (
+        sums.select(
+            F.col("di").cast("int").alias("dim_i"),
+            F.col("dj").cast("int").alias("dim_j"),
+            cv.alias("cv"), va.alias("va"), vb.alias("vb"),
+        )
+        .orderBy(F.abs("cv").desc(), "dim_i", "dim_j")
+        .limit(20)
+        .select(
+            "dim_i", "dim_j",
+            ratio(F.col("cv")).alias("covariance"),
+            ratio(F.col("cv") / F.sqrt(F.col("va") * F.col("vb"))).alias(
+                "correlation"
+            ),
+        )
+    )

@@ -3159,3 +3159,187 @@ def log_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_error_bursts"),
         F.instr("seq", "p").alias("first_purchase_pos"),
     )
+
+
+@register(
+    "log_triangle_count",
+    oracle="""
+        WITH e AS (
+            SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
+            FROM events WHERE event_type = 'error'
+        ), p AS (
+            SELECT a.user_id AS ua, b.user_id AS ub
+            FROM e a JOIN e b ON a.h = b.h AND a.user_id < b.user_id
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        ), deg AS (
+            SELECT u, COUNT(*) AS d
+            FROM (SELECT ua AS u FROM p UNION ALL SELECT ub AS u FROM p)
+            GROUP BY u
+        ), o AS (
+            SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND ua < ub)
+                        THEN ua ELSE ub END AS src,
+                   CASE WHEN da.d < db.d OR (da.d = db.d AND ua < ub)
+                        THEN ub ELSE ua END AS dst
+            FROM p JOIN deg da ON da.u = ua JOIN deg db ON db.u = ub
+        ), tri AS (
+            SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+            FROM o e1 JOIN o e2 ON e2.src = e1.dst
+            JOIN p e3 ON e3.ua = LEAST(e1.src, e2.dst)
+                     AND e3.ub = GREATEST(e1.src, e2.dst)
+        ), member AS (
+            SELECT unnest([a, b, c]) AS user_id FROM tri
+        )
+        SELECT m.user_id, CAST(MAX(deg.d) AS BIGINT) AS degree,
+               CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM member m JOIN deg ON deg.u = m.user_id
+        GROUP BY m.user_id
+    """,
+    section=SECTION,
+)
+def log_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting on the co-error graph — "which users fail
+    together in tightly-knit groups": vertices are users, an edge
+    joins two users who both errored in the same hour bucket at least
+    twice, and a triangle is three mutually-connected users (the
+    blast-radius clique detector; triangles also feed clustering
+    coefficients for incident forensics).
+
+    Scale shape is the classic DEGREE-ORIENTED enumeration (the
+    standard distributed triangle algorithm): every undirected edge
+    is oriented from its lower-degree endpoint to its higher-degree
+    endpoint (id tiebreak), so wedge fan-out per vertex is bounded by
+    its OUT-degree — at most O(sqrt(m)) after orientation — instead
+    of raw degree; each triangle is then found exactly once as the
+    wedge a->b->c (in the degree total order) closed by the
+    undirected edge {a,c}. Three shuffles total: the hour-bucket
+    pair-join (bounded per bucket by users-per-hour), the wedge
+    equi-join on the shared middle vertex, and the closing edge
+    equi-join — no cartesian anywhere (the plan test pins this). The
+    degree table joins WITHOUT a broadcast hint: vertices are
+    unbounded at 100 TB, so AQE picks the strategy (it broadcasts at
+    fixture scale, where deg is tiny)."""
+    ev = load_table(spark, sf_dir, "events")
+    e = (
+        ev.filter(F.col("event_type") == "error")
+        .select("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .distinct()
+    )
+    a, b = e.alias("a"), e.alias("b")
+    p = (
+        a.join(b, (F.col("a.h") == F.col("b.h"))
+               & (F.col("a.user_id") < F.col("b.user_id")))
+        .groupBy(
+            F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 2)
+        .select("ua", "ub")
+    )
+    p = track_persist(p)
+    deg = (
+        p.select(F.col("ua").alias("u"))
+        .unionAll(p.select(F.col("ub").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    deg = track_persist(deg)
+    da = deg.select(F.col("u").alias("ua"), F.col("d").alias("da"))
+    db = deg.select(F.col("u").alias("ub"), F.col("d").alias("db"))
+    fwd = F.col("da") < F.col("db"), (F.col("da") == F.col("db")) & (
+        F.col("ua") < F.col("ub")
+    )
+    is_fwd = fwd[0] | fwd[1]
+    o = (
+        p.join(da, "ua")
+        .join(db, "ub")
+        .select(
+            F.when(is_fwd, F.col("ua")).otherwise(F.col("ub")).alias("src"),
+            F.when(is_fwd, F.col("ub")).otherwise(F.col("ua")).alias("dst"),
+        )
+    )
+    o = track_persist(o)
+    e1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    close = p.select(F.col("ua").alias("lo"), F.col("ub").alias("hi"))
+    tri = (
+        e1.join(e2, "b")
+        .join(
+            close,
+            (F.least("a", "c") == F.col("lo"))
+            & (F.greatest("a", "c") == F.col("hi")),
+        )
+        .select("a", "b", "c")
+    )
+    member = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("user_id")
+    )
+    return (
+        member.join(deg.withColumnRenamed("u", "user_id"), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("d").cast("bigint").alias("degree"),
+            F.count(F.lit(1)).cast("bigint").alias("n_triangles"),
+        )
+    )
+
+
+# Shared decimal literal so Spark and DuckDB parse the SAME double for
+# the decay rate (computing ln(2)/86400 separately per engine would
+# race libm ulp differences): one-day half-life, in 1/seconds.
+_DECAY_LAMBDA = "8.022559354661745e-06"
+
+
+@register(
+    "log_decayed_rate",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, date_trunc('second', ts) AS ts FROM events
+        ), t AS (SELECT MAX(ts) AS t_now FROM e),
+        terms AS (
+            SELECT user_id,
+                   CAST(ROUND(exp(-{_DECAY_LAMBDA} *
+                        (epoch(t_now) - epoch(ts))), 8)
+                        AS DECIMAL(18,8)) AS w
+            FROM e CROSS JOIN t
+        )
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(ROUND(SUM(w), 6) AS DOUBLE) AS decayed_count
+        FROM terms GROUP BY user_id
+    """,
+    section=SECTION,
+)
+def log_decayed_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed activity score per user as of the
+    stream's latest timestamp (half-life = 1 day) — the "how active is
+    this user NOW" counter that powers rate limiting and freshness
+    ranking: an event a half-life ago counts 0.5, two half-lives 0.25.
+
+    Cross-engine determinism: the decay rate is a SHARED DECIMAL
+    LITERAL parsed to the same double by both engines (ln(2)/86400
+    computed per-engine could differ in the last ulp); each per-event
+    weight exp(-lambda*age_sec) is rounded to 8 dp and summed as
+    DECIMAL(18,8) — order-independent — so partitioned Spark sums and
+    DuckDB's single-threaded sum agree exactly; the FINAL 6-dp round
+    also happens in decimal space (dround) because an exact decimal
+    sum CAN sit on a half-boundary where double ROUND diverges
+    cross-engine (caught live at sf0.1: 2.0281605). age_sec is integer
+    arithmetic on second-truncated timestamps. Scale shape: map-only
+    weight computation + one groupBy(user_id) with map-side partial
+    aggregation; the anchor timestamp is ONE bounded max() action
+    (the only driver scalar)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("second", "ts").alias("ts")
+    )
+    t_now = ev.agg(F.max("ts")).first()[0]  # driver-scalar anchor
+    age = F.unix_timestamp(F.lit(t_now)) - F.unix_timestamp("ts")
+    w = F.round(
+        F.exp(-F.lit(float(_DECAY_LAMBDA)) * age), 8
+    ).cast("decimal(18,8)")
+    return (
+        ev.select("user_id", w.alias("w"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            dround(F.sum("w"), 6).alias("decayed_count"),
+        )
+    )

@@ -80,6 +80,10 @@ _R6_NEEDS_ROW_FIRST = (
     "dedup_keep_best",
     "text_clean_pipeline",
     # -- new in r6: no evidence until this round's gate --
+    "text_search_bm25",
+    "embed_covariance_pairs",
+    "log_triangle_count",
+    "log_decayed_rate",
     "sink_python_stream_datasource",
     "udaf_cogroup_pandas",
     "sql_pivot_clause",

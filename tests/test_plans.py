@@ -516,3 +516,52 @@ def test_aggregate_pushdown_restores_session_confs(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedAggregation" not in plan
+
+
+def test_search_bm25_uses_take_ordered_per_query(spark):
+    """text_search_bm25 mirrors text_search_ranked's plan contract:
+    per-query top-k is TakeOrderedAndProject (no global Sort), and
+    N/avgdl/df constants are plan-time literals so no join appears."""
+    plan = plan_of(spark, "text_search_bm25")
+    assert plan.count("TakeOrderedAndProject") >= 3  # one per query
+    sort_lines = [
+        l for l in plan.splitlines()
+        if l.strip().startswith(("Sort", "* Sort"))
+    ]
+    assert not sort_lines, f"unexpected global sort: {sort_lines}"
+    assert "Join" not in plan
+
+
+def test_covariance_pairs_single_shuffle_then_topk(spark):
+    """embed_covariance_pairs' scale claim: the d^2/2 cross products
+    are map-only (nested transform, NO self-join), so the plan has no
+    Join, exactly one aggregate Exchange (hashpartitioning on the
+    bounded (di, dj) key), and TakeOrderedAndProject for the top-20
+    (no global Sort)."""
+    plan = plan_of(spark, "embed_covariance_pairs", extended=False)
+    assert "Join" not in plan, "cross products must not self-join"
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange == 1, f"want one agg shuffle, got {n_exchange}:\n{plan}"
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_triangle_count_no_cartesian(spark):
+    """log_triangle_count is three equi-joins (hour-bucket pairs,
+    wedge middle-vertex, closing edge) — the plan must contain no
+    CartesianProduct and no BroadcastNestedLoopJoin; degree joins
+    carry no forced broadcast hint (AQE decides — vertices are
+    unbounded at scale)."""
+    plan = plan_of(spark, "log_triangle_count")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_decayed_rate_is_single_partial_agg(spark):
+    """log_decayed_rate: map-only weight computation + one
+    groupBy(user_id) with map-side partial aggregation — exactly one
+    Exchange, no Join, no Window."""
+    plan = plan_of(spark, "log_decayed_rate", extended=False)
+    assert "Join" not in plan
+    assert "Window" not in plan
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange == 1, f"want one agg shuffle, got {n_exchange}:\n{plan}"
