@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from logdb_spark.functions.numeric import dec4, dround, money, ratio
 from logdb_spark.functions.ranking import global_row_number
-from logdb_spark.registry import register
+from logdb_spark.registry import register, track_persist
 from logdb_spark.sources.load import load_table
 from logdb_spark.sources.scratch import scratch_dir
 
@@ -1370,4 +1370,104 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "exact_cnt")
         .agg(F.min("c").alias("cms_est"))
         .orderBy(F.col("exact_cnt").desc(), "user_id")
+    )
+
+
+# Two-pass heavy-hitters parameters: summary capacity m bounds the
+# per-partition candidate set AND yields the completeness certificate
+# (any item the summaries missed has global count <= N/m).
+_HH_CAPACITY = 64
+_HH_K = 5
+
+
+@register(
+    "agg_heavy_hitters_twopass",
+    oracle=f"""
+        WITH tok AS (
+            SELECT unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), c AS (
+            SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+        ), t AS (SELECT SUM(n) AS tot FROM c),
+        topk AS (
+            SELECT token, n FROM c
+            ORDER BY n DESC, token LIMIT {_HH_K}
+        ), cert AS (
+            SELECT MIN(n) * {_HH_CAPACITY} > (SELECT tot FROM t)
+                AS provably_complete
+            FROM topk
+        )
+        SELECT token, CAST(n AS BIGINT) AS n_occurrences,
+               ROUND(n * 1.0 / (SELECT tot FROM t), 6) AS freq,
+               (SELECT provably_complete FROM cert) AS provably_complete
+        FROM topk
+    """,
+    section=SECTION,
+)
+def agg_heavy_hitters_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 frequent tokens via the two-pass summary + exact-rescore
+    pattern — the scale-correct answer to "most frequent items" when
+    the key domain is too large to hash-aggregate cheaply (URLs, query
+    strings, user agents at 100 TB): pass 1 keeps each partition's
+    local top-m counts (a Misra-Gries-style bounded summary — any item
+    with partition count > n_p/m survives, so by pigeonhole the union
+    of summaries is a SUPERSET of every item with global count > N/m);
+    pass 2 rescans once and counts ONLY the bounded candidate set
+    exactly. The result carries its own CERTIFICATE: because every
+    returned count is exact and any missed item is bounded by N/m, the
+    top-k is provably the true top-k whenever the k-th exact count
+    exceeds N/m — emitted as the provably_complete column (true on
+    this corpus; the oracle recomputes the same certificate from fully
+    exact counts, so the flag itself is hash-checked).
+
+    Scale shape: pass 1 is Arrow-batched mapInPandas (vectorized
+    value_counts per batch, m rows out per batch — map-only); the
+    candidate union is a bounded driver list (<= m x batches,
+    deduplicated); pass 2 is one filtered scan + groupBy over <= m
+    distinct keys with map-side partials. No shuffle ever carries the
+    unbounded key domain."""
+    import pandas as pd  # noqa: F401 — batch iterator yields DataFrames
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split("text", " ")).alias("token"))
+
+    cand_schema = StructType([StructField("token", StringType())])
+
+    def local_topm(batches):
+        for pdf in batches:
+            vc = pdf["token"].value_counts()
+            yield vc.head(_HH_CAPACITY).rename_axis("token").reset_index()[
+                ["token"]
+            ]
+
+    candidates = [
+        r["token"] for r in toks.mapInPandas(local_topm, cand_schema)
+        .distinct()
+        .collect()  # driver-scalar: bounded <= m x batches candidate keys
+    ]
+    total = toks.count()  # scalar action, not a collected dataset
+    exact = (
+        toks.filter(F.col("token").isin(candidates))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "token")
+        .limit(_HH_K)
+    )
+    exact = track_persist(exact)  # k rows; feeds both the result and
+    # the certificate leg without re-running the rescore scan.
+    # Certificate as a broadcast 1-row cross join (NOT an empty-
+    # partition window — that is the single-partition WindowExec
+    # anti-pattern even over k rows, and it spams scale warnings).
+    cert = exact.agg(
+        (F.min("n") * _HH_CAPACITY > F.lit(total)).alias(
+            "provably_complete"
+        )
+    )
+    return exact.crossJoin(F.broadcast(cert)).select(
+        "token",
+        F.col("n").cast("bigint").alias("n_occurrences"),
+        ratio(F.col("n") / F.lit(float(total))).alias("freq"),
+        "provably_complete",
     )

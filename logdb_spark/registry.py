@@ -82,6 +82,7 @@ _R6_NEEDS_ROW_FIRST = (
     # -- new in r6: no evidence until this round's gate --
     "text_search_bm25",
     "embed_covariance_pairs",
+    "agg_heavy_hitters_twopass",
     "log_triangle_count",
     "log_decayed_rate",
     "sink_python_stream_datasource",

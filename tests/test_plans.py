@@ -565,3 +565,25 @@ def test_decayed_rate_is_single_partial_agg(spark):
     assert "Window" not in plan
     n_exchange = plan.count("Exchange hashpartitioning")
     assert n_exchange == 1, f"want one agg shuffle, got {n_exchange}:\n{plan}"
+
+
+def test_heavy_hitters_rescore_is_bounded_agg(spark):
+    """agg_heavy_hitters_twopass' returned plan is the pass-2 rescore:
+    one candidate-filtered scan, one bounded-key agg Exchange, top-k as
+    TakeOrderedAndProject — the unbounded token domain never shuffles
+    (pass 1's mapInPandas summary ran eagerly and is not part of the
+    returned lineage)."""
+    import re
+
+    plan = plan_of(spark, "agg_heavy_hitters_twopass", extended=False)
+    assert "TakeOrderedAndProject" in plan
+    # both legs of the 1-row certificate cross join read the SAME
+    # persisted k-row top-k (explain prints the cached plan under each
+    # InMemoryTableScan, so the rescore Exchange appears twice in TEXT
+    # but carries one plan_id — one physical shuffle)
+    assert plan.count("InMemoryTableScan") == 2
+    ids = set(
+        re.findall(r"Exchange hashpartitioning.*?plan_id=(\d+)", plan)
+    )
+    assert len(ids) == 1, f"want one rescore shuffle, got ids {ids}"
+    assert "SortMergeJoin" not in plan
