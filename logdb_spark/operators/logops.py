@@ -3343,3 +3343,60 @@ def log_decayed_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.sum("w"), 6).alias("decayed_count"),
         )
     )
+
+
+@register(
+    "log_k_anonymity",
+    oracle="""
+        WITH q AS (
+            SELECT event_type, hour(ts) AS hod,
+                   CAST(floor(value) AS BIGINT) AS vband
+            FROM events
+        ), classes AS (
+            SELECT event_type, hod, vband, COUNT(*) AS csize
+            FROM q GROUP BY 1, 2, 3
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(MIN(csize) AS BIGINT) AS k_anonymity,
+               CAST(SUM(CASE WHEN csize < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_risky_classes,
+               CAST(SUM(CASE WHEN csize < 5 THEN csize ELSE 0 END)
+                    AS BIGINT) AS n_risky_rows,
+               ROUND(SUM(CASE WHEN csize < 5 THEN csize ELSE 0 END) * 1.0
+                     / SUM(csize), 6) AS risky_row_share
+        FROM classes
+    """,
+    section=SECTION,
+)
+def log_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers — the privacy gate a
+    training-data pipeline runs before release: rows are grouped into
+    equivalence classes by the quasi-identifier tuple (event type,
+    hour-of-day, integer value band); the dataset's k-anonymity is the
+    SMALLEST class size (any class below threshold k=5 is a
+    re-identification risk — an attacker knowing just the quasi tuple
+    pins a member to <5 candidates). Emits the class count, the k
+    level, and the risky class/row exposure in one row.
+
+    Scale shape: ONE groupBy on the bounded quasi tuple (|types| x 24
+    x value bands) with map-side partials, then a second bounded agg
+    over class sizes — no row-level data ever shuffles beyond the
+    partial counts; integer-exact until the final rounded share."""
+    q = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").alias("hod"),
+        F.floor("value").cast("bigint").alias("vband"),
+    )
+    classes = q.groupBy("event_type", "hod", "vband").agg(
+        F.count(F.lit(1)).alias("csize")
+    )
+    risky = F.when(F.col("csize") < 5, F.col("csize")).otherwise(F.lit(0))
+    return classes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("csize").cast("bigint").alias("k_anonymity"),
+        F.sum((F.col("csize") < 5).cast("int"))
+        .cast("bigint")
+        .alias("n_risky_classes"),
+        F.sum(risky).cast("bigint").alias("n_risky_rows"),
+        ratio(F.sum(risky) / F.sum("csize")).alias("risky_row_share"),
+    )

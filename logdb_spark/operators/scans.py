@@ -1444,3 +1444,151 @@ def ingest_xml_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("u").alias("sum_user"),
         F.countDistinct("t").alias("n_types"),
     )
+
+
+# Catalog probe column per table: the key whose distinct-count a
+# planner's ANALYZE would record (lineitem's is deliberately the
+# non-unique order key — distinct-count != row-count is the stat).
+_CATALOG_KEYS = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def _catalog_oracle() -> str:
+    parts = [
+        f"SELECT '{t}' AS table_name,"
+        f" CAST(COUNT(*) AS BIGINT) AS n_rows,"
+        f" CAST(COUNT(DISTINCT {k}) AS BIGINT) AS n_distinct_key,"
+        f" CAST(COUNT(*) - COUNT({k}) AS BIGINT) AS n_null_key"
+        f" FROM {t}"
+        for t, k in _CATALOG_KEYS.items()
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@register("scan_catalog_stats", oracle=_catalog_oracle(), section=SECTION)
+def scan_catalog_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The catalog/ANALYZE surface of a database: one row per table
+    with row count, key distinct-count, and key null-count — what
+    SHOW TABLE STATS serves and what a cost-based planner feeds on
+    (distinct-counts drive join-order and broadcast decisions).
+
+    Scale shape: each table contributes ONE partial-aggregated scan
+    (count + approx-free exact distinct on the probe key — a
+    single-key groupBy-free agg), and the ten 1-row results union into
+    a 10-row answer; nothing shuffles except the per-table final agg
+    merge. At 100 TB this is embarrassingly parallel across tables and
+    each scan prunes to its key column only."""
+    frames = []
+    for t, k in _CATALOG_KEYS.items():
+        df = load_table(spark, sf_dir, t)
+        frames.append(
+            df.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.countDistinct(k).cast("bigint").alias("n_distinct_key"),
+                (F.count(F.lit(1)) - F.count(k))
+                .cast("bigint")
+                .alias("n_null_key"),
+            ).select(F.lit(t).alias("table_name"), "*")
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionAll(f)
+    return out
+
+
+@register(
+    "scan_time_travel",
+    oracle="""
+        WITH ev AS (
+            SELECT event_id, value, dayofmonth(ts) AS dom FROM events
+        ), v1 AS (
+            SELECT 1 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(event_id AS BIGINT)) AS BIGINT)
+                       AS id_checksum
+            FROM ev WHERE dom <= 15
+        ), v2 AS (
+            SELECT 2 AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CAST(event_id AS BIGINT)) AS BIGINT)
+                       AS id_checksum
+            FROM ev
+        )
+        SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    """,
+    section=SECTION,
+)
+def scan_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel over a manifest-versioned table — the
+    lakehouse "SELECT ... VERSION AS OF n" read path (Delta/Iceberg
+    semantics re-expressed on plain parquet + file-list manifests):
+    batch 1 lands and manifest v1 snapshots its file list; batch 2
+    appends and manifest v2 snapshots the grown list; reading AS OF
+    v1 semi-joins ``_metadata.file_path`` against v1's manifest, so
+    the query sees the table exactly as it was, even though the
+    directory now contains v2's files. The result proves both reads:
+    (version, row count, id checksum) for v1 and v2; the oracle
+    restates them from the raw table's day slices — equality proves
+    the manifest selected exactly the snapshot's files, no dupes, no
+    time leakage.
+
+    Scale shape (the scan_incremental_manifest machinery, semi
+    instead of anti): manifests are bounded file lists (one row per
+    FILE), materialized eagerly so later appends can't leak into an
+    old snapshot, then broadcast into a left_semi hash join against
+    the per-row lineage column; the data read stays one splittable
+    parquet scan per version. Version metadata grows with file count,
+    never row count — the property that makes snapshot catalogs cheap
+    at 100 TB."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.dayofmonth("ts").alias("dom")
+    )
+    out = scratch_dir("logdb_tt_")
+    data_dir = out + "/data"
+    ev.filter(F.col("dom") <= 15).write.mode("overwrite").parquet(data_dir)
+    (
+        spark.read.parquet(data_dir)
+        .select(F.col("_metadata.file_path").alias("seen_path"))
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(out + "/manifest_v1")
+    )
+    ev.filter(F.col("dom") > 15).write.mode("append").parquet(data_dir)
+    (
+        spark.read.parquet(data_dir)
+        .select(F.col("_metadata.file_path").alias("seen_path"))
+        .distinct()
+        .write.mode("overwrite")
+        .parquet(out + "/manifest_v2")
+    )
+    frames = []
+    for version in (1, 2):
+        manifest = spark.read.schema("seen_path string").parquet(
+            f"{out}/manifest_v{version}"
+        )
+        snap = (
+            spark.read.parquet(data_dir)
+            .withColumn("fpath", F.col("_metadata.file_path"))
+            .join(
+                F.broadcast(manifest),
+                F.col("fpath") == F.col("seen_path"),
+                "left_semi",
+            )
+        )
+        frames.append(
+            snap.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(F.col("event_id").cast("bigint"))
+                .cast("bigint")
+                .alias("id_checksum"),
+            ).select(F.lit(version).alias("version"), "*")
+        )
+    return frames[0].unionAll(frames[1])

@@ -83,6 +83,9 @@ _R6_NEEDS_ROW_FIRST = (
     "text_search_bm25",
     "embed_covariance_pairs",
     "agg_heavy_hitters_twopass",
+    "scan_catalog_stats",
+    "scan_time_travel",
+    "log_k_anonymity",
     "log_triangle_count",
     "log_decayed_rate",
     "sink_python_stream_datasource",

@@ -587,3 +587,36 @@ def test_heavy_hitters_rescore_is_bounded_agg(spark):
     )
     assert len(ids) == 1, f"want one rescore shuffle, got ids {ids}"
     assert "SortMergeJoin" not in plan
+
+
+def test_catalog_stats_scans_prune_to_key_column(spark):
+    """scan_catalog_stats: each per-table leg must read only its probe
+    key column (ReadSchema pruned to one field) — catalog stats must
+    not pay a full-width scan."""
+    plan = plan_of(spark, "scan_catalog_stats")
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert len(schemas) >= 10
+    wide = [s for s in schemas if s.count(",") > 0]
+    assert not wide, f"catalog scans must prune to the key: {wide}"
+
+
+def test_time_travel_snapshots_are_broadcast_semi_joins(spark):
+    """scan_time_travel: both version reads must plan a broadcast
+    LeftSemi against the bounded manifest — never a shuffle join keyed
+    on the per-row lineage column."""
+    plan = plan_of(spark, "scan_time_travel", extended=False)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_k_anonymity_is_two_bounded_aggs(spark):
+    """log_k_anonymity: one quasi-tuple groupBy + one global agg —
+    no Join, no Window, and the only hashpartitioning exchange keys
+    on the bounded quasi tuple."""
+    plan = plan_of(spark, "log_k_anonymity", extended=False)
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
