@@ -1001,3 +1001,103 @@ def join_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS not_in_collapsed
         """
     )
+
+
+@register(
+    "join_grid_spatial",
+    oracle="""
+        WITH pa AS (
+            SELECT event_id,
+                   (event_id % 1000) / 10.0 AS px,
+                   ((event_id * 7919) % 1000) / 10.0 AS py
+            FROM events WHERE event_type = 'error'
+        ), pb AS (
+            SELECT event_id,
+                   (event_id % 1000) / 10.0 AS px,
+                   ((event_id * 7919) % 1000) / 10.0 AS py
+            FROM events WHERE event_type = 'purchase'
+        ), ga AS (
+            SELECT event_id, px, py,
+                   CAST(floor(px) AS BIGINT) AS cx,
+                   CAST(floor(py) AS BIGINT) AS cy
+            FROM pa
+        ), gb AS (
+            SELECT pb.event_id, pb.px, pb.py,
+                   CAST(floor(pb.px) AS BIGINT) + dx.r AS cx,
+                   CAST(floor(pb.py) AS BIGINT) + dy.r AS cy
+            FROM pb, range(-1, 2) dx(r), range(-1, 2) dy(r)
+        ), gpairs AS (
+            SELECT ga.cx,
+                   (ga.px - gb.px) * (ga.px - gb.px)
+                   + (ga.py - gb.py) * (ga.py - gb.py) AS d2
+            FROM ga JOIN gb ON ga.cx = gb.cx AND ga.cy = gb.cy
+            WHERE (ga.px - gb.px) * (ga.px - gb.px)
+                  + (ga.py - gb.py) * (ga.py - gb.py) <= 1.0
+        )
+        SELECT CAST(floor(cx / 10.0) AS INT) AS band,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ROUND(MIN(d2), 6) AS min_d2
+        FROM gpairs GROUP BY 1
+    """,
+    section=SECTION,
+)
+def join_grid_spatial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked spatial radius join — the 2D sibling of
+    join_range_bucketed: find all (error, purchase) point pairs within
+    Euclidean distance 1.0 on a synthetic 100x100 plane (coordinates
+    derived deterministically from event ids — integer-exact doubles,
+    identical in both engines). The scale pattern is GRID BLOCKING:
+    each probe point replicates into its 3x3 neighbor cells (radius <=
+    cell size, so every qualifying pair shares a cell key), the join
+    is a plain EQUI-join on (cell_x, cell_y), and the exact distance
+    predicate filters inside the block — a theta-join that would be an
+    n² nested loop becomes a hash join whose per-key fan-out is the
+    local point density. 9x replication of the smaller side buys
+    equi-join locality; at 100 TB the same shape holds with
+    density-chosen cell size. Result: pairs per 10-cell x-band with
+    the min squared distance (MIN over bit-identical doubles —
+    order-independent, no rounding discipline needed before the
+    boundary ROUND)."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def points(kind: str):
+        return ev.filter(F.col("event_type") == kind).select(
+            ((F.col("event_id") % 1000) / 10.0).alias("px"),
+            (((F.col("event_id") * 7919) % 1000) / 10.0).alias("py"),
+        )
+
+    a = points("error").select(
+        "px", "py",
+        F.floor("px").cast("bigint").alias("cx"),
+        F.floor("py").cast("bigint").alias("cy"),
+    )
+    offsets = F.expr(
+        "flatten(transform(sequence(-1, 1), dx ->"
+        " transform(sequence(-1, 1), dy -> struct(dx, dy))))"
+    )
+    b = (
+        points("purchase")
+        .select(
+            F.col("px").alias("bx"), F.col("py").alias("by"),
+            F.explode(offsets).alias("o"),
+        )
+        .select(
+            "bx", "by",
+            (F.floor("bx").cast("bigint") + F.col("o.dx")).alias("cx"),
+            (F.floor("by").cast("bigint") + F.col("o.dy")).alias("cy"),
+        )
+    )
+    d2 = (F.col("px") - F.col("bx")) * (F.col("px") - F.col("bx")) + (
+        F.col("py") - F.col("by")
+    ) * (F.col("py") - F.col("by"))
+    pairs = (
+        a.join(b, ["cx", "cy"])
+        .withColumn("d2", d2)
+        .filter(F.col("d2") <= 1.0)
+    )
+    return pairs.groupBy(
+        F.floor(F.col("cx") / 10.0).cast("int").alias("band")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        ratio(F.min("d2")).alias("min_d2"),
+    )

@@ -3400,3 +3400,95 @@ def log_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(risky).cast("bigint").alias("n_risky_rows"),
         ratio(F.sum(risky) / F.sum("csize")).alias("risky_row_share"),
     )
+
+
+@register(
+    "log_user_lifecycle_stages",
+    oracle="""
+        WITH daily AS (
+            SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE)
+                AS day
+            FROM events
+        ), seq AS (
+            SELECT user_id, day,
+                   lag(day) OVER (PARTITION BY user_id ORDER BY day)
+                       AS prev_day
+            FROM daily
+        ), staged AS (
+            SELECT day,
+                   CASE WHEN prev_day IS NULL THEN 'new'
+                        WHEN day - prev_day = 1 THEN 'retained'
+                        ELSE 'resurrected' END AS stage
+            FROM seq
+        ), per_day AS (
+            SELECT day,
+                   COUNT(*) AS active_users,
+                   SUM(CASE WHEN stage = 'new' THEN 1 ELSE 0 END) AS new_users,
+                   SUM(CASE WHEN stage = 'retained' THEN 1 ELSE 0 END)
+                       AS retained_users,
+                   SUM(CASE WHEN stage = 'resurrected' THEN 1 ELSE 0 END)
+                       AS resurrected_users
+            FROM staged GROUP BY day
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day,
+               CAST(active_users AS BIGINT) AS active_users,
+               CAST(new_users AS BIGINT) AS new_users,
+               CAST(retained_users AS BIGINT) AS retained_users,
+               CAST(resurrected_users AS BIGINT) AS resurrected_users,
+               CAST(COALESCE(lag(active_users) OVER (ORDER BY day), 0)
+                    - retained_users AS BIGINT) AS churned_users
+        FROM per_day
+    """,
+    section=SECTION,
+)
+def log_user_lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting — the canonical user-lifecycle decomposition
+    every product team reports: per day, actives split into NEW (first
+    day ever), RETAINED (also active yesterday), RESURRECTED (returning
+    after a gap), and CHURNED (active yesterday, absent today =
+    yesterday's actives minus today's retained). The four stages
+    partition actives exactly: new + retained + resurrected =
+    active_users, an identity the oracle hash-pins.
+
+    Scale shape: one distinct (user, day) agg, one user-partitioned
+    lag window (per-user rows bounded by the calendar), one day
+    groupBy, and a final lag over the ~30-row calendar domain (the
+    bounded-domain global window this repo's no-partition-window rule
+    explicitly allows). Everything integer-exact."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    wu = Window.partitionBy("user_id").orderBy("day")
+    staged = daily.select(
+        "day",
+        F.when(F.lag("day").over(wu).isNull(), "new")
+        .when(F.datediff("day", F.lag("day").over(wu)) == 1, "retained")
+        .otherwise("resurrected")
+        .alias("stage"),
+    )
+    per_day = staged.groupBy("day").agg(
+        F.count(F.lit(1)).alias("active_users"),
+        F.count(F.when(F.col("stage") == "new", 1)).alias("new_users"),
+        F.count(F.when(F.col("stage") == "retained", 1)).alias(
+            "retained_users"
+        ),
+        F.count(F.when(F.col("stage") == "resurrected", 1)).alias(
+            "resurrected_users"
+        ),
+    )
+    wd = Window.orderBy("day")  # calendar-bounded (~31 rows)
+    return per_day.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("active_users").cast("bigint").alias("active_users"),
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.col("retained_users").cast("bigint").alias("retained_users"),
+        F.col("resurrected_users").cast("bigint").alias("resurrected_users"),
+        (
+            F.coalesce(F.lag("active_users").over(wd), F.lit(0))
+            - F.col("retained_users")
+        )
+        .cast("bigint")
+        .alias("churned_users"),
+    )

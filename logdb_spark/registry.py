@@ -86,6 +86,8 @@ _R6_NEEDS_ROW_FIRST = (
     "scan_catalog_stats",
     "scan_time_travel",
     "log_k_anonymity",
+    "log_user_lifecycle_stages",
+    "join_grid_spatial",
     "log_triangle_count",
     "log_decayed_rate",
     "sink_python_stream_datasource",

@@ -620,3 +620,22 @@ def test_k_anonymity_is_two_bounded_aggs(spark):
     assert "Join" not in plan
     assert "Window" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_grid_spatial_is_equi_hash_join(spark):
+    """join_grid_spatial: the radius predicate must ride an EQUI join
+    on the grid cell key — no CartesianProduct, no
+    BroadcastNestedLoopJoin anywhere in the plan."""
+    plan = plan_of(spark, "join_grid_spatial", extended=False)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan  # it IS a join — as hash/broadcast-hash
+
+
+def test_lifecycle_stages_windows_are_user_partitioned(spark):
+    """log_user_lifecycle_stages: the per-user lag window must be
+    partitioned (user_id); the only unpartitioned window runs over the
+    ~30-row calendar aggregate, after the day groupBy."""
+    plan = plan_of(spark, "log_user_lifecycle_stages")
+    assert "user_id" in plan
+    assert "Window" in plan
