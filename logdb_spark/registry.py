@@ -88,6 +88,7 @@ _R6_NEEDS_ROW_FIRST = (
     "log_k_anonymity",
     "log_user_lifecycle_stages",
     "join_grid_spatial",
+    "stream_checkpoint_restart",
     "log_triangle_count",
     "log_decayed_rate",
     "sink_python_stream_datasource",

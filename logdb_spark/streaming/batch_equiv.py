@@ -789,3 +789,82 @@ def sink_python_stream_datasource(spark: SparkSession, sf_dir: str) -> DataFrame
         F.countDistinct("event_type").alias("n_types"),
         F.lit(n_batches).cast("bigint").alias("n_batches"),
     )
+
+
+@register(
+    "stream_checkpoint_restart",
+    oracle="""
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS sum_value
+        FROM events GROUP BY user_id
+    """,
+    section=SECTION,
+)
+def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once restart from checkpoint — THE structured-streaming
+    guarantee, demonstrated live inside the operator: a stateful
+    per-user aggregation runs over half the staged files and stops;
+    more files land; a SECOND query (new name, new run id) starts from
+    the SAME checkpoint, recovers the state store, processes ONLY the
+    unseen files (the file-source offset log), and its complete-mode
+    output equals the one-shot batch aggregation over everything — no
+    dupes from re-reading run 1's files, no gaps from the handoff. The
+    driver gate hash-checks that equality against the plain batch
+    oracle, so exactly-once-across-restart is verified end-to-end, not
+    asserted.
+
+    Scale shape: state is one row per user in the state store
+    (bounded by keys, not events); each run shuffles once on user_id
+    with partial aggregation before the state update; the checkpoint
+    grows with files + keys, never rows. Sums follow the decimal
+    discipline (DECIMAL(18,4) accumulators — order-independent across
+    micro-batch arrival orders, which a restart reshuffles by
+    construction)."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    from logdb_spark.streaming.harness import read_events_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    out = scratch_dir("logdb_ckptr_")
+    stage = out + "/stage"
+    os.makedirs(stage)
+    ckpt = out + "/ckpt"
+
+    def stage_half(cond, name):
+        tmp = f"{out}/{name}_tmp"
+        ev.filter(cond).coalesce(1).write.parquet(tmp)
+        shutil.copy(
+            glob.glob(tmp + "/*.parquet")[0], f"{stage}/{name}.parquet"
+        )
+
+    def run_from_checkpoint():
+        s = read_events_stream(spark, stage)
+        agg = s.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("sv"),
+        )
+        name = f"ckptr_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError("checkpoint-restart query did not finish")
+        return spark.table(name)
+
+    stage_half(F.dayofmonth("ts") <= 15, "h1")
+    run_from_checkpoint()  # run 1: first half; checkpoint persists
+    stage_half(F.dayofmonth("ts") > 15, "h2")
+    restarted = run_from_checkpoint()  # run 2: recovers state + delta
+    return restarted.select(
+        "user_id", "n_events", dround(F.col("sv"), 2).alias("sum_value")
+    )
