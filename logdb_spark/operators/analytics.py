@@ -1138,3 +1138,52 @@ def sql_unpivot_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) UNPIVOT (val FOR metric IN (total_price, bucket7, order_year))
         """
     )
+
+
+@register(
+    "sql_parameterized",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS total_value
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-03-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-06-01 00:00:00'
+          AND o_totalprice > 1000.0
+        GROUP BY o_orderpriority
+    """,
+    section=SECTION,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL — the prepared-statement surface
+    (spark.sql(query, args={...})): the query text carries :start /
+    :end / :min_price placeholders and the VALUES arrive separately,
+    so user input never concatenates into SQL text (the injection-safe
+    API every DB client expects) and one compiled shape serves many
+    parameter sets. Catalyst binds parameters BEFORE optimization, so
+    the bound literals still fold into partition pruning and parquet
+    pushdown exactly like inline constants — parameterization costs
+    nothing at plan time.
+
+    The oracle inlines the same values (DuckDB's gate runs a static
+    string); equality proves binding changed nothing semantically."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS total_value
+        FROM orders
+        WHERE o_orderdate >= :start
+          AND o_orderdate <  :end
+          AND o_totalprice > :min_price
+        GROUP BY o_orderpriority
+        """,
+        args={
+            "start": "1998-03-01 00:00:00",
+            "end": "1998-06-01 00:00:00",
+            "min_price": 1000.0,
+        },
+    )

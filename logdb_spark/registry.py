@@ -89,6 +89,7 @@ _R6_NEEDS_ROW_FIRST = (
     "log_user_lifecycle_stages",
     "join_grid_spatial",
     "stream_checkpoint_restart",
+    "sql_parameterized",
     "log_triangle_count",
     "log_decayed_rate",
     "sink_python_stream_datasource",
