@@ -465,3 +465,65 @@ def udaf_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_early double, mean_late double, mean_shift double",
         )
     )
+
+
+@register(
+    "udtf_dynamic_schema",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN len(ts) >= 1 THEN ts[1] END AS f0,
+               CASE WHEN len(ts) >= 2 THEN ts[2] END AS f1,
+               CASE WHEN len(ts) >= 3 THEN ts[3] END AS f2
+        FROM toks
+    """,
+    section=SECTION,
+)
+def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF — the Spark 4 `analyze()` contract: the
+    function's OUTPUT SCHEMA is computed at plan time from its
+    arguments (here, a constant column count), so one registered
+    function serves any requested width — the table-function
+    equivalent of a prepared statement, and the API a generic
+    parse-into-N-fields ingestion helper needs (fixed-width readers,
+    delimited splitters, header-driven extracts).
+
+    analyze() receives each argument as an AnalyzeArgument (value
+    populated for foldable expressions) and returns the StructType the
+    planner binds downstream — schema errors surface at PLAN time, not
+    mid-job. The eval fanout is 1:1 here; the oracle re-expresses the
+    split relationally (list indexing with out-of-range → NULL,
+    matching the Python side's padding). Scale: map-only Arrow-less
+    row UDTF — surface parity, with the relational twin proving the
+    JVM path (same discipline as udf_python_scalar)."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class SplitN:
+        @staticmethod
+        def analyze(
+            text: AnalyzeArgument, n: AnalyzeArgument
+        ) -> AnalyzeResult:
+            width = int(n.value)  # constant-foldable arg, known at plan
+            st = StructType()
+            for i in range(width):
+                st = st.add(f"f{i}", StringType())
+            return AnalyzeResult(schema=st)
+
+        def eval(self, text, n):
+            toks = (text or "").split(" ")
+            yield tuple(
+                toks[i] if i < len(toks) else None for i in range(n)
+            )
+
+    spark.udtf.register("split_n_dyn", udtf(SplitN))
+    load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("v_dyn_docs")
+    return spark.sql(
+        "SELECT v.doc_id, t.f0, t.f1, t.f2"
+        " FROM v_dyn_docs v, LATERAL split_n_dyn(text, 3) t"
+    )

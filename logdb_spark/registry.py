@@ -90,6 +90,7 @@ _R6_NEEDS_ROW_FIRST = (
     "join_grid_spatial",
     "stream_checkpoint_restart",
     "sql_parameterized",
+    "udtf_dynamic_schema",
     "log_triangle_count",
     "log_decayed_rate",
     "sink_python_stream_datasource",
