@@ -1471,3 +1471,57 @@ def agg_heavy_hitters_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
         ratio(F.col("n") / F.lit(float(total))).alias("freq"),
         "provably_complete",
     )
+
+
+@register(
+    "agg_listagg_ordered",
+    oracle="""
+        WITH top_users AS (
+            SELECT event_type, user_id, COUNT(*) AS n,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY COUNT(*) DESC, user_id) AS rn
+            FROM events GROUP BY event_type, user_id
+        )
+        SELECT event_type,
+               string_agg(CAST(user_id AS VARCHAR), ','
+                          ORDER BY n DESC, user_id) AS top_user_csv,
+               CAST(COUNT(*) AS BIGINT) AS n_listed
+        FROM top_users WHERE rn <= 5
+        GROUP BY event_type
+    """,
+    section=SECTION,
+)
+def agg_listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG / string_agg WITHIN GROUP — the SQL:2016 ordered string
+    aggregation (Spark 4 `listagg`, DuckDB `string_agg ... ORDER BY`):
+    each event type's top-5 chattiest users concatenated as a
+    deterministic CSV, the report-friendly denormalized form
+    dashboards and alert payloads want. Determinism requires the
+    ORDER BY inside the aggregate — an unordered listagg is
+    nondeterministic under partitioned execution by construction, so
+    the ordered form is the ONLY hash-checkable one (and the only one
+    worth shipping).
+
+    Scale shape: the top-5 window prunes each group to 5 rows BEFORE
+    concatenation (a listagg over unbounded group members is an
+    unbounded-row string — the window cap is what makes the operator
+    scale-safe); shuffles are the (type, user) count agg and the
+    |types|-bounded window."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("n").desc(), "user_id"
+    )
+    top = counts.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 5
+    )
+    return top.groupBy("event_type").agg(
+        F.expr(
+            "listagg(CAST(user_id AS STRING), ',')"
+            " WITHIN GROUP (ORDER BY n DESC, user_id)"
+        ).alias("top_user_csv"),
+        F.count(F.lit(1)).cast("bigint").alias("n_listed"),
+    )

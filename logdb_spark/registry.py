@@ -91,6 +91,7 @@ _R6_NEEDS_ROW_FIRST = (
     "stream_checkpoint_restart",
     "sql_parameterized",
     "udtf_dynamic_schema",
+    "agg_listagg_ordered",
     "log_triangle_count",
     "log_decayed_rate",
     "sink_python_stream_datasource",
