@@ -833,6 +833,13 @@ def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = out + "/stage"
     os.makedirs(stage)
     ckpt = out + "/ckpt"
+    # The state store creates shuffle.partitions stores PER RUN and
+    # pins the count into the checkpoint at first start; at the
+    # session default (2x cores) that is ~10s of per-partition
+    # snapshot/delta file overhead for a keys-bounded state. Cap it
+    # for the two runs and restore (the scan_aggregate_pushdown
+    # flip-restore pattern; a restore test pins the conf comes back).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
 
     def stage_half(cond, name):
         tmp = f"{out}/{name}_tmp"
@@ -861,10 +868,14 @@ def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise TimeoutError("checkpoint-restart query did not finish")
         return spark.table(name)
 
-    stage_half(F.dayofmonth("ts") <= 15, "h1")
-    run_from_checkpoint()  # run 1: first half; checkpoint persists
-    stage_half(F.dayofmonth("ts") > 15, "h2")
-    restarted = run_from_checkpoint()  # run 2: recovers state + delta
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stage_half(F.dayofmonth("ts") <= 15, "h1")
+        run_from_checkpoint()  # run 1: first half; checkpoint persists
+        stage_half(F.dayofmonth("ts") > 15, "h2")
+        restarted = run_from_checkpoint()  # run 2: state + delta
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return restarted.select(
         "user_id", "n_events", dround(F.col("sv"), 2).alias("sum_value")
     )
