@@ -648,3 +648,13 @@ def test_lifecycle_stages_windows_are_user_partitioned(spark):
     plan = plan_of(spark, "log_user_lifecycle_stages")
     assert "user_id" in plan
     assert "Window" in plan
+
+
+def test_checkpoint_restart_restores_shuffle_conf(spark):
+    """stream_checkpoint_restart caps spark.sql.shuffle.partitions for
+    its two streaming runs; later operators in the same session must
+    see the original value even though the op ran (flip-restore
+    contract, same as scan_aggregate_pushdown)."""
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    OPS["stream_checkpoint_restart"].fn(spark, SF_SMALL).collect()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
