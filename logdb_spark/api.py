@@ -18,7 +18,7 @@ driver-side work.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
@@ -228,6 +228,121 @@ class LogDB:
             .orderBy(F.col("value").desc(), F.col(by))
             .limit(n)
         )
+
+    def search_ranked(
+        self,
+        name: str,
+        terms: list[str],
+        text_col: str = "text",
+        k: int = 10,
+        id_col: str | None = None,
+        scorer: str = "bm25",
+    ) -> DataFrame:
+        """Ranked full-text retrieval over a document table: top-k rows
+        by BM25 (default; k1=1.2, b=0.75, RSJ idf) or raw tf-idf over
+        whitespace tokens. One bounded stats action (N, avgdl, per-term
+        df) folds into the plan as literals; scoring is map-only and
+        the top-k is a per-partition heap (TakeOrderedAndProject)."""
+        if scorer not in ("bm25", "tfidf"):
+            raise LogDBError(f"unknown scorer {scorer!r} (bm25|tfidf)")
+        if not terms:
+            raise LogDBError("terms must be non-empty")
+        df = self.table(name)
+        self._check_columns(df, name, *(
+            [text_col, id_col] if id_col else [text_col]
+        ))
+        toks = F.split(text_col, " ")
+        stats = df.select(
+            F.size(toks).alias("dl"),
+            *[
+                F.array_contains(toks, t).cast("int").alias(f"df_{i}")
+                for i, t in enumerate(terms)
+            ],
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("dl").alias("sum_dl"),
+            *[F.sum(f"df_{i}").alias(f"df_{i}") for i in range(len(terms))],
+        ).first()
+        n = float(stats["n"])
+        avgdl = float(stats["sum_dl"]) / max(stats["n"], 1)
+        dl = F.size(toks).cast("double")
+        score = None
+        for i, t in enumerate(terms):
+            df_t = float(stats[f"df_{i}"])
+            cnt = F.size(
+                F.filter(toks, (lambda term: lambda x: x == F.lit(term))(t))
+            ).cast("double")
+            if scorer == "bm25":
+                idf = F.log(F.lit((n - df_t + 0.5) / (df_t + 0.5) + 1.0))
+                norm = cnt + F.lit(1.2) * (
+                    F.lit(0.25) + F.lit(0.75) * (dl / F.lit(avgdl))
+                )
+                term_score = idf * ((cnt * F.lit(2.2)) / norm)
+            else:
+                term_score = cnt * F.log(
+                    F.lit(n) / F.lit(max(df_t, 1.0))
+                )
+            score = term_score if score is None else score + term_score
+        out = df.withColumn("score", score).filter(F.col("score") > 0)
+        order = [F.col("score").desc()] + ([F.col(id_col)] if id_col else [])
+        return out.orderBy(*order).limit(k)
+
+    def lifecycle(
+        self, name: str, user_col: str = "user_id", ts_col: str = "ts"
+    ) -> DataFrame:
+        """Daily growth accounting: actives split into new / retained /
+        resurrected, plus churned (yesterday's actives − today's
+        retained)."""
+        df = self.table(name)
+        self._check_columns(df, name, user_col, ts_col)
+        daily = df.select(
+            F.col(user_col).alias("u"), F.to_date(ts_col).alias("day")
+        ).distinct()
+        wu = Window.partitionBy("u").orderBy("day")
+        staged = daily.select(
+            "day",
+            F.when(F.lag("day").over(wu).isNull(), "new")
+            .when(F.datediff("day", F.lag("day").over(wu)) == 1, "retained")
+            .otherwise("resurrected")
+            .alias("stage"),
+        )
+        per_day = staged.groupBy("day").agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.count(F.when(F.col("stage") == "new", 1)).alias("new_users"),
+            F.count(F.when(F.col("stage") == "retained", 1)).alias(
+                "retained_users"
+            ),
+            F.count(F.when(F.col("stage") == "resurrected", 1)).alias(
+                "resurrected_users"
+            ),
+        )
+        wd = Window.orderBy("day")  # calendar-bounded
+        return per_day.withColumn(
+            "churned_users",
+            F.coalesce(F.lag("active_users").over(wd), F.lit(0))
+            - F.col("retained_users"),
+        ).orderBy("day")
+
+    def catalog_stats(self, key_cols: dict[str, str]) -> DataFrame:
+        """ANALYZE-style stats for registered tables: row count plus
+        distinct/null counts of each table's probe key."""
+        frames = []
+        for t, k in key_cols.items():
+            df = self.table(t)
+            self._check_columns(df, t, k)
+            frames.append(
+                df.agg(
+                    F.count(F.lit(1)).alias("n_rows"),
+                    F.countDistinct(k).alias("n_distinct_key"),
+                    (F.count(F.lit(1)) - F.count(k)).alias("n_null_key"),
+                ).select(F.lit(t).alias("table_name"), "*")
+            )
+        if not frames:
+            raise LogDBError("key_cols must be non-empty")
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionAll(f)
+        return out
 
     # ----------------------------------------------------------- stream
 

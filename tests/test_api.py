@@ -130,3 +130,54 @@ def test_java_only_regex_still_accepted(db):
     # possessive quantifiers are Java-regex-only (Python re rejects
     # them) — validation must use the JVM dialect rlike executes
     assert db.search("ev", "err\\w*+").count() > 0
+
+
+@pytest.fixture(scope="module")
+def db_docs(spark):
+    db = LogDB(spark)
+    db.ingest_parquet(f"{SF_SMALL}/documents.parquet", "docs")
+    db.ingest_parquet(f"{SF_SMALL}/events.parquet", "ev2")
+    return db
+
+
+def test_search_ranked_bm25_matches_operator(db_docs, spark):
+    """The facade's BM25 must rank exactly like text_search_bm25's
+    kernel: same top-10 doc ids for the same terms."""
+    from logdb_spark.registry import all_operators
+
+    hits = db_docs.search_ranked(
+        "docs", ["hash", "join"], k=10, id_col="doc_id"
+    ).select("doc_id").collect()
+    op = all_operators()["text_search_bm25"].fn(spark, SF_SMALL)
+    want = [
+        r["doc_id"]
+        for r in op.filter(F.col("query") == "hash join")
+        .orderBy("rank")
+        .collect()
+    ]
+    assert [r["doc_id"] for r in hits] == want
+
+
+def test_search_ranked_validates(db_docs):
+    with pytest.raises(ValueError):
+        db_docs.search_ranked("docs", [])
+    with pytest.raises(ValueError):
+        db_docs.search_ranked("docs", ["x"], scorer="cosine")
+
+
+def test_lifecycle_stage_identity(db_docs):
+    """new + retained + resurrected == active on every day."""
+    rows = db_docs.lifecycle("ev2").collect()
+    assert rows
+    for r in rows:
+        assert (
+            r["new_users"] + r["retained_users"] + r["resurrected_users"]
+            == r["active_users"]
+        )
+
+
+def test_catalog_stats_shape(db_docs):
+    rows = db_docs.catalog_stats({"docs": "doc_id", "ev2": "event_id"}).collect()
+    by = {r["table_name"]: r for r in rows}
+    assert by["docs"]["n_rows"] == by["docs"]["n_distinct_key"]
+    assert by["ev2"]["n_null_key"] == 0
