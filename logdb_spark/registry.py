@@ -92,6 +92,7 @@ _R6_NEEDS_ROW_FIRST = (
     "sql_parameterized",
     "udtf_dynamic_schema",
     "agg_listagg_ordered",
+    "stream_foreachbatch_upsert",
     "log_triangle_count",
     "log_decayed_rate",
     "sink_python_stream_datasource",

@@ -879,3 +879,114 @@ def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     return restarted.select(
         "user_id", "n_events", dround(F.col("sv"), 2).alias("sum_value")
     )
+
+
+@register(
+    "stream_foreachbatch_upsert",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, date_trunc('second', ts) AS ts, event_id, value
+            FROM events
+        ), ranked AS (
+            SELECT user_id, ts, event_id, value,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+            FROM e
+        )
+        SELECT user_id,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+               CAST(event_id AS BIGINT) AS last_event_id,
+               value AS last_value
+        FROM ranked WHERE rn = 1
+    """,
+    section=SECTION,
+)
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch merge-upsert — THE production streaming-sink
+    pattern (Kafka→lakehouse CDC materialization): each micro-batch
+    merges its per-key latest rows into a parquet key-value table
+    (read current state ∪ batch, keep the (ts, event_id)-max row per
+    key, write the new state), so the table always holds exactly one
+    current row per user. The fixture replays as THREE micro-batches
+    (maxFilesPerTrigger=1 over three staged day-range files), and the
+    final table hash-matches the one-shot batch "latest per user"
+    oracle — proving the incremental merges compose to the batch
+    answer across batch boundaries in either direction (an event's
+    superseder may arrive two batches later).
+
+    State versions ping-pong between two directories keyed by batch id
+    parity (a lazy plan cannot overwrite the directory it reads), the
+    same copy-on-write shape Delta/Iceberg formalize with manifests —
+    scan_time_travel holds the manifest half of that story. Scale:
+    each merge shuffles once on the key; state size is keys, not
+    events; at 100 TB the overwrite narrows to changed partitions via
+    dynamic partition overwrite (sink_dynamic_partition_overwrite)."""
+    import glob
+    import os
+    import shutil
+
+    from logdb_spark.streaming.harness import read_events_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    out = scratch_dir("logdb_feb_")
+    stage = out + "/stage"
+    os.makedirs(stage)
+
+    def stage_slice(cond, name):
+        tmp = f"{out}/{name}_tmp"
+        ev.filter(cond).coalesce(1).write.parquet(tmp)
+        shutil.copy(
+            glob.glob(tmp + "/*.parquet")[0], f"{stage}/{name}.parquet"
+        )
+
+    dom = F.dayofmonth("ts")
+    stage_slice(dom <= 10, "f1")
+    stage_slice((dom > 10) & (dom <= 20), "f2")
+    stage_slice(dom > 20, "f3")
+
+    states = [out + "/state_a", out + "/state_b"]
+    last_dir = {"path": None}
+
+    def latest_per_key(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        rows = batch.select(
+            "user_id",
+            F.date_trunc("second", "ts").alias("ts"),
+            "event_id",
+            "value",
+        )
+        if last_dir["path"] is not None:
+            rows = rows.unionByName(
+                batch.sparkSession.read.parquet(last_dir["path"])
+            )
+        target = states[batch_id % 2]
+        latest_per_key(rows).write.mode("overwrite").parquet(target)
+        last_dir["path"] = target
+
+    s = read_events_stream(spark, stage, max_files_per_trigger=1)
+    q = (
+        s.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", out + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("foreachBatch upsert stream did not finish")
+    final = spark.read.parquet(last_dir["path"])
+    return final.select(
+        "user_id",
+        ts_str("ts").alias("last_ts"),
+        F.col("event_id").cast("bigint").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )
