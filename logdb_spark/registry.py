@@ -57,76 +57,22 @@ class Operator:
 _REGISTRY: dict[str, Operator] = {}
 _LOADED = False
 
-# Driver-gate coverage rotation. The driver correctness report caps at
-# 50 enumeration entries per round, so enumeration order IS evidence
-# budget. Union of driver rows r1-r5 covers 208 of the 241 ops that
-# existed at r5 close (the registry has since grown in r6); r6 tiering
-# (ADVICE r5 #3): tier 0 leads with ops whose IMPLEMENTATION changed
-# after their freshest driver row (the dedup composites — rewired r5:
-# pair-source auto/LSH, driver union-find finisher, lazy checkpoints;
-# plus this round's recall-boosted composite banding and conditional
-# broadcast — and mm_scene_segments' char-offset/empty-text fix), then
-# the BRAND-NEW r6 ops (zero evidence of any kind until this round's
-# gate), then the 33 ops with no driver row in any round
-# (set-difference of registry names vs the union of
-# CORRECTNESS_r0{1..5}.json keys — these at least carry judge
-# diffcheck evidence from r4/r5, so they absorb the 50-row cap's
-# tail cut). Tiers 1-3 unchanged: r2-green streaming/UDF (stalest
-# hashes), then r1-green, then freshest.
-_R6_NEEDS_ROW_FIRST = (
-    # -- implementation changed after last driver row (r4 rows predate
-    #    the r5/r6 rewires): freshest evidence needed --
-    "dedup_cluster_assign",
-    "dedup_keep_best",
-    "text_clean_pipeline",
-    # -- new in r6: no evidence until this round's gate --
-    "text_search_bm25",
-    "embed_covariance_pairs",
-    "agg_heavy_hitters_twopass",
-    "scan_catalog_stats",
-    "scan_time_travel",
-    "log_k_anonymity",
-    "log_user_lifecycle_stages",
-    "join_grid_spatial",
-    "stream_checkpoint_restart",
-    "sql_parameterized",
-    "udtf_dynamic_schema",
-    "agg_listagg_ordered",
-    "stream_foreachbatch_upsert",
-    "log_triangle_count",
-    "log_decayed_rate",
-    "sink_python_stream_datasource",
-    "udaf_cogroup_pandas",
-    "sql_pivot_clause",
-    "sql_unpivot_clause",
-    "log_sequence_pattern",
-    "fn_interval_suite",
-    "log_ab_lift",
-    "scan_aggregate_pushdown",
-    "ingest_xml_records",
-    "agg_count_min_sketch",
-    "fn_collation_suite",
-    "embed_matryoshka_recall",
-    "log_pagerank_influence",
-    "sql_q2_min_cost_supply",
-    "sql_q9_product_profit",
-    "sql_q11_important_stock",
-    "sql_q16_supplier_relationship",
-    "sql_q20_potential_promo",
-    "log_cusum_drift",
-    "log_flap_detect",
-    "log_backfill_detect",
-    "log_rolling_wau",
-    "log_p99_trend",
-    "text_containment_dedup",
-    "text_containment_prefix_join",
-    "embed_dim_stats",
-    "sim_mmr_diversify",
-    "stream_windowed_topk",
-    "join_asof_interpolate",
-    "set_union_by_name_evolution",
-    "sink_zorder_layout",
-    "sample_poisson_bootstrap",
+# Driver-gate coverage rotation, refreshed for round 8 (VERDICT r7
+# item #1). The driver correctness report caps at 50 enumeration
+# entries per round, so enumeration order IS evidence budget. Tier 0
+# leads with the 76 operators that have NEVER received a driver row in
+# any round (registry names minus the union of CORRECTNESS_r01–r07
+# keys — all judge-diffcheck-green, zero driver confirmation); the
+# 50-row cap draws entirely from them this round, leaving a 26-op tail
+# for r9. After the cap cut: ops whose implementation or oracle
+# changed in r8 (the md5-derandomized LSH/ANN ops upgraded from
+# rows-only to hash-checked, plus the new batch MERGE), then the 5 ops
+# whose freshest driver row predates their oracle (stale pre-oracle
+# rows). Tiers 1-3 unchanged: r2-green streaming/UDF (stalest hashes),
+# then r1-green, then freshest.
+_R8_NEEDS_ROW_FIRST = (
+    # -- never driver-sampled in r1-r7 (76 ops; the 50-row cap cuts
+    #    inside this block, remainder rotates to the r9 head) --
     "log_correlation_matrix",
     "scan_file_metadata_cols",
     "log_bounce_rate",
@@ -170,8 +116,7 @@ _R6_NEEDS_ROW_FIRST = (
     "text_kl_divergence",
     "agg_incremental_mv_merge",
     "ingest_gzip_text",
-    # -- never driver-checked (no row r1-r5; cap cuts here) --
-    "mm_scene_segments",         # also changed this round (char offsets)
+    "mm_scene_segments",
     "agg_histogram_percentile",
     "agg_mergeable_rollup",
     "agg_pareto_coverage",
@@ -204,6 +149,20 @@ _R6_NEEDS_ROW_FIRST = (
     "text_vocab_growth",
     "win_drawdown",
     "win_time_weighted_avg",
+    # -- implementation/oracle changed in r8 (fresh rows needed once
+    #    the 76-op backlog clears) --
+    "sql_merge_upsert",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "sim_ann_lsh",
+    "sim_ann_ivf",
+    "dedup_embedding_cosine_lsh",
+    # -- stale pre-oracle driver rows (row predates oracle addition) --
+    "sink_partitioned_parquet",
+    "agg_approx_count_distinct",
+    "agg_percentile_approx",
+    "sink_compaction",
+    "sink_bucketed_join",
 )
 _R2_DRIVER_GREEN = frozenset(
     {
@@ -239,7 +198,7 @@ _R1_DRIVER_GREEN = frozenset(
 
 
 def _enumeration_order(ops: dict[str, Operator]) -> list[str]:
-    priority = {n: i for i, n in enumerate(_R6_NEEDS_ROW_FIRST)}
+    priority = {n: i for i, n in enumerate(_R8_NEEDS_ROW_FIRST)}
 
     def tier(name: str) -> int:
         if name in priority:
