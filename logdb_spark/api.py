@@ -263,8 +263,10 @@ class LogDB:
             F.sum("dl").alias("sum_dl"),
             *[F.sum(f"df_{i}").alias(f"df_{i}") for i in range(len(terms))],
         ).first()
+        if not stats["n"]:
+            raise LogDBError(f"table {name!r} is empty")
         n = float(stats["n"])
-        avgdl = float(stats["sum_dl"]) / max(stats["n"], 1)
+        avgdl = float(stats["sum_dl"]) / stats["n"]
         dl = F.size(toks).cast("double")
         score = None
         for i, t in enumerate(terms):
@@ -284,7 +286,13 @@ class LogDB:
                 )
             score = term_score if score is None else score + term_score
         out = df.withColumn("score", score).filter(F.col("score") > 0)
-        order = [F.col("score").desc()] + ([F.col(id_col)] if id_col else [])
+        # Deterministic tiebreak: id_col when given, else the text
+        # itself — score ties otherwise resolve by partition order and
+        # the top-k boundary flaps between runs.
+        order = [
+            F.col("score").desc(),
+            F.col(id_col) if id_col else F.col(text_col),
+        ]
         return out.orderBy(*order).limit(k)
 
     def lifecycle(

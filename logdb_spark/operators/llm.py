@@ -4778,14 +4778,21 @@ def embed_covariance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint"),
     )
     d_minus_1 = F.size("embedding") - 1
+    # A 1-element embedding has no pairs; without the filter,
+    # sequence(0, dm1 - 1) sees dm1 = 0 and Spark's step-less sequence
+    # DESCENDS ([0, -1]), emitting bogus pairs. Explicit step 1 plus
+    # the size guard keeps both ranges ascending and non-degenerate;
+    # the marginal-sum leg below stays unfiltered (the oracle's
+    # a.dim < b.dim join likewise yields no pairs for dim-1 vectors).
     pairs = (
-        e.select(x6.alias("xs"), d_minus_1.alias("dm1"))
+        e.filter(F.size("embedding") >= 2)
+        .select(x6.alias("xs"), d_minus_1.alias("dm1"))
         .select(
             F.explode(
                 F.flatten(
                     F.expr(
-                        "transform(sequence(0, dm1 - 1), i ->"
-                        " transform(sequence(i + 1, dm1), j ->"
+                        "transform(sequence(0, dm1 - 1, 1), i ->"
+                        " transform(sequence(i + 1, dm1, 1), j ->"
                         " struct(i AS di, j AS dj, xs[i] * xs[j] AS xy)))"
                     )
                 )

@@ -514,7 +514,12 @@ def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
             return AnalyzeResult(schema=st)
 
         def eval(self, text, n):
-            toks = (text or "").split(" ")
+            if text is None:
+                # Match the oracle: string_split(NULL) is NULL, so
+                # every field is NULL — not [''] (f0 = empty string).
+                yield (None,) * n
+                return
+            toks = text.split(" ")
             yield tuple(
                 toks[i] if i < len(toks) else None for i in range(n)
             )

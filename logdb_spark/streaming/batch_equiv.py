@@ -881,6 +881,44 @@ def stream_checkpoint_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _latest_per_key(df: DataFrame) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def parity_merge_upsert(
+    states: list[str], batch: DataFrame, batch_id: int
+) -> None:
+    """One foreachBatch merge step: union batch k with the state its
+    predecessor wrote (states[(k-1) % 2]; batch 0 starts empty), keep
+    the (ts, event_id)-max row per user_id, overwrite states[k % 2].
+
+    The read pointer is a pure function of batch_id, NOT driver
+    memory, so a checkpoint-recovered replay of batch k>0 re-merges
+    against the correct prior state and idempotently rewrites its own
+    target — replaying the same batch twice is a no-op (exercised by
+    tests/test_streaming.py's replay test)."""
+    rows = batch.select(
+        "user_id",
+        F.date_trunc("second", "ts").alias("ts"),
+        "event_id",
+        "value",
+    )
+    if batch_id > 0:
+        rows = rows.unionByName(
+            batch.sparkSession.read.parquet(states[(batch_id - 1) % 2])
+        )
+    _latest_per_key(rows).write.mode("overwrite").parquet(
+        states[batch_id % 2]
+    )
+
+
 @register(
     "stream_foreachbatch_upsert",
     oracle="""
@@ -916,9 +954,16 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     superseder may arrive two batches later).
 
     State versions ping-pong between two directories keyed by batch id
-    parity (a lazy plan cannot overwrite the directory it reads), the
-    same copy-on-write shape Delta/Iceberg formalize with manifests —
-    scan_time_travel holds the manifest half of that story. Scale:
+    PARITY (a lazy plan cannot overwrite the directory it reads): batch
+    k reads states[(k-1) % 2] and overwrites states[k % 2], so the read
+    pointer is a pure function of batch_id — a checkpoint-recovered
+    replay of batch k>0 re-reads exactly the state its predecessor
+    wrote and idempotently rewrites its own target, rather than
+    consulting a driver-local variable that a restart would reset.
+    This is the copy-on-write shape Delta/Iceberg formalize with
+    manifests — scan_time_travel holds the manifest half of that
+    story; a production table would add an atomically-committed
+    manifest so readers never see a half-written directory. Scale:
     each merge shuffles once on the key; state size is keys, not
     events; at 100 TB the overwrite narrows to changed partitions via
     dynamic partition overwrite (sink_dynamic_partition_overwrite)."""
@@ -946,32 +991,15 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage_slice(dom > 20, "f3")
 
     states = [out + "/state_a", out + "/state_b"]
-    last_dir = {"path": None}
-
-    def latest_per_key(df: DataFrame) -> DataFrame:
-        w = Window.partitionBy("user_id").orderBy(
-            F.col("ts").desc(), F.col("event_id").desc()
-        )
-        return (
-            df.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
-        )
+    # Driver-local MAX batch id — used only for the final read after
+    # awaitTermination, never to locate state inside merge_batch (the
+    # read dir is derived from batch_id parity so a restart replays
+    # correctly).
+    seen = {"max_batch": -1}
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
-        rows = batch.select(
-            "user_id",
-            F.date_trunc("second", "ts").alias("ts"),
-            "event_id",
-            "value",
-        )
-        if last_dir["path"] is not None:
-            rows = rows.unionByName(
-                batch.sparkSession.read.parquet(last_dir["path"])
-            )
-        target = states[batch_id % 2]
-        latest_per_key(rows).write.mode("overwrite").parquet(target)
-        last_dir["path"] = target
+        parity_merge_upsert(states, batch, batch_id)
+        seen["max_batch"] = max(seen["max_batch"], batch_id)
 
     s = read_events_stream(spark, stage, max_files_per_trigger=1)
     q = (
@@ -983,7 +1011,7 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not q.awaitTermination(180):
         q.stop()
         raise TimeoutError("foreachBatch upsert stream did not finish")
-    final = spark.read.parquet(last_dir["path"])
+    final = spark.read.parquet(states[seen["max_batch"] % 2])
     return final.select(
         "user_id",
         ts_str("ts").alias("last_ts"),

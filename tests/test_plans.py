@@ -521,16 +521,60 @@ def test_aggregate_pushdown_restores_session_confs(spark):
 
 def test_search_bm25_uses_take_ordered_per_query(spark):
     """text_search_bm25 mirrors text_search_ranked's plan contract:
-    per-query top-k is TakeOrderedAndProject (no global Sort), and
-    N/avgdl/df constants are plan-time literals so no join appears."""
+    per-query top-k is TakeOrderedAndProject, the only Sort is the
+    LOCAL (global=false) rank-window sort over the bounded union of
+    the per-query shortlists, and N/avgdl/df constants are plan-time
+    literals so no join appears.
+
+    The pre-r8 version of this test matched lines that *start with*
+    "Sort", but formatted explain renders "+- Sort (14)" / "(14) Sort"
+    — the assertion was vacuous and a global-sort regression would
+    have passed. Now every Sort operator block is parsed and its
+    Arguments line must carry global=false (a df.orderBy regression
+    plans "Arguments: [...], true, 0")."""
+    import re
+
     plan = plan_of(spark, "text_search_bm25")
     assert plan.count("TakeOrderedAndProject") >= 3  # one per query
-    sort_lines = [
-        l for l in plan.splitlines()
-        if l.strip().startswith(("Sort", "* Sort"))
-    ]
-    assert not sort_lines, f"unexpected global sort: {sort_lines}"
+    # Formatted mode: each operator is "(<id>) Sort" followed by an
+    # "Arguments: [...ordering...], <global>, <offset>" line.
+    sort_ids = re.findall(r"\((\d+)\) Sort\b", plan)
+    assert sort_ids, "expected the bounded window sort to be present"
+    for sid in sort_ids:
+        block = re.search(
+            rf"\({sid}\) Sort\b.*?(?=\n\(\d+\)|\Z)", plan, re.S
+        ).group(0)
+        args = re.search(r"Arguments: .*", block).group(0)
+        assert re.search(r"\bfalse, 0\s*$", args), (
+            f"global sort regression in Sort ({sid}): {args}"
+        )
     assert "Join" not in plan
+    # Self-check that the detector is not vacuous: an injected global
+    # sort (plain orderBy, no limit) must trip the same regex.
+    import contextlib
+    import io
+
+    import pyspark.sql.functions as F
+
+    # (id % 3) is non-monotonic, so EliminateSorts cannot fold the
+    # orderBy away (range(10).orderBy("id") plans to a bare Range).
+    sorted_df = (
+        spark.range(10).select((F.col("id") % 3).alias("k")).orderBy("k")
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sorted_df.explain(mode="formatted")
+    injected = buf.getvalue()
+    inj_ids = re.findall(r"\((\d+)\) Sort\b", injected)
+    assert inj_ids, "detector failed to see an injected global sort"
+    inj_block = re.search(
+        rf"\({inj_ids[0]}\) Sort\b.*?(?=\n\(\d+\)|\Z)", injected, re.S
+    ).group(0)
+    inj_args = re.search(r"Arguments: .*", inj_block).group(0)
+    assert re.search(r"\btrue, 0\s*$", inj_args), (
+        "injected orderBy did not plan as a global sort — detector "
+        f"assumptions broken: {inj_args}"
+    )
 
 
 def test_covariance_pairs_single_shuffle_then_topk(spark):
