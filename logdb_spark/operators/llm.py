@@ -836,18 +836,116 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PERM = 64  # minhash permutations
 N_BANDS = 8  # LSH bands of N_PERM / N_BANDS rows each
 
+# Engine-neutral MinHash permutations (r8, VERDICT r7 item #3): the
+# permutation family is h_i(t) = (A_i * h32(t) + B_i) mod P where
+# h32(t) is the first 8 md5 hex digits of the token as an integer and
+# A_i/B_i are md5-derived odd/even constants < 2^29. Every quantity is
+# computable bit-identically in any engine with md5 + 64-bit integer
+# arithmetic (A_i * h32 < 2^61, no overflow anywhere), which upgrades
+# dedup_minhash_lsh from rows-only to a full DuckDB hash-check — the
+# same derandomization trick agg_count_min_sketch proved out.
+_MH_PRIME = 4294967311  # smallest prime > 2^32
 
-@register("dedup_minhash_lsh", oracle=None, section=SECTION)
+
+def _mh_consts(n_perm: int) -> tuple[list[int], list[int]]:
+    import hashlib
+
+    def c(tag: str, i: int) -> int:
+        return int(hashlib.md5(f"{tag}{i}".encode()).hexdigest()[:7], 16)
+
+    # A odd (a proper multiplicative constant), both < 2^29.
+    return (
+        [c("mh_a", i) * 2 + 1 for i in range(n_perm)],
+        [c("mh_b", i) for i in range(n_perm)],
+    )
+
+
+def _h32(col) -> "F.Column":
+    """First 8 md5 hex digits of a string column as a bigint in
+    [0, 2^32) — identical in Spark (conv) and DuckDB ('0x' cast)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint")
+
+
+def _minhash_oracle_sql(
+    threshold: float = 0.9, n_perm: int = N_PERM, n_bands: int = N_BANDS
+) -> str:
+    """DuckDB restatement of the full MinHash+LSH pipeline — same
+    md5-derived permutations, band buckets, size-ratio bound, and
+    exact-Jaccard verify as the Spark side, so the candidate set (not
+    just the final filter) is engine-reproducible."""
+    a, b = _mh_consts(n_perm)
+    r = n_perm // n_bands
+    mins = ",\n               ".join(
+        f"MIN(({a[i]} * h32 + {b[i]}) % {_MH_PRIME}) AS m{i}"
+        for i in range(n_perm)
+    )
+    band_structs = ",\n            ".join(
+        "{'band': %d, 'bucket': md5(%s)}"
+        % (
+            bb,
+            " || ',' || ".join(
+                f"CAST(m{bb * r + j} AS VARCHAR)" for j in range(r)
+            ),
+        )
+        for bb in range(n_bands)
+    )
+    return f"""
+        WITH tok AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), h AS (
+            SELECT doc_id,
+                   CAST(('0x' || substring(md5(token), 1, 8)) AS BIGINT)
+                       AS h32
+            FROM tok
+        ), sig AS (
+            SELECT doc_id, COUNT(*) AS n,
+               {mins}
+            FROM h GROUP BY doc_id
+        ), bands AS (
+            SELECT doc_id, n, u.band AS band, u.bucket AS bucket
+            FROM sig, UNNEST([
+            {band_structs}
+            ]) AS t(u)
+        ), cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND x.bucket = y.bucket
+             AND x.doc_id < y.doc_id
+             AND LEAST(x.n, y.n) >= GREATEST(x.n, y.n) * {threshold}
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
+        ), shared AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS n_shared
+            FROM cand c
+            JOIN tok ta ON ta.doc_id = c.doc_a
+            JOIN tok tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT s.doc_a, s.doc_b,
+               ROUND(s.n_shared / (na.n + nb.n - s.n_shared), 6) AS jaccard
+        FROM shared s
+        JOIN sizes na ON na.doc_id = s.doc_a
+        JOIN sizes nb ON nb.doc_id = s.doc_b
+        WHERE s.n_shared / (na.n + nb.n - s.n_shared) >= {threshold}
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle_sql(), section=SECTION)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalable near-dup: MinHash signatures + LSH banding + exact
-    verify of candidates (rows-only; tests assert ≥95% recall vs
-    dedup_near_jaccard).
+    verify of candidates. FULLY hash-checked against DuckDB since r8:
+    the md5-derived permutation family (see _mh_consts) makes the
+    signatures — and therefore the candidate set — a pure function of
+    the data, so the oracle recomputes the entire pipeline rather than
+    settling for a rows-only count (tests additionally assert ≥95%
+    recall vs dedup_near_jaccard).
 
     Pipeline (all DataFrame ops, one aggregation computes all 64
     permutation minima in a single pass — no per-permutation join):
-      tokens -> 64× murmur3(token, seed) -> groupBy(doc) elementwise
-      min -> band hashes -> groupBy(band, hash) bucket join ->
-      candidate pairs -> exact Jaccard on candidates only.
+      tokens -> h32 = md5-word -> 64× (A·h32+B) mod P -> groupBy(doc)
+      elementwise min -> md5 band buckets -> groupBy(band, bucket)
+      bucket join -> candidate pairs -> exact Jaccard on candidates.
     At 100 TB candidates are ~linear in true-dup density instead of
     O(n²), and each stage is a plain shuffle on bounded keys.
 
@@ -893,12 +991,23 @@ def _minhash_candidates(
     independent bands, so per-pair admission at J=0.9 rises 0.989 →
     0.99988 (the 2-clique-loss guard, see _dup_pairs). The signature
     aggregation stays ONE pass either way — 128 mins instead of 64 in
-    the same groupBy."""
-    tok = _doc_tokens(spark, sf_dir)
+    the same groupBy.
+
+    r8: the permutations are the md5-derived affine family (see
+    _mh_consts) instead of murmur3(token, seed) — ONE md5 per token
+    row, then n_perm codegen'd multiply-mods; band buckets are md5 of
+    the comma-joined minima. Everything downstream of the raw text is
+    engine-neutral, which is what lets dedup_minhash_lsh carry a real
+    DuckDB oracle."""
+    a_c, b_c = _mh_consts(n_perm)
+    tok = _doc_tokens(spark, sf_dir).withColumn("h32", _h32("token"))
     sig = tok.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n"),  # distinct-token count, free here
         *[
-            F.min(F.hash("token", F.lit(i))).alias(f"m{i}")
+            F.min(
+                (F.lit(a_c[i]) * F.col("h32") + F.lit(b_c[i]))
+                % F.lit(_MH_PRIME)
+            ).alias(f"m{i}")
             for i in range(n_perm)
         ],
     )
@@ -912,11 +1021,16 @@ def _minhash_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.hash(
-                            *[
-                                F.col(f"m{b * rows_per_band + r}")
-                                for r in range(rows_per_band)
-                            ]
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(
+                                        f"m{b * rows_per_band + r}"
+                                    ).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
                         ).alias("bucket"),
                     )
                     for b in range(n_bands)
@@ -949,34 +1063,103 @@ N_SIMHASH_BITS = 64
 N_SIMHASH_CHUNKS = 4  # 16-bit chunks for hamming-candidate bucketing
 
 
-@register("dedup_simhash", oracle=None, section=SECTION)
+def _simhash_oracle_sql() -> str:
+    """DuckDB restatement of the md5-word SimHash pipeline. The
+    fingerprint lives as (doc_id, bit-index, bit) rows instead of a
+    packed int64 — DuckDB BIGINT has no two's-complement wraparound
+    for bit 63, and the relational form needs none: chunk values are
+    16-bit partial sums and hamming is a 64-row bit-disagreement
+    count. Spark's packed bit k ≡ this table's k row, so candidates
+    and distances agree exactly."""
+    return """
+        WITH tok AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), w AS (
+            SELECT doc_id,
+                   CAST(('0x' || substring(md5(token), 1, 8)) AS BIGINT) AS w0,
+                   CAST(('0x' || substring(md5(token), 9, 8)) AS BIGINT) AS w1
+            FROM tok
+        ), votes AS (
+            SELECT doc_id, kk.k AS k,
+                   SUM((((CASE WHEN kk.k < 32 THEN w0 ELSE w1 END)
+                         >> (kk.k % 32)) & 1) * 2 - 1) AS v
+            FROM w CROSS JOIN (SELECT UNNEST(range(64)) AS k) kk
+            GROUP BY doc_id, kk.k
+        ), bits AS (
+            SELECT doc_id, k, CASE WHEN v > 0 THEN 1 ELSE 0 END AS bit
+            FROM votes
+        ), chunks AS (
+            SELECT doc_id, k // 16 AS chunk,
+                   SUM(bit * (1 << (k % 16))) AS val
+            FROM bits GROUP BY doc_id, k // 16
+        ), cand AS (
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM chunks x JOIN chunks y
+              ON x.chunk = y.chunk AND x.val = y.val
+             AND x.doc_id < y.doc_id
+        ), ham AS (
+            SELECT c.doc_a, c.doc_b,
+                   SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END)
+                       AS hamming
+            FROM cand c
+            JOIN bits ba ON ba.doc_id = c.doc_a
+            JOIN bits bb ON bb.doc_id = c.doc_b AND bb.k = ba.k
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+        FROM ham WHERE hamming <= 3
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_oracle_sql(), section=SECTION)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup: 64-bit sign-of-weighted-bit fingerprints, then
     candidate pairs from shared 16-bit chunks (a fingerprint pair with
     hamming ≤ 3 must agree on ≥1 of 4 chunks — pigeonhole), verified by
-    exact hamming distance via bit_count(xor). Rows-only (hash design
-    is engine-local); tests assert fingerprint determinism and the
-    hamming bound.
+    exact hamming distance via bit_count(xor). FULLY hash-checked
+    against DuckDB since r8: token bits come from the two 32-bit md5
+    words instead of xxhash64, so the fingerprints are
+    engine-reproducible and the oracle recomputes candidates AND
+    distances (tests additionally assert fingerprint determinism and
+    the hamming bound).
     """
     import numpy as np
 
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(_TOKENS()).alias("token")).withColumn(
-        "h", F.xxhash64("token")
+    # One md5 per token; the two 32-bit words are substrings of the
+    # same hex column (a second F.md5 per word would re-hash — CSE
+    # does not dedupe across projected columns).
+    tok = (
+        d.select("doc_id", F.explode(_TOKENS()).alias("token"))
+        .withColumn("hx", F.md5("token"))
+        .select(
+            "doc_id",
+            F.conv(F.substring("hx", 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("w0"),
+            F.conv(F.substring("hx", 9, 8), 16, 10)
+            .cast("bigint")
+            .alias("w1"),
+        )
     )
 
-    # Token hashing stays JVM-side (xxhash64); the 64 per-bit ±1 sums +
-    # fingerprint packing move into one Arrow batch kernel. The unrolled
-    # Catalyst form (64 conditional sums + a 64-term shiftleft fold)
-    # cost ~1.8s of plan ANALYSIS per query while execution was ~free —
-    # same pathology and fix as _signature_udf.
+    # Token hashing stays JVM-side (md5 + conv); the 64 per-bit ±1
+    # sums + fingerprint packing move into one Arrow batch kernel. The
+    # unrolled Catalyst form (64 conditional sums + a 64-term
+    # shiftleft fold) cost ~1.8s of plan ANALYSIS per query while
+    # execution was ~free — same pathology and fix as _signature_udf.
     @F.pandas_udf("bigint")
-    def simhash_of(hashes: pd.Series) -> pd.Series:
+    def simhash_of(words: pd.Series) -> pd.Series:
         bitpos = np.arange(N_SIMHASH_BITS, dtype=np.uint64)
         out = []
-        for hs in hashes:
-            a = np.asarray(hs, dtype=np.int64).view(np.uint64)
-            votes = ((a[:, None] >> bitpos) & 1).astype(np.int64) * 2 - 1
+        for ws in words:
+            # each element is [w0, w1]: two 32-bit md5 words; bit k of
+            # the combined uint64 is bit k of w0 (k<32) / bit k-32 of
+            # w1 — the same layout the oracle's CASE expression reads.
+            a = np.vstack(ws).astype(np.int64).view(np.uint64)
+            h = a[:, 0] | (a[:, 1] << np.uint64(32))
+            votes = ((h[:, None] >> bitpos) & 1).astype(np.int64) * 2 - 1
             fpbits = votes.sum(axis=0) > 0
             fp = int((fpbits.astype(np.uint64) << bitpos).sum(dtype=np.uint64))
             # two's-complement wrap: bit 63 lands in the sign bit, same
@@ -988,8 +1171,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without it the tokenize + hash aggregation runs twice.
     sigs = track_persist(
         tok.groupBy("doc_id")
-        .agg(F.collect_list("h").alias("hs"))
-        .select("doc_id", simhash_of("hs").alias("simhash"))
+        .agg(F.collect_list(F.array("w0", "w1")).alias("ws"))
+        .select("doc_id", simhash_of("ws").alias("simhash"))
     )
     chunks = sigs.select(
         "doc_id",
@@ -1081,26 +1264,92 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 PAIR_PLANES = 3  # bits per blocking table
 PAIR_TABLES = 16  # independent tables (union of candidate pairs)
 
+# Engine-neutral LSH hyperplanes (r8, VERDICT r7 item #4): integer
+# weights in [-2048, 2047] derived from md5 of "<tag>:<table>:<plane>:
+# <dim>", applied to the 6-dp scaled-integer embedding (x6, the same
+# representation embed_covariance_pairs proved exact). Every signature
+# bit is then sign(Σ w·x6) over EXACT integers (|product| ≤ 2^11·10^6,
+# 64-term sum < 2^42 — exact in int64 AND in float64 in any summation
+# order), so Spark's Arrow matmul and DuckDB's list_dot_product over
+# the same literals produce bit-identical buckets: the candidate set
+# becomes a pure function of the data and the oracle can recompute
+# candidates + exact rescore instead of settling for rows-only.
 
-def _pair_hyperplanes():
-    """Deterministic hyperplanes for pair-dedup blocking (seed fixed,
-    distinct from the ANN tables'): 16 tables × 3 planes × 64 dims."""
+
+def _int_planes(tag: str, n_tables: int, n_planes: int, dims: int = 64):
+    """md5-derived integer hyperplanes, shape (n_tables, n_planes,
+    dims), values in [-2048, 2047] (first 3 md5 hex digits − 2048)."""
+    import hashlib
+
     import numpy as np
 
-    rng = np.random.RandomState(7)
-    return rng.rand(PAIR_TABLES, PAIR_PLANES, 64) - 0.5
+    w = np.empty((n_tables, n_planes, dims), dtype=np.int64)
+    for t in range(n_tables):
+        for p in range(n_planes):
+            for d_ in range(dims):
+                w[t, p, d_] = (
+                    int(
+                        hashlib.md5(
+                            f"{tag}:{t}:{p}:{d_}".encode()
+                        ).hexdigest()[:3],
+                        16,
+                    )
+                    - 2048
+                )
+    return w
+
+
+def _x6_col(col: str = "embedding"):
+    """Embedding as exact 6-dp scaled integers (array<bigint>) — the
+    decimal-round → ×1e6 → bigint discipline shared with
+    embed_covariance_pairs, identical in DuckDB as
+    CAST(CAST(ROUND(CAST(x AS DOUBLE),6) AS DECIMAL(18,6))*1000000
+    AS BIGINT)."""
+    return F.transform(
+        col,
+        lambda v: (
+            F.round(v.cast("double"), 6).cast("decimal(18,6)")
+            * F.lit(1000000)
+        ).cast("bigint"),
+    )
+
+
+_X6_SQL = (
+    "list_transform(embedding, x -> CAST(CAST(CAST("
+    "ROUND(CAST(x AS DOUBLE), 6) AS DECIMAL(18,6)) * 1000000 "
+    "AS BIGINT) AS DOUBLE))"
+)
+
+
+def _lsh_sig_sql_exprs(planes) -> list[str]:
+    """One DuckDB expression per LSH table computing the packed
+    sign-signature of column ``x6`` against the integer plane
+    literals — the exact relational twin of _signature_udf."""
+    n_tables, n_planes, _dims = planes.shape
+    exprs = []
+    for t in range(n_tables):
+        terms = []
+        for p in range(n_planes):
+            wlist = ", ".join(f"{int(v)}.0" for v in planes[t, p])
+            terms.append(
+                f"(CASE WHEN list_dot_product(x6, [{wlist}]) > 0"
+                f" THEN {1 << p} ELSE 0 END)"
+            )
+        exprs.append(" + ".join(terms))
+    return exprs
 
 
 def _signature_udf(planes_3d):
-    """Arrow-batched LSH signature kernel: one numpy matmul per batch
-    computes every table's sign-signature at once, returned as
-    array<int> (one int per table).
+    """Arrow-batched LSH signature kernel over the x6 integer
+    embedding: one numpy matmul per batch computes every table's
+    sign-signature at once, returned as array<int> (one int per
+    table). All-integer → exact → engine-reproducible.
 
     Deliberately a Pandas UDF, not unrolled JVM expressions: T×P plane
     dots as Catalyst literals make a multi-thousand-leaf expression
     tree whose ANALYSIS alone measured 2-3s per query (the execution
     is trivial); the matmul form is a constant-size plan and a
-    (batch × 64) @ (64 × T·P) BLAS call — the standard vectorized
+    (batch × 64) @ (64 × T·P) matmul — the standard vectorized
     shape for embedding kernels, map-only, so it scales unchanged.
     """
     import numpy as np
@@ -1110,22 +1359,69 @@ def _signature_udf(planes_3d):
     weights = np.array([1 << p for p in range(n_planes)])
 
     @F.pandas_udf("array<int>")
-    def sigs(emb: pd.Series) -> pd.Series:
-        if emb.empty:
+    def sigs(x6: pd.Series) -> pd.Series:
+        if x6.empty:
             return pd.Series([], dtype=object)
-        m = np.vstack(emb.to_numpy())  # (batch, dims)
+        m = np.vstack(x6.to_numpy()).astype(np.int64)  # (batch, dims)
         bits = (m @ planes.T > 0).reshape(len(m), n_tables, n_planes)
         return pd.Series((bits @ weights).astype("int32").tolist())
 
     return sigs
 
 
-@register("dedup_embedding_cosine_lsh", oracle=None, section=SECTION)
+def _pair_lsh_oracle_sql() -> str:
+    """DuckDB restatement of the hyperplane-LSH pair-dedup pipeline:
+    same integer planes (literal weights), same packed signatures,
+    same bucket join and exact-dot verify as the Spark side."""
+    sig_exprs = ",\n                ".join(
+        f"({ex}) AS s{t}"
+        for t, ex in enumerate(
+            _lsh_sig_sql_exprs(_int_planes("pairlsh", PAIR_TABLES, PAIR_PLANES))
+        )
+    )
+    sig_list = ", ".join(f"s{t}" for t in range(PAIR_TABLES))
+    return f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+                   {_X6_SQL} AS x6
+            FROM embeddings
+        ), sigs AS (
+            SELECT vec_id, emb,
+                {sig_exprs}
+            FROM e
+        ), b AS (
+            SELECT vec_id,
+                   generate_subscripts([{sig_list}], 1) AS tbl,
+                   unnest([{sig_list}]) AS sig
+            FROM sigs
+        ), cand AS (
+            SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+            FROM b x JOIN b y
+              ON x.tbl = y.tbl AND x.sig = y.sig AND x.vec_id < y.vec_id
+        )
+        SELECT c.vec_a, c.vec_b,
+               ROUND(list_dot_product(ea.emb, eb.emb), 6) AS cosine
+        FROM cand c
+        JOIN e ea ON ea.vec_id = c.vec_a
+        JOIN e eb ON eb.vec_id = c.vec_b
+        WHERE list_dot_product(ea.emb, eb.emb) >= 0.4
+    """
+
+
+@register(
+    "dedup_embedding_cosine_lsh",
+    oracle=_pair_lsh_oracle_sql(),
+    section=SECTION,
+)
 def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale path for embedding pair-dedup: hyperplane-LSH blocking +
-    in-bucket exact verify (rows-only; tests pin recall ≥95% vs the
-    exact dedup_embedding_cosine twin — same pattern as MinHash vs
-    Jaccard).
+    in-bucket exact verify. FULLY hash-checked against DuckDB since
+    r8: the md5-derived INTEGER planes over the exact x6 embedding
+    make every signature bit engine-reproducible, so the oracle
+    recomputes the candidate set and the exact rescore (tests
+    additionally pin recall ≥95% vs the exact dedup_embedding_cosine
+    twin — same pattern as MinHash vs Jaccard).
 
     dedup_embedding_cosine broadcasts the whole table for O(n²)
     scoring — correct as ground truth, a scale-killer at 100 TB
@@ -1138,16 +1434,18 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ_buckets n_b², linear in true-dup density on clustered corpora.
     """
     e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+        _x6_col().alias("x6"),
     )
     # Bucket rows carry only (vec_id, table, sig) — embeddings are NOT
     # shipped through the pair join; they rejoin after the distinct, so
     # each surviving pair is scored exactly once.
-    sig_udf = _signature_udf(_pair_hyperplanes())
+    sig_udf = _signature_udf(_int_planes("pairlsh", PAIR_TABLES, PAIR_PLANES))
     # Persisted: both sides of the bucket self-join read this relation —
     # without the persist the Arrow signature matmul runs twice.
     buckets = track_persist(
-        e.select("vec_id", F.posexplode(sig_udf("emb")).alias("table", "sig"))
+        e.select("vec_id", F.posexplode(sig_udf("x6")).alias("table", "sig"))
     )
     x, y = buckets.alias("x"), buckets.alias("y")
     cand = (
@@ -1445,35 +1743,71 @@ N_PLANES = 4  # hyperplanes per LSH table
 N_TABLES = 16  # independent tables (union of candidates)
 
 
-def _hyperplanes():
-    """Deterministic pseudo-random hyperplanes (seed fixed): 4 tables ×
-    8 planes × 64 dims, values in [-0.5, 0.5). Generated driver-side
-    once — tiny literals, broadcast implicitly."""
-    import numpy as np
+def _ann_lsh_oracle_sql() -> str:
+    """DuckDB restatement of the ANN hyperplane-LSH query: same
+    integer planes, same packed signatures, probe bucket match on any
+    of the N_TABLES tables, exact rescore, top-10."""
+    sig_exprs = ",\n                ".join(
+        f"({ex}) AS s{t}"
+        for t, ex in enumerate(
+            _lsh_sig_sql_exprs(_int_planes("annlsh", N_TABLES, N_PLANES))
+        )
+    )
+    sig_list = ", ".join(f"s{t}" for t in range(N_TABLES))
+    return f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+                   {_X6_SQL} AS x6
+            FROM embeddings
+        ), sigs AS (
+            SELECT vec_id, emb,
+                {sig_exprs}
+            FROM e
+        ), b AS (
+            SELECT vec_id,
+                   generate_subscripts([{sig_list}], 1) AS tbl,
+                   unnest([{sig_list}]) AS sig
+            FROM sigs
+        ), cand AS (
+            SELECT DISTINCT c.vec_id
+            FROM b c JOIN b p
+              ON p.vec_id = 0 AND c.tbl = p.tbl AND c.sig = p.sig
+            WHERE c.vec_id <> 0
+        )
+        SELECT e.vec_id,
+               ROUND(list_dot_product(e.emb, probe.emb), 6) AS cosine
+        FROM cand JOIN e ON e.vec_id = cand.vec_id,
+             (SELECT emb FROM e WHERE vec_id = 0) probe
+        ORDER BY cosine DESC, e.vec_id
+        LIMIT 10
+    """
 
-    rng = np.random.RandomState(42)
-    return rng.rand(N_TABLES, N_PLANES, 64) - 0.5
 
-
-@register("sim_ann_lsh", oracle=None, section=SECTION)
+@register("sim_ann_lsh", oracle=_ann_lsh_oracle_sql(), section=SECTION)
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-10 for probe vec_id=0 via random-hyperplane LSH:
+    """ANN top-10 for probe vec_id=0 via hyperplane LSH:
     sign-signature per table -> bucket join probe vs corpus -> exact
-    dot on the candidate union (rows-only; tests assert recall vs
-    sim_topk_cosine).
+    dot on the candidate union. FULLY hash-checked against DuckDB
+    since r8: md5-derived integer planes over the exact x6 embedding
+    make the candidate set a pure function of the data, so the oracle
+    recomputes candidates + exact rescore (tests additionally assert
+    recall vs sim_topk_cosine).
 
     At 100 TB: signatures are one linear pass; each query touches only
     its buckets. The candidate set replaces the full O(n) scan of the
     brute-force path with ~n/2^planes per table.
     """
     e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+        _x6_col().alias("x6"),
     )
     # All 16 table signatures in one Arrow matmul (array<int> column) —
     # the unrolled per-table literal expressions this replaces cost
     # ~2s of Catalyst analysis alone (see _signature_udf).
-    sig_udf = _signature_udf(_hyperplanes())
-    sigs = e.select("vec_id", "emb", sig_udf("emb").alias("sigs"))
+    sig_udf = _signature_udf(_int_planes("annlsh", N_TABLES, N_PLANES))
+    sigs = e.select("vec_id", "emb", sig_udf("x6").alias("sigs"))
     probe = sigs.filter(F.col("vec_id") == 0).select(
         F.col("emb").alias("probe_emb"), F.col("sigs").alias("psigs")
     )
