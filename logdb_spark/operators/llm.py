@@ -1832,27 +1832,32 @@ KMEANS_ITERS = 3  # Lloyd refinement passes over the corpus
 
 
 def _centroid_dots(cents):
-    """Array<struct(d,k)> of the row's dot with every centroid — the
-    map-only kernel shared by training assignment and the query path
-    (argmax = array_max over the structs).
+    """Array<struct(d,k)> of the row's x6 dot with every scaled-int
+    centroid — the map-only kernel shared by training assignment and
+    the query path (argmax = array_max over the structs; struct
+    comparison ties on equal d resolve to the LARGEST k, mirrored by
+    the oracle's ORDER BY d DESC, k DESC).
 
-    Dots come from one Arrow matmul per batch (same rationale as
-    _signature_udf: 16×64 centroid literals cost ~1s of Catalyst
-    analysis per plan); the (d, k) structs are then built JVM-side by
-    a constant-size indexed transform."""
+    All-integer since r8: centroids are 6-dp scaled ints (c6) and the
+    input is the x6 embedding, so every dot is an exact integer
+    ≤ 64·10¹² < 2⁵³ — bit-identical in numpy int64, float64, and
+    DuckDB's list_dot_product. Dots come from one Arrow matmul per
+    batch (same rationale as _signature_udf: 16×64 centroid literals
+    cost ~1s of Catalyst analysis per plan); the (d, k) structs are
+    then built JVM-side by a constant-size indexed transform."""
     import numpy as np
 
-    c = np.asarray(cents, dtype=np.float64)
+    c = np.asarray(cents, dtype=np.int64)
 
     @F.pandas_udf("array<double>")
-    def cdots(emb: pd.Series) -> pd.Series:
-        if emb.empty:
+    def cdots(x6: pd.Series) -> pd.Series:
+        if x6.empty:
             return pd.Series([], dtype=object)
-        m = np.vstack(emb.to_numpy())
-        return pd.Series((m @ c.T).tolist())
+        m = np.vstack(x6.to_numpy()).astype(np.int64)
+        return pd.Series((m @ c.T).astype(np.float64).tolist())
 
     return F.transform(
-        cdots(F.col("emb")),
+        cdots(F.col("x6")),
         lambda d, k: F.struct(d.alias("d"), k.alias("k")),
     )
 
@@ -1863,58 +1868,172 @@ def _centroid_dots(cents):
 _IVF_CACHE: dict = {}
 
 
-def _ivf_centroids(e, cache_key=None):
-    """Spherical-k-means coarse centroids learned from the corpus
-    (replaces r1's fixed random planes, whose recall@10 was 5-6/10).
+def _c6_normalize(vals: list[int]) -> list[int] | None:
+    """Unit-normalize an integer vector onto the 6-dp scaled-int grid:
+    floor(v · 10⁶ / ‖vals‖). Exact-input IEEE sqrt + division + floor
+    — the identical expression DuckDB evaluates as
+    FLOOR(v * 1000000 / sqrt(list_dot_product(m, m))), so both engines
+    land on the same grid point (floor, NOT round: round-half rules
+    differ across engines, floor of a shared double never does).
+    Returns None for the zero vector (caller keeps the previous
+    centroid, matching the oracle's CASE)."""
+    import math
 
-    Forgy init from the first N_CELLS vectors by vec_id (deterministic),
-    then KMEANS_ITERS Lloyd passes, each ONE distributed job: assign via
-    the same unrolled argmax projection the query uses, update via
-    posexplode + groupBy(cell, dim) avg. The only driver-side transfer
-    per pass is the N_CELLS x 64 centroid matrix itself (a 1024-row
-    aggregate via .take) — metadata scale, same as FAISS coarse-quantizer
-    training. At 100 TB: train on a bounded sample instead of the full
-    corpus, then write the table partitioned BY cell so queries prune at
-    the scan; the query-time kernel is unchanged."""
-    import numpy as np
+    s = math.sqrt(sum(v * v for v in vals))
+    if s == 0.0:
+        return None
+    return [math.floor(v * 1000000 / s) for v in vals]
+
+
+def _ivf_centroids(e6, cache_key=None) -> list[list[int]]:
+    """Spherical-k-means coarse centroids learned from the corpus
+    (replaces r1's fixed random planes, whose recall@10 was 5-6/10),
+    ENGINE-REPRODUCIBLE since r8: every quantity in training is an
+    exact integer or the floor of an IEEE double of exact-integer
+    operands, so DuckDB re-derives bit-identical centroids and the
+    oracle can recompute cell assignments — the certificate that
+    upgraded sim_ann_ivf from rows-only to a full hash-check.
+
+    Forgy init from the first N_CELLS vectors by vec_id
+    (deterministic), 6-dp-grid-normalized, then KMEANS_ITERS Lloyd
+    passes, each ONE distributed job: assign via the same argmax
+    projection the query uses (exact int dots), update via
+    floor(sum/count) per (cell, dim) — sums of x6 ints are exact, the
+    division is one IEEE op, floor is unambiguous. The only
+    driver-side transfer per pass is the N_CELLS x 64 centroid matrix
+    itself (a 1024-row aggregate via .take) — metadata scale, same as
+    FAISS coarse-quantizer training. At 100 TB: train on a bounded
+    sample instead of the full corpus, then write the table
+    partitioned BY cell so queries prune at the scan; the query-time
+    kernel is unchanged.
+
+    ``e6`` carries (vec_id, x6) with x6 the scaled-int embedding."""
+    import math
 
     if cache_key is not None and cache_key in _IVF_CACHE:
         return _IVF_CACHE[cache_key]
 
-    seed = e.orderBy("vec_id").limit(N_CELLS).select("emb").take(N_CELLS)
-    cents = np.array([r["emb"] for r in seed], dtype=np.float64)
-    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
-    e = e.persist()  # scanned KMEANS_ITERS times here + twice by the query
+    seed = e6.orderBy("vec_id").limit(N_CELLS).select("x6").take(N_CELLS)
+    cents = []
+    for r in seed:
+        vals = [int(x) for x in r["x6"]]
+        cents.append(_c6_normalize(vals) or vals)
+    e6 = e6.persist()  # scanned KMEANS_ITERS times here + twice by the query
     try:
         for _ in range(KMEANS_ITERS):
-            means = (
-                e.select("emb", _centroid_dots(cents).alias("cdots"))
+            sums = (
+                e6.select("x6", _centroid_dots(cents).alias("cdots"))
                 .select(
                     F.array_max("cdots")["k"].alias("cell"),
-                    F.posexplode("emb").alias("dim", "x"),
+                    F.posexplode("x6").alias("dim", "x"),
                 )
                 .groupBy("cell", "dim")
-                .agg(F.avg("x").alias("m"))
+                .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
                 .take(N_CELLS * 64)
             )
-            nxt = cents.copy()  # empty cells keep their centroid
-            for r in means:
-                nxt[r["cell"], r["dim"]] = r["m"]
-            norms = np.linalg.norm(nxt, axis=1, keepdims=True)
-            cents = nxt / np.where(norms == 0, 1.0, norms)
+            per_cell: dict[int, dict[int, int]] = {}
+            for r in sums:
+                per_cell.setdefault(r["cell"], {})[r["dim"]] = math.floor(
+                    r["s"] / r["n"]
+                )
+            nxt = [list(c) for c in cents]  # empty cells keep theirs
+            for k, dims_ in per_cell.items():
+                m6 = [dims_[d] for d in range(len(nxt[k]))]
+                normed = _c6_normalize(m6)
+                if normed is not None:  # zero mean → keep previous
+                    nxt[k] = normed
+            cents = nxt
     finally:
-        e.unpersist()
+        e6.unpersist()
     if cache_key is not None:
         _IVF_CACHE[cache_key] = cents
     return cents
 
 
-@register("sim_ann_ivf", oracle=None, section=SECTION)
+def _ivf_oracle_sql() -> str:
+    """DuckDB restatement of the ENTIRE IVF pipeline — Forgy init,
+    KMEANS_ITERS Lloyd passes, final assignment, probe-cell selection,
+    exact rescore. Possible only because training arithmetic is
+    exact-integer + floor (see _ivf_centroids): the unrolled iteration
+    CTEs land on bit-identical centroids, so cells — and therefore the
+    candidate set — match Spark's."""
+    its = ""
+    prev = "c0"
+    for i in range(1, KMEANS_ITERS + 1):
+        its += f""", a{i} AS (
+            SELECT vec_id, x6d, k, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY d DESC, k DESC) AS rn
+            FROM (SELECT e.vec_id, e.x6d, c.k,
+                         list_dot_product(e.x6d, c.c6) AS d
+                  FROM e CROSS JOIN {prev} c)
+        ), m{i} AS (
+            SELECT cell, dim, FLOOR(SUM(x) / COUNT(*)) AS m6
+            FROM (SELECT k AS cell, generate_subscripts(x6d, 1) - 1 AS dim,
+                         unnest(x6d) AS x
+                  FROM a{i} WHERE rn = 1)
+            GROUP BY cell, dim
+        ), ml{i} AS (
+            SELECT cell AS k, list(m6 ORDER BY dim) AS m6s
+            FROM m{i} GROUP BY cell
+        ), c{i} AS (
+            SELECT p.k,
+                   CASE WHEN m.k IS NULL
+                             OR list_dot_product(m.m6s, m.m6s) = 0
+                        THEN p.c6
+                        ELSE list_transform(m.m6s, v -> FLOOR(v * 1000000
+                             / sqrt(list_dot_product(m.m6s, m.m6s))))
+                   END AS c6
+            FROM {prev} p LEFT JOIN ml{i} m ON m.k = p.k
+        )"""
+        prev = f"c{i}"
+    return f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb,
+                   {_X6_SQL} AS x6d
+            FROM embeddings
+        ), init AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k, x6d
+            FROM e ORDER BY vec_id LIMIT {N_CELLS}
+        ), c0 AS (
+            SELECT k,
+                   CASE WHEN list_dot_product(x6d, x6d) = 0 THEN x6d
+                        ELSE list_transform(x6d, v -> FLOOR(v * 1000000
+                             / sqrt(list_dot_product(x6d, x6d))))
+                   END AS c6
+            FROM init
+        ){its}, fa AS (
+            SELECT vec_id, k, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY d DESC, k DESC) AS rn
+            FROM (SELECT e.vec_id, c.k,
+                         list_dot_product(e.x6d, c.c6) AS d
+                  FROM e CROSS JOIN {prev} c)
+        ), cells AS (
+            SELECT vec_id, k AS cell FROM fa WHERE rn = 1
+        ), pcells AS (
+            SELECT k AS cell FROM fa WHERE vec_id = 0 AND rn <= {N_PROBE}
+        )
+        SELECT e.vec_id,
+               ROUND(list_dot_product(e.emb, probe.emb), 6) AS cosine
+        FROM cells
+        JOIN e ON e.vec_id = cells.vec_id
+        JOIN pcells ON pcells.cell = cells.cell,
+             (SELECT emb FROM e WHERE vec_id = 0) probe
+        WHERE e.vec_id <> 0
+        ORDER BY cosine DESC, e.vec_id
+        LIMIT 10
+    """
+
+
+@register("sim_ann_ivf", oracle=_ivf_oracle_sql(), section=SECTION)
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-10 for probe vec_id=0 via an IVF coarse quantizer:
     k-means-learn 16 centroids from the corpus, assign every vector to
     its nearest centroid (its cell), scan only the probe's N_PROBE=6
-    nearest cells, exact dot on those candidates (rows-only; tests
+    nearest cells, exact dot on those candidates. FULLY hash-checked
+    against DuckDB since r8: training runs on the exact-integer grid
+    (see _ivf_centroids), so the oracle re-derives the same centroids,
+    cells, and candidates, then exact-rescoes (tests additionally
     assert recall vs sim_topk_cosine).
 
     The cell assignment is a map-only projection — 16 unrolled
@@ -1927,9 +2046,12 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+        _x6_col().alias("x6"),
     )
-    cents = _ivf_centroids(e, cache_key=sf_dir)
-    cells = e.select("vec_id", "emb", _centroid_dots(cents).alias("cdots"))
+    cents = _ivf_centroids(e.select("vec_id", "x6"), cache_key=sf_dir)
+    cells = e.select(
+        "vec_id", "emb", "x6", _centroid_dots(cents).alias("cdots")
+    )
     corpus = cells.select(
         "vec_id", "emb", F.array_max("cdots")["k"].alias("cell")
     )
