@@ -1187,3 +1187,155 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_price": 1000.0,
         },
     )
+
+
+@register(
+    "sql_merge_upsert",
+    oracle="""
+        WITH tgt AS (
+            SELECT user_id, dayofmonth(ts) AS day, COUNT(*) AS n_events,
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2)
+                        AS DOUBLE) AS sum_value
+            FROM events WHERE dayofmonth(ts) <= 20
+            GROUP BY 1, 2
+        ), src AS (
+            SELECT user_id, dayofmonth(ts) AS day,
+                   COUNT(*) FILTER (WHERE event_type <> 'error') AS n_good,
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4)))
+                              FILTER (WHERE event_type <> 'error'), 2)
+                        AS DOUBLE) AS sum_good
+            FROM events WHERE dayofmonth(ts) BETWEEN 18 AND 31
+            GROUP BY 1, 2
+        )
+        SELECT user_id, CAST(day AS INT) AS day, n_events, sum_value
+        FROM tgt WHERE day < 18
+        UNION ALL
+        SELECT user_id, CAST(day AS INT) AS day,
+               CAST(n_good AS BIGINT) AS n_events, sum_good AS sum_value
+        FROM src WHERE n_good > 0
+    """,
+    section=SECTION,
+)
+def sql_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE INTO against a keyed, day-partitioned parquet state
+    table (VERDICT r7 item #6) — the matched-update / not-matched-
+    insert / matched-delete surface every lakehouse user reaches for
+    first, expressed engine-level: Spark SQL's MERGE INTO statement
+    itself binds only to v2 catalog tables (Delta/Iceberg), so this is
+    the exact plan those formats lower to.
+
+    Scenario: a daily per-user rollup (days 1-20) receives a
+    re-aggregation of the 18-31 window with error events quarantined —
+    the classic late-arriving-data backfill. Keys = (user_id, day):
+      - WHEN MATCHED AND the recomputed day still has good events
+        -> UPDATE (error-free counts/sums replace the old aggregates),
+      - WHEN NOT MATCHED (days 21-31) -> INSERT,
+      - WHEN MATCHED AND zero good events remain -> DELETE.
+
+    Merge mechanics, the 100 TB-relevant part:
+      1. the target is PARTITIONED BY day, and the merge reads only
+         the affected window (day >= 18 — a partition-pruned scan, 14
+         of 31 partitions);
+      2. source and target are aggregated/joined on the SAME key
+         (user_id, day), so the source's aggregation exchange
+         satisfies the join's distribution — one shuffle does both;
+      3. the write-back uses DYNAMIC partition overwrite: only
+         partitions present in the merged output are rewritten, days
+         1-17 are untouched files (asserted by mtime in
+         tests/test_plans.py). Caveat, documented rather than hidden:
+         a partition whose rows are ALL deleted would survive as stale
+         files under pure dynamic overwrite — production tables drop
+         it via metadata (replaceWhere / DROP PARTITION); the fixtures
+         always leave survivors per day.
+    The oracle restates the END STATE of the table (untouched days
+    UNION the merged window) straight from events."""
+    import pyspark.sql.functions as F
+
+    from logdb_spark.sources.scratch import scratch_dir
+
+    target_dir = scratch_dir("logdb_merge_") + "/table"
+    _merge_build_target(spark, sf_dir, target_dir)
+    _merge_apply(spark, sf_dir, target_dir)
+    out = spark.read.parquet(target_dir)
+    return out.select(
+        "user_id",
+        F.col("day").cast("int").alias("day"),
+        "n_events",
+        "sum_value",
+    )
+
+
+def _merge_build_target(
+    spark: SparkSession, sf_dir: str, target_dir: str
+) -> None:
+    """sql_merge_upsert step 1: the day-partitioned daily rollup as of
+    day 20 (the pre-merge state table). Split out so tests can
+    snapshot partition files between build and merge."""
+    import pyspark.sql.functions as F
+
+    from logdb_spark.functions.numeric import dec4, dround
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.dayofmonth("ts")
+    (
+        ev.filter(day <= 20)
+        .groupBy("user_id", day.alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dround(F.sum(dec4("value"))).alias("sum_value"),
+        )
+        .write.partitionBy("day")
+        .parquet(target_dir)
+    )
+
+
+def _merge_apply(spark: SparkSession, sf_dir: str, target_dir: str) -> None:
+    """sql_merge_upsert step 2: the MERGE itself — recomputed source
+    window, partition-pruned target read, full-outer key join with the
+    three WHEN branches, dynamic-partition-overwrite write-back."""
+    import pyspark.sql.functions as F
+
+    from logdb_spark.functions.numeric import dec4, dround
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.dayofmonth("ts")
+    # MERGE source: recomputed window, errors quarantined. n_good = 0
+    # is the delete signal (the whole key's data was bad).
+    good = F.col("event_type") != "error"
+    src = (
+        ev.filter(day.between(18, 31))
+        .groupBy("user_id", day.alias("day"))
+        .agg(
+            F.count(F.when(good, 1)).alias("n_good"),
+            dround(F.sum(F.when(good, dec4("value")))).alias("sum_good"),
+        )
+    )
+
+    # Full-outer join on the key over ONLY the affected partitions
+    # (static predicate = the source window, so the scan prunes days
+    # 1-17), then the three WHEN branches.
+    affected = spark.read.parquet(target_dir).filter(F.col("day") >= 18)
+    joined = affected.alias("t").join(
+        src.alias("s"), ["user_id", "day"], "full_outer"
+    )
+    upd = F.col("s.n_good").isNotNull()
+    merged = (
+        joined.filter(F.col("s.n_good").isNull() | (F.col("s.n_good") > 0))
+        .select(
+            "user_id",
+            "day",
+            F.when(upd, F.col("s.n_good"))
+            .otherwise(F.col("t.n_events"))
+            .alias("n_events"),
+            F.when(upd, F.col("s.sum_good"))
+            .otherwise(F.col("t.sum_value"))
+            .alias("sum_value"),
+        )
+    )
+
+    before = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("day").parquet(target_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", before)

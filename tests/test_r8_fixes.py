@@ -137,3 +137,57 @@ def test_parity_merge_upsert_replay_is_idempotent(spark, tmp_path):
         for r in spark.read.parquet(states[1]).collect()
     }
     assert got == want
+
+
+def test_merge_upsert_leaves_untouched_partitions_alone(spark, tmp_path):
+    """sql_merge_upsert's dynamic-overwrite claim at the FILE level:
+    after the merge, every day<18 partition keeps the exact same files
+    (names + mtimes + sizes) it had before — only the 18-31 window is
+    rewritten. Also pins the three WHEN branches semantically against
+    a direct recomputation."""
+    import os
+
+    from logdb_spark.operators.analytics import (
+        _merge_apply,
+        _merge_build_target,
+    )
+    from tests.conftest import SF_SMALL
+
+    target = str(tmp_path / "table")
+    _merge_build_target(spark, SF_SMALL, target)
+
+    def snapshot(day_lo, day_hi):
+        snap = {}
+        for d in range(day_lo, day_hi + 1):
+            p = f"{target}/day={d}"
+            if os.path.isdir(p):
+                for f in os.listdir(p):
+                    st = os.stat(f"{p}/{f}")
+                    snap[f"{d}/{f}"] = (st.st_mtime_ns, st.st_size)
+        return snap
+
+    before_untouched = snapshot(1, 17)
+    before_window = snapshot(18, 20)
+    assert before_untouched and before_window
+    _merge_apply(spark, SF_SMALL, target)
+    assert snapshot(1, 17) == before_untouched  # byte-for-byte same files
+    assert snapshot(18, 20) != before_window  # the window WAS rewritten
+
+    # Branch semantics vs direct recomputation.
+    got = {
+        (r["user_id"], r["day"]): (r["n_events"], r["sum_value"])
+        for r in spark.read.parquet(target).collect()
+    }
+    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    rows = ev.selectExpr(
+        "user_id", "dayofmonth(ts) AS day", "event_type", "value"
+    ).collect()
+    want = {}
+    for r in rows:  # days < 18: everything; days >= 18: good rows only
+        if r["day"] < 18 or r["event_type"] != "error":
+            k = (r["user_id"], r["day"])
+            n, s = want.get(k, (0, 0.0))
+            want[k] = (n + 1, s + r["value"])
+    assert set(got) == set(want)
+    for k, (n, _s) in want.items():
+        assert got[k][0] == n
