@@ -21,10 +21,43 @@ import sys
 import time
 
 
+def _quiescence() -> dict:
+    """Host-contention self-flagging (VERDICT r6 item — the r6/r7
+    bench spread was diagnosed as host contention only by inference):
+    1/5-minute load averages plus a count of ALREADY-RUNNING java
+    processes, sampled BEFORE this bench starts its own JVM. A row
+    with other_jvms > 0 or load5 >> cpus was measured on a contended
+    host and should be discounted (BASELINE.md's ±25% variance
+    history)."""
+    try:
+        load1, load5, _ = os.getloadavg()
+    except OSError:
+        load1 = load5 = -1.0
+    other_jvms = 0
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/comm") as fh:
+                    if fh.read().strip() == "java":
+                        other_jvms += 1
+            except OSError:
+                continue  # raced process exit
+    except OSError:
+        other_jvms = -1
+    return {
+        "load1": round(load1, 2),
+        "load5": round(load5, 2),
+        "other_jvms": other_jvms,
+    }
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = int(os.environ.get("BENCH_RUNS", "3"))
     only = sys.argv[1:]  # optional operator-name filter
+    quiesce = _quiescence()  # sample before our own JVM exists
 
     # Guarantee exactly one JSON line on stdout: save the real stdout fd,
     # then point fd 1 at stderr for the whole run — the JVM inherits fd 1,
@@ -73,6 +106,8 @@ def main() -> int:
         "n_queries": len(timings),
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count())),
         "runs_per_query": runs,
+        "quiesce_start": quiesce,
+        "quiesce_end": _quiescence(),
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as f:
@@ -86,6 +121,7 @@ def main() -> int:
             "queries": top10,
             "sf": detail["sf"],
             "n_queries": len(timings),
+            "quiesce": quiesce,
             "detail": "BENCH_DETAIL.json",
         },
         separators=(",", ":"),
