@@ -994,22 +994,41 @@ def _minhash_candidates(
     the same groupBy.
 
     r8: the permutations are the md5-derived affine family (see
-    _mh_consts) instead of murmur3(token, seed) — ONE md5 per token
-    row, then n_perm codegen'd multiply-mods; band buckets are md5 of
-    the comma-joined minima. Everything downstream of the raw text is
-    engine-neutral, which is what lets dedup_minhash_lsh carry a real
-    DuckDB oracle."""
+    _mh_consts) instead of murmur3(token, seed); band buckets are md5
+    of the comma-joined minima. Everything downstream of the raw text
+    is engine-neutral, which is what lets dedup_minhash_lsh carry a
+    real DuckDB oracle. The md5 + 64 multiply-mods are evaluated once
+    per DISTINCT token in a broadcast dictionary (vocabulary ≪ corpus
+    by Heaps' law — 31 words here, and at 100 TB still dictionary-
+    sized; AQE falls back to a shuffle join if it ever isn't), so the
+    per-token-row work is a broadcast probe + 64 column mins — the
+    same trick cut the bench cost of the derandomization from +79% to
+    ~par with the old murmur3 path. Semantics are identical to
+    inlining the hash per row; the oracle keeps the inline form."""
     a_c, b_c = _mh_consts(n_perm)
-    tok = _doc_tokens(spark, sf_dir).withColumn("h32", _h32("token"))
-    sig = tok.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"),  # distinct-token count, free here
-        *[
-            F.min(
-                (F.lit(a_c[i]) * F.col("h32") + F.lit(b_c[i]))
-                % F.lit(_MH_PRIME)
-            ).alias(f"m{i}")
-            for i in range(n_perm)
-        ],
+    tok = _doc_tokens(spark, sf_dir)
+    tok_dict = (
+        tok.select("token")
+        .distinct()
+        .withColumn("h32", _h32("token"))
+        .select(
+            "token",
+            *[
+                (
+                    (F.lit(a_c[i]) * F.col("h32") + F.lit(b_c[i]))
+                    % F.lit(_MH_PRIME)
+                ).alias(f"p{i}")
+                for i in range(n_perm)
+            ],
+        )
+    )
+    sig = (
+        tok.join(F.broadcast(tok_dict), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),  # distinct-token count, free here
+            *[F.min(f"p{i}").alias(f"m{i}") for i in range(n_perm)],
+        )
     )
     sig = track_persist(sig)  # tiny (docs x n_perm+1 ints); reused by 3 subtrees below
     rows_per_band = n_perm // n_bands
@@ -1127,14 +1146,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     d = load_table(spark, sf_dir, "documents")
-    # One md5 per token; the two 32-bit words are substrings of the
-    # same hex column (a second F.md5 per word would re-hash — CSE
-    # does not dedupe across projected columns).
-    tok = (
-        d.select("doc_id", F.explode(_TOKENS()).alias("token"))
+    # md5 + hex-parse once per DISTINCT token via a broadcast
+    # dictionary (31-word vocabulary; same rationale as
+    # _minhash_candidates), not per token row.
+    raw = d.select("doc_id", F.explode(_TOKENS()).alias("token"))
+    tok_dict = (
+        raw.select("token")
+        .distinct()
         .withColumn("hx", F.md5("token"))
         .select(
-            "doc_id",
+            "token",
             F.conv(F.substring("hx", 1, 8), 16, 10)
             .cast("bigint")
             .alias("w0"),
@@ -1142,6 +1163,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("w1"),
         )
+    )
+    tok = raw.join(F.broadcast(tok_dict), "token").select(
+        "doc_id", "w0", "w1"
     )
 
     # Token hashing stays JVM-side (md5 + conv); the 64 per-bit ±1
