@@ -867,12 +867,19 @@ def _h32(col) -> "F.Column":
 
 
 def _minhash_oracle_sql(
-    threshold: float = 0.9, n_perm: int = N_PERM, n_bands: int = N_BANDS
+    threshold: float = 0.9,
+    n_perm: int = N_PERM,
+    n_bands: int = N_BANDS,
+    *,
+    incremental: bool = False,
 ) -> str:
     """DuckDB restatement of the full MinHash+LSH pipeline — same
     md5-derived permutations, band buckets, size-ratio bound, and
     exact-Jaccard verify as the Spark side, so the candidate set (not
-    just the final filter) is engine-reproducible."""
+    just the final filter) is engine-reproducible. With
+    ``incremental=True``, candidates are restricted to pairs touching
+    the new batch (doc_id % 10 = 0) and a pair_type column labels
+    new_new vs new_old (the dedup_incremental_minhash contract)."""
     a, b = _mh_consts(n_perm)
     r = n_perm // n_bands
     mins = ",\n               ".join(
@@ -889,6 +896,28 @@ def _minhash_oracle_sql(
         )
         for bb in range(n_bands)
     )
+    if incremental:
+        cand = f"""
+            SELECT DISTINCT LEAST(x.doc_id, y.doc_id) AS doc_a,
+                            GREATEST(x.doc_id, y.doc_id) AS doc_b
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND x.bucket = y.bucket
+             AND x.doc_id <> y.doc_id
+             AND x.doc_id % 10 = 0
+             AND LEAST(x.n, y.n) >= GREATEST(x.n, y.n) * {threshold}
+        """
+        final_cols = """,
+               CASE WHEN s.doc_a % 10 = 0 AND s.doc_b % 10 = 0
+                    THEN 'new_new' ELSE 'new_old' END AS pair_type"""
+    else:
+        cand = f"""
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND x.bucket = y.bucket
+             AND x.doc_id < y.doc_id
+             AND LEAST(x.n, y.n) >= GREATEST(x.n, y.n) * {threshold}
+        """
+        final_cols = ""
     return f"""
         WITH tok AS (
             SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
@@ -908,11 +937,7 @@ def _minhash_oracle_sql(
             {band_structs}
             ]) AS t(u)
         ), cand AS (
-            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-            FROM bands x JOIN bands y
-              ON x.band = y.band AND x.bucket = y.bucket
-             AND x.doc_id < y.doc_id
-             AND LEAST(x.n, y.n) >= GREATEST(x.n, y.n) * {threshold}
+            {cand}
         ), sizes AS (
             SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
         ), shared AS (
@@ -924,6 +949,7 @@ def _minhash_oracle_sql(
         )
         SELECT s.doc_a, s.doc_b,
                ROUND(s.n_shared / (na.n + nb.n - s.n_shared), 6) AS jaccard
+               {final_cols}
         FROM shared s
         JOIN sizes na ON na.doc_id = s.doc_a
         JOIN sizes nb ON nb.doc_id = s.doc_b
@@ -972,6 +998,75 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_bands(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_perm: int = N_PERM,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """(doc_id, n, band, bucket) LSH band rows over the md5-affine
+    signature family — the shared front half of _minhash_candidates
+    and dedup_incremental_minhash. The md5 + n_perm multiply-mods are
+    evaluated once per DISTINCT token in a broadcast dictionary
+    (vocabulary ≪ corpus by Heaps' law; AQE falls back to a shuffle
+    join if it ever isn't), so per-token-row work is a broadcast probe
+    + n_perm column mins. The signature relation is persisted: banding
+    and both sides of the exact verify read it."""
+    a_c, b_c = _mh_consts(n_perm)
+    tok = _doc_tokens(spark, sf_dir)
+    tok_dict = (
+        tok.select("token")
+        .distinct()
+        .withColumn("h32", _h32("token"))
+        .select(
+            "token",
+            *[
+                (
+                    (F.lit(a_c[i]) * F.col("h32") + F.lit(b_c[i]))
+                    % F.lit(_MH_PRIME)
+                ).alias(f"p{i}")
+                for i in range(n_perm)
+            ],
+        )
+    )
+    sig = (
+        tok.join(F.broadcast(tok_dict), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),  # distinct-token count, free here
+            *[F.min(f"p{i}").alias(f"m{i}") for i in range(n_perm)],
+        )
+    )
+    sig = track_persist(sig)  # tiny (docs x n_perm+1 ints)
+    rows_per_band = n_perm // n_bands
+    return sig.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col(
+                                        f"m{b * rows_per_band + r}"
+                                    ).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "n", "bb.band", "bb.bucket")
+
+
 def _minhash_candidates(
     spark: SparkSession,
     sf_dir: str,
@@ -1005,58 +1100,7 @@ def _minhash_candidates(
     same trick cut the bench cost of the derandomization from +79% to
     ~par with the old murmur3 path. Semantics are identical to
     inlining the hash per row; the oracle keeps the inline form."""
-    a_c, b_c = _mh_consts(n_perm)
-    tok = _doc_tokens(spark, sf_dir)
-    tok_dict = (
-        tok.select("token")
-        .distinct()
-        .withColumn("h32", _h32("token"))
-        .select(
-            "token",
-            *[
-                (
-                    (F.lit(a_c[i]) * F.col("h32") + F.lit(b_c[i]))
-                    % F.lit(_MH_PRIME)
-                ).alias(f"p{i}")
-                for i in range(n_perm)
-            ],
-        )
-    )
-    sig = (
-        tok.join(F.broadcast(tok_dict), "token")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n"),  # distinct-token count, free here
-            *[F.min(f"p{i}").alias(f"m{i}") for i in range(n_perm)],
-        )
-    )
-    sig = track_persist(sig)  # tiny (docs x n_perm+1 ints); reused by 3 subtrees below
-    rows_per_band = n_perm // n_bands
-    bands = sig.select(
-        "doc_id",
-        "n",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(
-                                        f"m{b * rows_per_band + r}"
-                                    ).cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "n", "bb.band", "bb.bucket")
+    bands = _minhash_bands(spark, sf_dir, n_perm=n_perm, n_bands=n_bands)
     x, y = bands.alias("x"), bands.alias("y")
     # Size-ratio bound fused into the bucket join: pairs that cannot
     # reach the Jaccard threshold never enter the distinct shuffle.
@@ -1075,6 +1119,67 @@ def _minhash_candidates(
             F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
         )
         .distinct()
+    )
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=_minhash_oracle_sql(incremental=True),
+    section=SECTION,
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: dedup a NEW BATCH against the existing
+    corpus without re-pairing the corpus against itself — the
+    production shape of MinHash dedup at 100 TB, where the corpus
+    grows daily and a full re-dedup is quadratic waste. The fixture's
+    batch is doc_id % 10 = 0 (10% of docs, a deterministic stand-in
+    for "today's ingest").
+
+    Pipeline: band rows for everything (at scale the corpus side is a
+    STORED index — signatures are data, built once per doc ever, the
+    payoff of the md5-derived family being reproducible), then the
+    bucket join keeps only pairs with ≥1 new member: the NEW side's
+    bands (small) broadcast against the full band relation, so
+    candidate volume is linear in batch size × bucket density, never
+    corpus². Pairs are normalized (doc_a < doc_b), exact-verified, and
+    labeled new_new (intra-batch dup) vs new_old (batch duplicates an
+    existing doc — the row a pipeline drops). Same md5-affine
+    signature family as dedup_minhash_lsh, so the DuckDB oracle
+    recomputes the whole thing, candidates included."""
+    bands = _minhash_bands(spark, sf_dir)
+    new_bands = bands.filter(F.col("doc_id") % 10 == 0)
+    threshold = 0.9
+    cand = (
+        bands.alias("y")
+        .join(
+            F.broadcast(new_bands.alias("x")),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") != F.col("y.doc_id"))
+            & (
+                F.least("x.n", "y.n")
+                >= F.greatest("x.n", "y.n") * F.lit(threshold)
+            ),
+        )
+        .select(
+            F.least("x.doc_id", "y.doc_id").alias("doc_a"),
+            F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    pair_type = F.when(
+        (F.col("doc_a") % 10 == 0) & (F.col("doc_b") % 10 == 0),
+        F.lit("new_new"),
+    ).otherwise(F.lit("new_old"))
+    return (
+        _jaccard_pairs(spark, sf_dir, cand)
+        .filter(F.col("jac") >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            ratio(F.col("jac")).alias("jaccard"),
+            pair_type.alias("pair_type"),
+        )
     )
 
 

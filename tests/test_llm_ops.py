@@ -318,3 +318,27 @@ def test_containment_prefix_join_matches_allpairs(spark):
         .collect()
     )
     assert allpairs == prefix
+
+
+def test_incremental_minhash_matches_batch_restriction(spark):
+    """dedup_incremental_minhash must equal the FULL dedup pipeline's
+    ground truth restricted to pairs touching the new batch: same md5
+    family, so every batch-touching true pair the full banding admits
+    is admitted here too, and exact verify keeps precision 1.0. Also
+    pins the pair_type labels."""
+    from logdb_spark.operators.llm import dedup_incremental_minhash
+
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_near_jaccard(spark, SF_SMALL).collect()
+        if r["doc_a"] % 10 == 0 or r["doc_b"] % 10 == 0
+    }
+    rows = dedup_incremental_minhash(spark, SF_SMALL).collect()
+    found = {(r["doc_a"], r["doc_b"]) for r in rows}
+    assert found <= truth  # exact verify ⇒ no false positives
+    recall = len(found & truth) / max(1, len(truth))
+    assert recall >= 0.95, f"incremental recall {recall:.3f} < 0.95"
+    for r in rows:
+        is_nn = r["doc_a"] % 10 == 0 and r["doc_b"] % 10 == 0
+        assert r["pair_type"] == ("new_new" if is_nn else "new_old")
+        assert r["doc_a"] % 10 == 0 or r["doc_b"] % 10 == 0

@@ -703,3 +703,14 @@ def test_checkpoint_restart_restores_shuffle_conf(spark):
     before = spark.conf.get("spark.sql.shuffle.partitions")
     OPS["stream_checkpoint_restart"].fn(spark, SF_SMALL).collect()
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_incremental_minhash_broadcasts_new_side(spark):
+    """dedup_incremental_minhash's scale contract: the NEW batch's
+    band rows are the broadcast side of the candidate join (candidate
+    volume linear in batch size), and nothing plans as a cartesian
+    product."""
+    plan = plan_of(spark, "dedup_incremental_minhash", extended=False)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
