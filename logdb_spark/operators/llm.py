@@ -872,6 +872,7 @@ def _minhash_oracle_sql(
     n_bands: int = N_BANDS,
     *,
     incremental: bool = False,
+    survivors: bool = False,
 ) -> str:
     """DuckDB restatement of the full MinHash+LSH pipeline — same
     md5-derived permutations, band buckets, size-ratio bound, and
@@ -879,7 +880,10 @@ def _minhash_oracle_sql(
     just the final filter) is engine-reproducible. With
     ``incremental=True``, candidates are restricted to pairs touching
     the new batch (doc_id % 10 = 0) and a pair_type column labels
-    new_new vs new_old (the dedup_incremental_minhash contract)."""
+    new_new vs new_old (the dedup_incremental_minhash contract). With
+    ``survivors=True``, the output is instead the DEDUPED CORPUS:
+    every doc that is not the greater member of any verified pair
+    (min-id-wins pairwise drop — the stream_dedup_minhash contract)."""
     a, b = _mh_consts(n_perm)
     r = n_perm // n_bands
     mins = ",\n               ".join(
@@ -918,6 +922,28 @@ def _minhash_oracle_sql(
              AND LEAST(x.n, y.n) >= GREATEST(x.n, y.n) * {threshold}
         """
         final_cols = ""
+    if survivors:
+        survivors_ctes = f""", verified AS (
+            SELECT s.doc_a, s.doc_b
+            FROM shared s
+            JOIN sizes na ON na.doc_id = s.doc_a
+            JOIN sizes nb ON nb.doc_id = s.doc_b
+            WHERE s.n_shared / (na.n + nb.n - s.n_shared) >= {threshold}
+        )"""
+        final_select = """SELECT sz.doc_id, CAST(sz.n AS BIGINT) AS n_tokens
+        FROM sizes sz
+        WHERE NOT EXISTS (
+            SELECT 1 FROM verified v WHERE v.doc_b = sz.doc_id
+        )"""
+    else:
+        survivors_ctes = ""
+        final_select = f"""SELECT s.doc_a, s.doc_b,
+               ROUND(s.n_shared / (na.n + nb.n - s.n_shared), 6) AS jaccard
+               {final_cols}
+        FROM shared s
+        JOIN sizes na ON na.doc_id = s.doc_a
+        JOIN sizes nb ON nb.doc_id = s.doc_b
+        WHERE s.n_shared / (na.n + nb.n - s.n_shared) >= {threshold}"""
     return f"""
         WITH tok AS (
             SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
@@ -946,14 +972,8 @@ def _minhash_oracle_sql(
             JOIN tok ta ON ta.doc_id = c.doc_a
             JOIN tok tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
             GROUP BY c.doc_a, c.doc_b
-        )
-        SELECT s.doc_a, s.doc_b,
-               ROUND(s.n_shared / (na.n + nb.n - s.n_shared), 6) AS jaccard
-               {final_cols}
-        FROM shared s
-        JOIN sizes na ON na.doc_id = s.doc_a
-        JOIN sizes nb ON nb.doc_id = s.doc_b
-        WHERE s.n_shared / (na.n + nb.n - s.n_shared) >= {threshold}
+        ){survivors_ctes}
+        {final_select}
     """
 
 
@@ -998,23 +1018,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_bands(
-    spark: SparkSession,
-    sf_dir: str,
-    *,
-    n_perm: int = N_PERM,
-    n_bands: int = N_BANDS,
+def _minhash_sig_df(
+    tok: DataFrame, *, n_perm: int = N_PERM
 ) -> DataFrame:
-    """(doc_id, n, band, bucket) LSH band rows over the md5-affine
-    signature family — the shared front half of _minhash_candidates
-    and dedup_incremental_minhash. The md5 + n_perm multiply-mods are
+    """(doc_id, n, m0..m{n_perm-1}) signature relation from a
+    (doc_id, token) relation. The md5 + n_perm multiply-mods are
     evaluated once per DISTINCT token in a broadcast dictionary
     (vocabulary ≪ corpus by Heaps' law; AQE falls back to a shuffle
     join if it ever isn't), so per-token-row work is a broadcast probe
-    + n_perm column mins. The signature relation is persisted: banding
-    and both sides of the exact verify read it."""
+    + n_perm column mins."""
     a_c, b_c = _mh_consts(n_perm)
-    tok = _doc_tokens(spark, sf_dir)
     tok_dict = (
         tok.select("token")
         .distinct()
@@ -1030,7 +1043,7 @@ def _minhash_bands(
             ],
         )
     )
-    sig = (
+    return (
         tok.join(F.broadcast(tok_dict), "token")
         .groupBy("doc_id")
         .agg(
@@ -1038,7 +1051,13 @@ def _minhash_bands(
             *[F.min(f"p{i}").alias(f"m{i}") for i in range(n_perm)],
         )
     )
-    sig = track_persist(sig)  # tiny (docs x n_perm+1 ints)
+
+
+def _bands_from_sig(
+    sig: DataFrame, *, n_perm: int = N_PERM, n_bands: int = N_BANDS
+) -> DataFrame:
+    """Map-only (doc_id, n, band, bucket) band rows from a signature
+    relation — bucket = md5 of the comma-joined per-band minima."""
     rows_per_band = n_perm // n_bands
     return sig.select(
         "doc_id",
@@ -1065,6 +1084,24 @@ def _minhash_bands(
             )
         ).alias("bb"),
     ).select("doc_id", "n", "bb.band", "bb.bucket")
+
+
+def _minhash_bands(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    n_perm: int = N_PERM,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """(doc_id, n, band, bucket) LSH band rows over the md5-affine
+    signature family — the shared front half of _minhash_candidates,
+    dedup_incremental_minhash, and (batch-at-a-time, via the df-level
+    halves above) stream_dedup_minhash. The signature relation is
+    persisted: banding and both sides of the exact verify read it."""
+    sig = track_persist(
+        _minhash_sig_df(_doc_tokens(spark, sf_dir), n_perm=n_perm)
+    )
+    return _bands_from_sig(sig, n_perm=n_perm, n_bands=n_bands)
 
 
 def _minhash_candidates(

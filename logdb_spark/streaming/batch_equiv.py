@@ -1018,3 +1018,153 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").cast("bigint").alias("last_event_id"),
         F.col("value").alias("last_value"),
     )
+
+
+def _sdm_oracle() -> str:
+    from logdb_spark.operators.llm import _minhash_oracle_sql
+
+    return _minhash_oracle_sql(survivors=True)
+
+
+@register("stream_dedup_minhash", oracle=_sdm_oracle(), section=SECTION)
+def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING corpus dedup materialization — the incremental-ingest
+    counterpart of dedup_minhash_lsh: documents arrive in micro-batches
+    and the pipeline maintains (a) a signature+token state table and
+    (b) a verified near-dup pair log, discovering each batch's pairs
+    ONLY against itself and the accumulated state (never re-pairing
+    the old corpus — the same linear-in-batch shape as
+    dedup_incremental_minhash, executed under real stream semantics).
+
+    Semantics are deliberately ARRIVAL-ORDER INDEPENDENT so the result
+    is a pure function of the corpus: a doc is dropped iff it is the
+    greater member of any verified J≥0.9 pair (min-id-wins pairwise).
+    Every pair is discovered exactly when its later-arriving member
+    shows up — band buckets are pure functions of each doc under the
+    md5-affine family — so the union of per-batch discoveries equals
+    the full-corpus pair set and the DuckDB oracle can restate the
+    final deduped corpus without modeling batch boundaries at all.
+
+    Scale: state grows one signature row per doc ever seen (the stored
+    LSH index); per batch, the new side's band rows broadcast against
+    the state bands, one shuffle for the distinct, one for the verify
+    join. The pair log is append-only — no state rewrite, so there is
+    no read-modify-write race and a replayed batch only re-appends
+    rows the final distinct ignores."""
+    import glob
+    import os
+    import shutil
+
+    from logdb_spark.operators.llm import (
+        _bands_from_sig,
+        _minhash_sig_df,
+        N_PERM,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = scratch_dir("logdb_sdm_")
+    stage = out + "/stage"
+    os.makedirs(stage)
+    for i in range(3):  # three arrival slices
+        tmp = f"{out}/s{i}_tmp"
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(tmp)
+        shutil.copy(glob.glob(tmp + "/*.parquet")[0], f"{stage}/b{i}.parquet")
+
+    docs_state = out + "/docs_state"
+    pairs_state = out + "/pairs_state"
+    threshold = 0.9
+    mcols = [f"m{i}" for i in range(N_PERM)]
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        sess = batch.sparkSession
+        new_docs = batch.select(
+            "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+        )
+        sig = _minhash_sig_df(
+            new_docs.select("doc_id", F.explode("toks").alias("token"))
+        )
+        new_rel = new_docs.join(sig, "doc_id").persist()
+        if os.path.isdir(docs_state) and glob.glob(
+            docs_state + "/*.parquet"
+        ):
+            all_rel = sess.read.parquet(docs_state).unionByName(new_rel)
+        else:
+            all_rel = new_rel
+        cand = (
+            _bands_from_sig(all_rel.select("doc_id", "n", *mcols))
+            .alias("y")
+            .join(
+                F.broadcast(
+                    _bands_from_sig(
+                        new_rel.select("doc_id", "n", *mcols)
+                    ).alias("x")
+                ),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.bucket") == F.col("y.bucket"))
+                & (F.col("x.doc_id") != F.col("y.doc_id"))
+                & (
+                    F.least("x.n", "y.n")
+                    >= F.greatest("x.n", "y.n") * F.lit(threshold)
+                ),
+            )
+            .select(
+                F.least("x.doc_id", "y.doc_id").alias("doc_a"),
+                F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        ta = all_rel.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("toks").alias("toks_a"),
+            F.col("n").alias("na"),
+        )
+        tb = all_rel.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("toks").alias("toks_b"),
+            F.col("n").alias("nb"),
+        )
+        shared = F.size(F.array_intersect("toks_a", "toks_b"))
+        jac = shared / (F.col("na") + F.col("nb") - shared)
+        (
+            cand.join(ta, "doc_a")
+            .join(tb, "doc_b")
+            .filter(jac >= threshold)
+            .select("doc_a", "doc_b")
+            .write.mode("append")
+            .parquet(pairs_state)
+        )
+        new_rel.write.mode("append").parquet(docs_state)
+        new_rel.unpersist()
+
+    s = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = (
+        s.writeStream.foreachBatch(process)
+        .option("checkpointLocation", out + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(240):
+        q.stop()
+        raise TimeoutError("stream_dedup_minhash did not finish")
+
+    corpus = spark.read.parquet(docs_state)
+    dropped = (
+        spark.read.parquet(pairs_state)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        if os.path.isdir(pairs_state)
+        and glob.glob(pairs_state + "/*.parquet")
+        else None
+    )
+    surv = (
+        corpus.join(dropped, "doc_id", "left_anti")
+        if dropped is not None
+        else corpus
+    )
+    return surv.select(
+        "doc_id", F.col("n").cast("bigint").alias("n_tokens")
+    )

@@ -652,3 +652,34 @@ def test_stream_sink_manifests_cover_all_shards_exactly_once(spark):
     assert _rows(back, ["event_id", "user_id", "event_type"]) == _rows(
         src, ["event_id", "user_id", "event_type"]
     )
+
+
+def test_stream_dedup_minhash_equals_batch_minwins(spark):
+    """stream_dedup_minhash's survivors must equal the BATCH pipeline's
+    min-id-wins reduction: all docs minus every doc that appears as
+    the greater member of a dedup_minhash_lsh pair. Pins that the
+    per-batch incremental pair discovery (new vs state, never
+    old-vs-old again) loses no pair across real micro-batch
+    boundaries."""
+    import pyspark.sql.functions as F
+
+    from logdb_spark.operators.llm import dedup_minhash_lsh
+    from logdb_spark.registry import all_operators
+    from tests.conftest import SF_SMALL
+
+    dropped = {
+        r["doc_b"] for r in dedup_minhash_lsh(spark, SF_SMALL).collect()
+    }
+    all_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    }
+    got = {
+        r["doc_id"]
+        for r in all_operators()["stream_dedup_minhash"]
+        .fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert got == all_ids - dropped
