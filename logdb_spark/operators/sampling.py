@@ -547,3 +547,57 @@ def sample_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "split", "n_events", "first_es", "last_es",
         leak_ok.alias("no_time_leakage"),
     )
+
+
+def _cluster_safe_oracle() -> str:
+    from logdb_spark.operators.llm import _CLUSTER_ORACLE
+
+    return f"""
+        WITH base AS ({_CLUSTER_ORACLE})
+        SELECT doc_id, canonical_id,
+               CASE WHEN substring(md5(CAST(canonical_id AS VARCHAR)), 1, 2)
+                         < '{_TRAIN_UB}' THEN 'train'
+                    WHEN substring(md5(CAST(canonical_id AS VARCHAR)), 1, 2)
+                         < '{_VAL_UB}' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM base
+    """
+
+
+@register(
+    "sample_cluster_safe_split",
+    oracle=_cluster_safe_oracle(),
+    section=SECTION,
+)
+def sample_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware train/val/test split (r8): hash-split on the
+    near-dup CLUSTER's canonical id instead of the document id, so a
+    document and all its near-duplicates land in the SAME split — the
+    contamination sample_split_hash cannot prevent (a J≥0.9 rewrite of
+    a training doc in the test set is eval leakage exactly like a time
+    leak, which sample_leakage_safe_split handles for entities).
+
+    Composition of two existing kernels: dedup_cluster_assign's
+    connected components (auto pair source — LSH-banded above the
+    crossover, so the pair step is linear in dup density at scale)
+    followed by sample_split_hash's md5-prefix thresholds applied to
+    canonical_id — map-only after the components exist. At 100 TB the
+    components are computed once per corpus snapshot and the split is
+    a projection; the ~80/10/10 ratios now hold over CLUSTERS (every
+    member inherits its canonical's bucket), which is the statistically
+    honest unit when duplicates exist. A leakage test pins that no
+    verified dup pair ever straddles splits."""
+    from logdb_spark.operators.llm import dedup_cluster_assign
+
+    clusters = dedup_cluster_assign(spark, sf_dir)
+    key2 = F.substring(
+        F.md5(F.col("canonical_id").cast("string")), 1, 2
+    )
+    return clusters.select(
+        "doc_id",
+        "canonical_id",
+        F.when(key2 < _TRAIN_UB, "train")
+        .when(key2 < _VAL_UB, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -111,3 +111,38 @@ def test_hash_split_consistency_superset(spark):
         .collect()
     }
     assert train == at_80pct
+
+
+def test_cluster_safe_split_no_dup_pair_straddles(spark):
+    """sample_cluster_safe_split's whole point: for EVERY verified
+    near-dup pair, both members get the same split (per-doc
+    sample_split_hash demonstrably violates this on the fixture, which
+    is why the cluster-keyed variant exists)."""
+    import pyspark.sql.functions as F
+
+    from logdb_spark.operators.llm import dedup_minhash_lsh
+    from logdb_spark.operators.sampling import (
+        sample_cluster_safe_split,
+        sample_split_hash,
+    )
+    from tests.conftest import SF_SMALL
+
+    split = {
+        r["doc_id"]: r["split"]
+        for r in sample_cluster_safe_split(spark, SF_SMALL).collect()
+    }
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_minhash_lsh(spark, SF_SMALL).collect()
+    ]
+    assert pairs
+    for a, b in pairs:
+        assert split[a] == split[b], f"dup pair ({a},{b}) straddles splits"
+
+    # The per-doc split is NOT dup-safe on the same fixture — the
+    # contrast that justifies the operator.
+    naive = {
+        r["doc_id"]: r["split"]
+        for r in sample_split_hash(spark, SF_SMALL).collect()
+    }
+    assert any(naive[a] != naive[b] for a, b in pairs)
