@@ -873,6 +873,7 @@ def _minhash_oracle_sql(
     *,
     incremental: bool = False,
     survivors: bool = False,
+    decontaminate: bool = False,
 ) -> str:
     """DuckDB restatement of the full MinHash+LSH pipeline — same
     md5-derived permutations, band buckets, size-ratio bound, and
@@ -900,7 +901,19 @@ def _minhash_oracle_sql(
         )
         for bb in range(n_bands)
     )
-    if incremental:
+    if decontaminate:
+        # doc_a = eval-set doc, doc_b = training doc (distinct sides,
+        # so no least/greatest normalization).
+        cand = f"""
+            SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM bands x JOIN bands y
+              ON x.band = y.band AND x.bucket = y.bucket
+            JOIN srcs sx ON sx.doc_id = x.doc_id AND sx.source = 'src0'
+            JOIN srcs sy ON sy.doc_id = y.doc_id AND sy.source <> 'src0'
+            WHERE LEAST(x.n, y.n) >= GREATEST(x.n, y.n) * {threshold}
+        """
+        final_cols = ""
+    elif incremental:
         cand = f"""
             SELECT DISTINCT LEAST(x.doc_id, y.doc_id) AS doc_a,
                             GREATEST(x.doc_id, y.doc_id) AS doc_b
@@ -922,6 +935,11 @@ def _minhash_oracle_sql(
              AND LEAST(x.n, y.n) >= GREATEST(x.n, y.n) * {threshold}
         """
         final_cols = ""
+    srcs_cte = (
+        ", srcs AS (SELECT doc_id, source FROM documents)"
+        if decontaminate
+        else ""
+    )
     if survivors:
         survivors_ctes = f""", verified AS (
             SELECT s.doc_a, s.doc_b
@@ -935,6 +953,14 @@ def _minhash_oracle_sql(
         WHERE NOT EXISTS (
             SELECT 1 FROM verified v WHERE v.doc_b = sz.doc_id
         )"""
+    elif decontaminate:
+        survivors_ctes = ""
+        final_select = f"""SELECT s.doc_b AS doc_id, s.doc_a AS eval_doc_id,
+               ROUND(s.n_shared / (na.n + nb.n - s.n_shared), 6) AS jaccard
+        FROM shared s
+        JOIN sizes na ON na.doc_id = s.doc_a
+        JOIN sizes nb ON nb.doc_id = s.doc_b
+        WHERE s.n_shared / (na.n + nb.n - s.n_shared) >= {threshold}"""
     else:
         survivors_ctes = ""
         final_select = f"""SELECT s.doc_a, s.doc_b,
@@ -962,7 +988,7 @@ def _minhash_oracle_sql(
             FROM sig, UNNEST([
             {band_structs}
             ]) AS t(u)
-        ), cand AS (
+        ){srcs_cte}, cand AS (
             {cand}
         ), sizes AS (
             SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
@@ -1216,6 +1242,61 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_b",
             ratio(F.col("jac")).alias("jaccard"),
             pair_type.alias("pair_type"),
+        )
+    )
+
+
+@register(
+    "text_fuzzy_decontaminate",
+    oracle=_minhash_oracle_sql(decontaminate=True),
+    section=SECTION,
+)
+def text_fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy benchmark decontamination (r8): flag TRAINING docs that
+    are near-duplicates (J ≥ 0.9) of an EVAL-SET doc — the MinHash
+    complement of text_decontaminate's exact-shingle blocklist, and
+    the method the public corpus-curation literature uses when eval
+    items get paraphrased/reflowed into crawls. The fixture's eval set
+    is source='src0' (5% of docs, a deterministic stand-in for a held
+    benchmark); training = every other source.
+
+    Cross-corpus candidate generation only — eval bands (small)
+    broadcast against training bands, so cost is |eval| × bucket
+    density, never corpus²; training×training pairs are never
+    generated (that's dedup's job). Exact Jaccard verify on candidates
+    keeps precision 1.0. Emits one row per contaminated (train, eval)
+    pair; the cleaned corpus is an anti-join away. Same md5-affine
+    family as the dedup ops, so the oracle recomputes candidates +
+    verify."""
+    threshold = 0.9
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    bands = _minhash_bands(spark, sf_dir).join(src, "doc_id")
+    ev = bands.filter(F.col("source") == "src0")
+    tr = bands.filter(F.col("source") != "src0")
+    cand = (
+        tr.alias("t")
+        .join(
+            F.broadcast(ev.alias("e")),
+            (F.col("e.band") == F.col("t.band"))
+            & (F.col("e.bucket") == F.col("t.bucket"))
+            & (
+                F.least("e.n", "t.n")
+                >= F.greatest("e.n", "t.n") * F.lit(threshold)
+            ),
+        )
+        .select(
+            F.col("e.doc_id").alias("doc_a"),  # eval side
+            F.col("t.doc_id").alias("doc_b"),  # training side
+        )
+        .distinct()
+    )
+    return (
+        _jaccard_pairs(spark, sf_dir, cand, threshold)
+        .filter(F.col("jac") >= threshold)
+        .select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("eval_doc_id"),
+            ratio(F.col("jac")).alias("jaccard"),
         )
     )
 

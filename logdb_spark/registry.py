@@ -152,6 +152,7 @@ _R8_NEEDS_ROW_FIRST = (
     # -- implementation/oracle changed in r8 (fresh rows needed once
     #    the 76-op backlog clears) --
     "sql_merge_upsert",
+    "text_fuzzy_decontaminate",
     "sample_cluster_safe_split",
     "stream_dedup_minhash",
     "dedup_incremental_minhash",

@@ -1141,15 +1141,26 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
-    q = (
-        s.writeStream.foreachBatch(process)
-        .option("checkpointLocation", out + "/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(240):
-        q.stop()
-        raise TimeoutError("stream_dedup_minhash did not finish")
+    # Cap shuffle partitions for the micro-batch jobs (restore after):
+    # each batch runs 2 shuffles + 2 parquet writes over a few hundred
+    # rows, and at the session default (2x cores) the per-partition
+    # fixed costs dominate — the same fix that took
+    # stream_checkpoint_restart 11s -> 1.9s. At real scale the batch
+    # is large and the default applies.
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            s.writeStream.foreachBatch(process)
+            .option("checkpointLocation", out + "/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(240):
+            q.stop()
+            raise TimeoutError("stream_dedup_minhash did not finish")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
 
     corpus = spark.read.parquet(docs_state)
     dropped = (

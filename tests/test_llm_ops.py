@@ -342,3 +342,34 @@ def test_incremental_minhash_matches_batch_restriction(spark):
         is_nn = r["doc_a"] % 10 == 0 and r["doc_b"] % 10 == 0
         assert r["pair_type"] == ("new_new" if is_nn else "new_old")
         assert r["doc_a"] % 10 == 0 or r["doc_b"] % 10 == 0
+
+
+def test_fuzzy_decontaminate_sides_and_completeness(spark):
+    """text_fuzzy_decontaminate's contract: every flagged pair is
+    (training doc, eval doc) with verified J≥0.9, and the flag set
+    equals the ground-truth near-dup pairs that straddle the
+    eval/train boundary (computed from the exact pipeline)."""
+    from logdb_spark.operators.llm import text_fuzzy_decontaminate
+    from logdb_spark.registry import all_operators
+
+    src = {
+        r["doc_id"]: r["source"]
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    }
+    rows = text_fuzzy_decontaminate(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert src[r["doc_id"]] != "src0"  # training side
+        assert src[r["eval_doc_id"]] == "src0"  # eval side
+        assert r["jaccard"] >= 0.9
+    # completeness vs exact ground truth restricted to the boundary
+    truth = {
+        (a, b) if src[b] == "src0" else (b, a)
+        for a, b in _pairs(dedup_near_jaccard(spark, SF_SMALL))
+        if (src[a] == "src0") != (src[b] == "src0")
+    }  # (train, eval) orientation
+    got = {(r["doc_id"], r["eval_doc_id"]) for r in rows}
+    assert got <= truth
+    assert len(got) / max(1, len(truth)) >= 0.95
