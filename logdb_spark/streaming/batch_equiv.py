@@ -1111,23 +1111,69 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least("x.doc_id", "y.doc_id").alias("doc_a"),
                 F.greatest("x.doc_id", "y.doc_id").alias("doc_b"),
             )
-            .distinct()
+            # NO distinct here: a pair admitted by k bands is verified
+            # k times (k ≤ n_bands), but the bitmask verify is cheap
+            # map-side work while the distinct is a full shuffle of
+            # the candidate stream every batch. The pair log therefore
+            # holds duplicate rows; the final survivor anti-join
+            # distincts doc_b anyway.
         )
-        ta = all_rel.select(
-            F.col("doc_id").alias("doc_a"),
-            F.col("toks").alias("toks_a"),
-            F.col("n").alias("na"),
+        # Exact verify. Fast path (same trick as the batch twin's
+        # _pair_kernel): when the seen vocabulary fits one 64-bit
+        # word, dictionary-encode each doc's token set into a long and
+        # |A∩B| = bit_count(a & b) — word-wide codegen instead of a
+        # per-pair array intersect (the intersect was ~80% of this
+        # op's bench cost at sf0.1: ~800k candidates × 200-token
+        # arrays per batch). The take(65) is a bounded driver action
+        # (vocabulary, not rows); open vocabularies fall back to the
+        # generic intersect.
+        vocab_rows = (
+            all_rel.select(F.explode("toks").alias("t")).distinct().take(65)
         )
-        tb = all_rel.select(
-            F.col("doc_id").alias("doc_b"),
-            F.col("toks").alias("toks_b"),
-            F.col("n").alias("nb"),
-        )
-        shared = F.size(F.array_intersect("toks_a", "toks_b"))
+        if len(vocab_rows) <= 64:
+            vocab = sorted(r["t"] for r in vocab_rows)
+            bit_of = F.create_map(
+                *[
+                    c
+                    for t, i in ((t, i) for i, t in enumerate(vocab))
+                    for c in (F.lit(t), F.lit(1 << i).cast("long"))
+                ]
+            )
+            mask = F.aggregate(
+                "toks",
+                F.lit(0).cast("long"),
+                lambda acc, t: acc.bitwiseOR(F.element_at(bit_of, t)),
+            )
+            sides = all_rel.select("doc_id", "n", mask.alias("mk"))
+            ta = sides.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("n").alias("na"),
+                F.col("mk").alias("mk_a"),
+            )
+            tb = sides.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("n").alias("nb"),
+                F.col("mk").alias("mk_b"),
+            )
+            shared = F.bit_count(
+                F.col("mk_a").bitwiseAND(F.col("mk_b"))
+            ).cast("long")
+        else:
+            ta = all_rel.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("toks").alias("toks_a"),
+                F.col("n").alias("na"),
+            )
+            tb = all_rel.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("toks").alias("toks_b"),
+                F.col("n").alias("nb"),
+            )
+            shared = F.size(F.array_intersect("toks_a", "toks_b"))
         jac = shared / (F.col("na") + F.col("nb") - shared)
         (
-            cand.join(ta, "doc_a")
-            .join(tb, "doc_b")
+            cand.join(F.broadcast(ta), "doc_a")
+            .join(F.broadcast(tb), "doc_b")
             .filter(jac >= threshold)
             .select("doc_a", "doc_b")
             .write.mode("append")
