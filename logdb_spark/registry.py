@@ -64,11 +64,14 @@ _LOADED = False
 # any round (registry names minus the union of CORRECTNESS_r01–r07
 # keys — all judge-diffcheck-green, zero driver confirmation); the
 # 50-row cap draws entirely from them this round, leaving a 26-op tail
-# for r9. After the cap cut: ops whose implementation or oracle
-# changed in r8 (the md5-derandomized LSH/ANN ops upgraded from
-# rows-only to hash-checked, plus the new batch MERGE), then the 5 ops
-# whose freshest driver row predates their oracle (stale pre-oracle
-# rows). Tiers 1-3 unchanged: r2-green streaming/UDF (stalest hashes),
+# for r9. After the cap cut: ops that are NEW or whose implementation/
+# oracle changed in r8 (the batch MERGE, the incremental/streaming
+# dedup pair, the cluster-safe split, fuzzy decontamination, and the
+# five md5-derandomized LSH/ANN ops upgraded from rows-only to
+# hash-checked), then the 5 ops whose freshest driver row predates
+# their oracle (stale pre-oracle rows). r9 head should therefore be:
+# the 26-op tail, then this new/changed block, then the stale-oracle
+# block. Tiers 1-3 unchanged: r2-green streaming/UDF (stalest hashes),
 # then r1-green, then freshest.
 _R8_NEEDS_ROW_FIRST = (
     # -- never driver-sampled in r1-r7 (76 ops; the 50-row cap cuts
