@@ -57,75 +57,25 @@ class Operator:
 _REGISTRY: dict[str, Operator] = {}
 _LOADED = False
 
-# Driver-gate coverage rotation, refreshed for round 8 (VERDICT r7
+# Driver-gate coverage rotation, refreshed for round 9 (VERDICT r8
 # item #1). The driver correctness report caps at 50 enumeration
-# entries per round, so enumeration order IS evidence budget. Tier 0
-# leads with the 76 operators that have NEVER received a driver row in
-# any round (registry names minus the union of CORRECTNESS_r01–r07
-# keys — all judge-diffcheck-green, zero driver confirmation); the
-# 50-row cap draws entirely from them this round, leaving a 26-op tail
-# for r9. After the cap cut: ops that are NEW or whose implementation/
-# oracle changed in r8 (the batch MERGE, the incremental/streaming
-# dedup pair, the cluster-safe split, fuzzy decontamination, and the
-# five md5-derandomized LSH/ANN ops upgraded from rows-only to
-# hash-checked), then the 5 ops whose freshest driver row predates
-# their oracle (stale pre-oracle rows). r9 head should therefore be:
-# the 26-op tail, then this new/changed block, then the stale-oracle
-# block. Tiers 1-3 unchanged: r2-green streaming/UDF (stalest hashes),
-# then r1-green, then freshest.
-_R8_NEEDS_ROW_FIRST = (
-    # -- never driver-sampled in r1-r7 (76 ops; the 50-row cap cuts
-    #    inside this block, remainder rotates to the r9 head) --
-    "log_correlation_matrix",
-    "scan_file_metadata_cols",
-    "log_bounce_rate",
-    "log_burstiness_fano",
-    "log_markov_transitions",
-    "log_outlier_iqr",
-    "log_forecast_linear",
-    "log_rate_limit_flag",
-    "text_doc_perplexity",
-    "sample_negative_pairs",
-    "embed_distance_profile",
-    "fn_hash_suite",
-    "win_rolling_zscore",
-    "win_rolling_regression",
-    "log_conversion_latency",
-    "text_code_detect",
-    "ingest_logfmt",
-    "join_disjunctive_rewrite",
-    "agg_histogram_equiheight",
-    "mm_content_sniff",
-    "scan_summarize_profile",
-    "agg_bool_suite",
-    "win_frame_rows_vs_range",
-    "stream_left_outer_join",
-    "embed_kmeans_iterate",
-    "scan_incremental_manifest",
-    "log_spike_attribution",
-    "agg_theta_sketch_setops",
-    "agg_kll_quantile_merge",
-    "join_not_in_null_trap",
-    "sample_temporal_split",
-    "embed_pq_codebook",
-    "fn_format_suite",
-    "fn_timezone_suite",
-    "stream_transform_with_state",
-    "udf_arrow_scalar",
-    "udtf_arrow_ngrams",
-    "sim_hybrid_rrf",
-    "win_calendar_range_frame",
-    "sink_dynamic_partition_overwrite",
-    "text_kl_divergence",
-    "agg_incremental_mv_merge",
-    "ingest_gzip_text",
-    "mm_scene_segments",
-    "agg_histogram_percentile",
-    "agg_mergeable_rollup",
-    "agg_pareto_coverage",
-    "fn_ip_suite",
-    "join_asof_nearest",
-    "join_scd2_pointintime",
+# entries per round, so enumeration order IS evidence budget. The r8
+# gate confirmed the first 50 of the r8 tuple (CORRECTNESS_r08 is
+# 50/50 hash-green); the r9 head is exactly the 41-op tail it did not
+# reach, in the order the r8 comment prescribed:
+#   [0..30]  the 31 operators NEVER driver-sampled in any round
+#            (26 never-sampled tail + the five r8 additions),
+#   [31..40] the 10 operators whose freshest driver row predates
+#            their oracle (pre-oracle `no_oracle`/rows-only rows from
+#            r1-r4; all ten gained full DuckDB hash oracles in r8),
+#   [41]     agg_hll_sketch_merge — upgraded in r9 from rows-only to a
+#            hash-checked (estimate, exact) certificate; needs its
+#            first post-oracle row.
+# That is 42 names; the remaining 8 rows of the 50-cap fall through to
+# tier 1 (r2-green streaming/UDF ops, the stalest surviving hashes).
+# Tiers 1-3 unchanged: r2-green, then r1-green, then freshest.
+_R9_NEEDS_ROW_FIRST = (
+    # -- never driver-sampled in r1-r8 (31 ops) --
     "log_adaptive_threshold",
     "log_availability_calendar",
     "log_canary_compare",
@@ -152,24 +102,24 @@ _R8_NEEDS_ROW_FIRST = (
     "text_vocab_growth",
     "win_drawdown",
     "win_time_weighted_avg",
-    # -- implementation/oracle changed in r8 (fresh rows needed once
-    #    the 76-op backlog clears) --
     "sql_merge_upsert",
     "text_fuzzy_decontaminate",
     "sample_cluster_safe_split",
     "stream_dedup_minhash",
     "dedup_incremental_minhash",
+    # -- freshest driver row predates the r8 oracle upgrade (10 ops) --
     "dedup_minhash_lsh",
     "dedup_simhash",
     "sim_ann_lsh",
     "sim_ann_ivf",
     "dedup_embedding_cosine_lsh",
-    # -- stale pre-oracle driver rows (row predates oracle addition) --
     "sink_partitioned_parquet",
     "agg_approx_count_distinct",
     "agg_percentile_approx",
     "sink_compaction",
     "sink_bucketed_join",
+    # -- oracle added in r9 (rows-only -> hash-checked) --
+    "agg_hll_sketch_merge",
 )
 _R2_DRIVER_GREEN = frozenset(
     {
@@ -205,7 +155,7 @@ _R1_DRIVER_GREEN = frozenset(
 
 
 def _enumeration_order(ops: dict[str, Operator]) -> list[str]:
-    priority = {n: i for i, n in enumerate(_R8_NEEDS_ROW_FIRST)}
+    priority = {n: i for i, n in enumerate(_R9_NEEDS_ROW_FIRST)}
 
     def tier(name: str) -> int:
         if name in priority:
