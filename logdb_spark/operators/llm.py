@@ -148,9 +148,18 @@ def _jaccard_pairs(
     da, db = _pair_sides(docs, with_folds=screen_fn is not None)
     size_ok = F.least("na", "nb") >= F.greatest("na", "nb") * F.lit(threshold)
     if candidates is not None:
+        # Plain shuffle joins on the candidate keys (VERDICT r8 #2):
+        # da/db are the FULL corpus token relation, so an explicit
+        # F.broadcast here is a hard scale-killer at 10^9+ docs —
+        # hundreds of GB shipped to every executor. A plain equi-join
+        # shuffles only the candidate keys plus the corpus rows they
+        # touch, and AQE still picks broadcast-hash when a side is
+        # genuinely small (it is, at sf0.01-0.1 — same local plan,
+        # different 100 TB behavior). Shape copied from the proven
+        # shuffle-verify in dedup_embedding_cosine_lsh below.
         pairs = (
-            candidates.join(F.broadcast(da), "doc_a")
-            .join(F.broadcast(db), "doc_b")
+            candidates.join(da, "doc_a")
+            .join(db, "doc_b")
             .filter(size_ok)  # cheap bound evaluated before the intersect
         )
         if screen_fn is not None:
@@ -1080,14 +1089,21 @@ def _minhash_sig_df(
 
 
 def _bands_from_sig(
-    sig: DataFrame, *, n_perm: int = N_PERM, n_bands: int = N_BANDS
+    sig: DataFrame,
+    *,
+    n_perm: int = N_PERM,
+    n_bands: int = N_BANDS,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Map-only (doc_id, n, band, bucket) band rows from a signature
-    relation — bucket = md5 of the comma-joined per-band minima."""
+    relation — bucket = md5 of the comma-joined per-band minima.
+    ``carry`` names extra columns to keep on each band row (e.g. a
+    verify payload, so the band join's output needs no corpus join)."""
     rows_per_band = n_perm // n_bands
     return sig.select(
         "doc_id",
         "n",
+        *carry,
         F.explode(
             F.array(
                 *[
@@ -1109,7 +1125,7 @@ def _bands_from_sig(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "n", "bb.band", "bb.bucket")
+    ).select("doc_id", "n", *carry, "bb.band", "bb.bucket")
 
 
 def _minhash_bands(
@@ -4485,9 +4501,12 @@ def text_containment_prefix_join(
             ratio(F.col("jac")).alias("containment"),
             (F.col("jac") >= 1.0).alias("is_full"),
         )
+    # df_ is vocab-bounded → broadcast stays; sizes is CORPUS-sized
+    # (one row per doc) → plain join, AQE broadcasts it while small
+    # (the window rank shuffles on doc_id right after anyway).
     ranked = (
         tok.join(F.broadcast(df_), "token")
-        .join(F.broadcast(sizes), "doc_id")
+        .join(sizes, "doc_id")
         .select(
             "doc_id",
             "n",
@@ -4501,7 +4520,7 @@ def text_containment_prefix_join(
     a_prefix = ranked.filter(F.col("rarity_rn") <= prefix_len).select(
         F.col("doc_id").alias("doc_a"), F.col("n").alias("na"), "token"
     )
-    b_index = tok.join(F.broadcast(sizes), "doc_id").select(
+    b_index = tok.join(sizes, "doc_id").select(
         F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"), "token"
     )
     cands = (
@@ -4523,9 +4542,12 @@ def text_containment_prefix_join(
         F.col("toks").alias("toks_b"),
         F.col("n").alias("nb"),
     )
+    # Plain joins on the candidate keys — da/db are full-corpus
+    # relations, never explicitly broadcast (VERDICT r8 #2); AQE
+    # broadcasts when a side is actually small.
     return (
-        cands.join(F.broadcast(da), "doc_a")
-        .join(F.broadcast(db), "doc_b")
+        cands.join(da, "doc_a")
+        .join(db, "doc_b")
         .withColumn("ns", kernel)
         .filter(F.col("ns") * F.lit(1.0) / F.col("na") >= 0.8)
         .select(

@@ -714,3 +714,108 @@ def test_incremental_minhash_broadcasts_new_side(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lsh_verify_joins_shuffle_not_forced_broadcast(spark):
+    """VERDICT r8 #2: the exact-verify kernel behind the LSH dedup
+    family (dedup_minhash_lsh, dedup_incremental_minhash,
+    text_fuzzy_decontaminate) must not FORCE-broadcast the full-corpus
+    token relation onto the candidates — at 10^9+ docs that broadcast
+    is hundreds of GB per executor. With auto-broadcast disabled, any
+    BroadcastHashJoin left in the plan comes from an explicit hint, so
+    the two corpus-side verify joins (on doc_a / doc_b) must plan as
+    shuffle joins; the only permitted hint on this path is the
+    bounded-vocabulary dictionary encode (joins on `token`)."""
+    import contextlib
+    import io
+    import re
+
+    from pyspark.sql import functions as F
+
+    from logdb_spark.operators.llm import _jaccard_pairs
+
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cand = spark.range(0, 10).select(
+            F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+        )
+        df = _jaccard_pairs(spark, SF_SMALL, candidates=cand)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        plan = buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+
+    key_joins = re.findall(
+        r"\(\d+\) (\w+Join)[^\n]*\nLeft keys \[\d+\]: \[(\w+)", plan
+    )
+    verify = [kind for kind, key in key_joins if key.startswith("doc_")]
+    assert len(verify) >= 2, f"expected 2 verify joins, saw {key_joins}"
+    assert all(k in ("SortMergeJoin", "ShuffledHashJoin") for k in verify), (
+        f"corpus-side verify join is hint-broadcast: {key_joins}"
+    )
+    broadcasts = [key for kind, key in key_joins if kind == "BroadcastHashJoin"]
+    assert all(k == "token" for k in broadcasts), (
+        f"unexpected forced broadcast on {broadcasts}"
+    )
+
+
+def test_containment_verify_joins_shuffle_not_forced_broadcast(spark):
+    """Same contract for the PPJoin-style containment verify
+    (text_containment_prefix_join): candidate rescore joins against
+    the corpus token/size relations must not be hint-broadcast. The
+    registered auto strategy routes to the tiled twin at fixture
+    density, so force the prefix path — the one that exists for
+    100 TB — the same way the parity pytest does."""
+    import contextlib
+    import io
+    import re
+
+    from logdb_spark.operators.llm import text_containment_prefix_join
+
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = text_containment_prefix_join(spark, SF_SMALL, strategy="prefix")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(mode="formatted")
+        plan = buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+    key_joins = re.findall(
+        r"\(\d+\) (\w+Join)[^\n]*\nLeft keys \[\d+\]: \[(\w+)", plan
+    )
+    verify = [kind for kind, key in key_joins if key.startswith("doc_")]
+    assert verify, f"no doc-keyed joins found: {key_joins}"
+    assert all(k in ("SortMergeJoin", "ShuffledHashJoin") for k in verify), (
+        f"corpus-side verify join is hint-broadcast: {key_joins}"
+    )
+
+
+def test_stream_dedup_minhash_state_never_forced_broadcast():
+    """VERDICT r8 #2/#3 for the streaming twin: the foreachBatch body
+    must not hint-broadcast the corpus-so-far relations (ta/tb/all_rel)
+    and must not re-derive the verify vocabulary by scanning full
+    state per batch — the vocabulary is maintained as state updated
+    from the NEW batch only. Static source audit (the joins live
+    inside a foreachBatch closure, unreachable by explain)."""
+    import pathlib
+    import re
+
+    src = (
+        pathlib.Path(__file__).resolve().parents[1]
+        / "logdb_spark"
+        / "streaming"
+        / "batch_equiv.py"
+    ).read_text()
+    body = src[src.index("def stream_dedup_minhash") :]
+    body = body[: body.index("\n@register")] if "\n@register" in body else body
+    assert not re.search(r"F\.broadcast\((ta|tb|all_rel)\b", body), (
+        "stream_dedup_minhash hint-broadcasts unbounded state"
+    )
+    assert not re.search(r"all_rel\s*\.select\(F\.explode", body), (
+        "stream_dedup_minhash re-derives vocabulary from full state"
+    )
