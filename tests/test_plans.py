@@ -127,6 +127,7 @@ def test_bucketed_join_has_no_exchange(spark):
 NESTED_LOOP_ALLOWED = {
     "join_cross",  # 5×5 deliberate cross product
     "agg_heavy_hitters_twopass",  # 1-row certificate broadcast cross join
+    "agg_hll_sketch_merge",  # 1-row × 1-row certificate combine
     "dedup_near_jaccard",  # exact O(n²) ground-truth path (broadcast)
     "dedup_ngram_jaccard",  # same pair kernel over bigram shingles
     "sim_neighbor_stats_tiled",  # deliberate block-pair tile cross (nb² rows)
