@@ -1333,9 +1333,17 @@ def _merge_apply(spark: SparkSession, sf_dir: str, target_dir: str) -> None:
         )
     )
 
-    before = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        merged.write.mode("overwrite").partitionBy("day").parquet(target_dir)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", before)
+    # Reading target_dir and overwriting it in one job is safe ONLY
+    # under dynamic partition overwrite (writes are staged and
+    # partitions commit after the read tasks finish); with static
+    # overwrite it is the classic read-overwrite-same-path data-loss
+    # pattern (ADVICE r8). The mode is therefore pinned as a
+    # per-write OPTION — DataFrameWriter options take precedence over
+    # the session conf, so no caller override or conf-restore
+    # reordering can silently flip this write back to static.
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(target_dir)
+    )
