@@ -126,10 +126,6 @@ def _jaccard_pairs(
     With candidates (the LSH verify path): only candidate pairs are
     scored — the 100 TB shape, linear in true-dup density.
     """
-    # Spread the probe side across all cores: the fixture is one small
-    # parquet file (one input split), and a broadcast pair-join's
-    # parallelism equals the stream side's partition count. At real
-    # scale the input arrives already split; this keeps local parity.
     docs, kernel, screen_fn, n_chunks = _pair_kernel(
         spark,
         _doc_tokens(spark, sf_dir),
@@ -144,7 +140,15 @@ def _jaccard_pairs(
         # ~1M-pair result) wins instead — measured 1.5s vs 2.1s.
         n_docs = load_table(spark, sf_dir, "documents").count()
         return _tiled_bitmask_pairs(spark, docs, threshold, n_docs=n_docs)
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    if candidates is None:
+        # Spread the probe side across all cores: the fixture is one
+        # small parquet file (one input split), and a broadcast
+        # pair-join's parallelism equals the stream side's partition
+        # count. Only the broadcast all-pairs path needs this — the
+        # candidates path hash-exchanges da/db on the join keys
+        # anyway, so a round-robin repartition there would be a pure
+        # extra shuffle of the corpus.
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
     da, db = _pair_sides(docs, with_folds=screen_fn is not None)
     size_ok = F.least("na", "nb") >= F.greatest("na", "nb") * F.lit(threshold)
     if candidates is not None:
