@@ -21,22 +21,86 @@ import sys
 import time
 
 
+def _self_tree() -> set[int]:
+    """PIDs of this process and all its descendants (our own Spark JVM
+    is a child of this python driver)."""
+    children: dict[int, list[int]] = {}
+    try:
+        for pid in os.listdir("/proc"):
+            if not pid.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid}/stat") as fh:
+                    # field 4 is ppid; comm (field 2) may contain
+                    # spaces, so parse from after the closing paren
+                    ppid = int(fh.read().rpartition(")")[2].split()[1])
+            except (OSError, IndexError, ValueError):
+                continue
+            children.setdefault(ppid, []).append(int(pid))
+    except OSError:
+        return {os.getpid()}
+    tree, stack = set(), [os.getpid()]
+    while stack:
+        p = stack.pop()
+        if p in tree:
+            continue
+        tree.add(p)
+        stack.extend(children.get(p, ()))
+    return tree
+
+
+def _foreign_cpu_cores(interval: float = 0.5) -> float:
+    """CPU cores consumed by processes OUTSIDE our own process tree
+    over a short window — the contention signal load averages cannot
+    give once our own JVM is (or recently was) hot: the END sample of
+    a 20-minute 32-core bench always shows load1 ≈ 4 from our own
+    decaying run, while this stays ~0 on a genuinely quiet host."""
+
+    def snap():
+        with open("/proc/stat") as fh:
+            v = list(map(int, fh.readline().split()[1:9]))
+        busy = sum(v) - v[3] - v[4]  # minus idle, iowait
+        mine = 0
+        for pid in _self_tree():
+            try:
+                with open(f"/proc/{pid}/stat") as fh:
+                    f_ = fh.read().rpartition(")")[2].split()
+                mine += int(f_[11]) + int(f_[12])  # utime + stime
+            except (OSError, IndexError, ValueError):
+                continue
+        return busy, mine
+
+    try:
+        b0, m0 = snap()
+        time.sleep(interval)
+        b1, m1 = snap()
+        hz = os.sysconf("SC_CLK_TCK")
+        return round(max(0.0, ((b1 - b0) - (m1 - m0)) / hz / interval), 2)
+    except (OSError, ValueError):
+        return -1.0
+
+
 def _quiescence() -> dict:
     """Host-contention self-flagging (VERDICT r6 item — the r6/r7
     bench spread was diagnosed as host contention only by inference):
-    1/5-minute load averages plus a count of ALREADY-RUNNING java
-    processes, sampled BEFORE this bench starts its own JVM. A row
-    with other_jvms > 0 or load5 >> cpus was measured on a contended
-    host and should be discounted (BASELINE.md's ±25% variance
-    history)."""
+    1/5-minute load averages, a count of FOREIGN java processes
+    (excluding this bench's own process tree, so the end-of-run sample
+    is meaningful — r8's end sample always reported our own JVM), and
+    foreign CPU cores measured over a 0.5 s window. A row with
+    other_jvms > 0 or foreign_cpu_cores >> 0 was measured on a
+    contended host and should be discounted (BASELINE.md's ±25%
+    variance history). load1 in the END sample reflects our own
+    just-finished run's decay — foreign_cpu_cores is the field that
+    stays ~0 on a clean host at both ends."""
     try:
         load1, load5, _ = os.getloadavg()
     except OSError:
         load1 = load5 = -1.0
     other_jvms = 0
+    mine = _self_tree()
     try:
         for pid in os.listdir("/proc"):
-            if not pid.isdigit():
+            if not pid.isdigit() or int(pid) in mine:
                 continue
             try:
                 with open(f"/proc/{pid}/comm") as fh:
@@ -50,6 +114,7 @@ def _quiescence() -> dict:
         "load1": round(load1, 2),
         "load5": round(load5, 2),
         "other_jvms": other_jvms,
+        "foreign_cpu_cores": _foreign_cpu_cores(),
     }
 
 
