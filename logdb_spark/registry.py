@@ -71,7 +71,13 @@ _LOADED = False
 #   [41]     agg_hll_sketch_merge — upgraded in r9 from rows-only to a
 #            hash-checked (estimate, exact) certificate; needs its
 #            first post-oracle row.
-# That is 42 names; the remaining 8 rows of the 50-cap fall through to
+#   [42..44] ops whose implementation changed in r9 (the verify-join
+#            de-broadcast reshapes their plans; answers unchanged,
+#            fresh rows confirm it) and that are not already above:
+#            text_containment_prefix_join (sizes de-broadcast),
+#            dedup_cluster_assign / dedup_keep_best (candidates-path
+#            verify).
+# That is 45 names; the remaining 5 rows of the 50-cap fall through to
 # tier 1 (r2-green streaming/UDF ops, the stalest surviving hashes).
 # Tiers 1-3 unchanged: r2-green, then r1-green, then freshest.
 _R9_NEEDS_ROW_FIRST = (
@@ -120,6 +126,10 @@ _R9_NEEDS_ROW_FIRST = (
     "sink_bucketed_join",
     # -- oracle added in r9 (rows-only -> hash-checked) --
     "agg_hll_sketch_merge",
+    # -- implementation changed in r9 (verify-join de-broadcast) --
+    "text_containment_prefix_join",
+    "dedup_cluster_assign",
+    "dedup_keep_best",
 )
 _R2_DRIVER_GREEN = frozenset(
     {
