@@ -601,3 +601,140 @@ def sample_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+def _dedup_weights_oracle() -> str:
+    from logdb_spark.operators.llm import _CLUSTER_ORACLE
+
+    return f"""
+        WITH base AS ({_CLUSTER_ORACLE}),
+        sz AS (
+            SELECT canonical_id, COUNT(*) AS cluster_size
+            FROM base GROUP BY canonical_id
+        )
+        SELECT b.doc_id, b.canonical_id, s.cluster_size,
+               ROUND(1.0 / s.cluster_size, 6) AS weight
+        FROM base b JOIN sz s USING (canonical_id)
+    """
+
+
+@register(
+    "sample_dedup_weights",
+    oracle=_dedup_weights_oracle(),
+    section=SECTION,
+)
+def sample_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-aware training weights (r9): weight = 1/|cluster| of
+    the document's near-dup cluster, so a passage that exists as ten
+    J≥0.9 rewrites contributes ONE document's worth of gradient signal
+    instead of ten — the soft alternative to dropping duplicates
+    outright (dedup_keep_best) when near-dups still carry stylistic
+    variation worth training on. Deduplication-by-downweighting is the
+    standard middle ground in large-corpus training recipes.
+
+    Composition of existing kernels: dedup_cluster_assign's connected
+    components (LSH-banded pair source above the crossover — linear in
+    dup density at scale), then one bounded-key aggregation
+    (cluster sizes: |clusters| ≤ |docs| keys) and a map-side weight
+    projection. At 100 TB the components are computed once per corpus
+    snapshot and the weight column is a join-project — the same
+    amortization argument as sample_cluster_safe_split, with which
+    this shares the cluster relation. Weight is ROUND(1/size, 6) on
+    both engines (IEEE division of 1.0 by a small exact integer, then
+    the shared 6-dp grid — no tie cases at these denominators)."""
+    from logdb_spark.functions.numeric import ratio
+    from logdb_spark.operators.llm import dedup_cluster_assign
+
+    clusters = dedup_cluster_assign(spark, sf_dir)
+    sizes = clusters.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return clusters.join(sizes, "canonical_id").select(
+        "doc_id",
+        "canonical_id",
+        "cluster_size",
+        ratio(F.lit(1.0) / F.col("cluster_size")).alias("weight"),
+    )
+
+
+@register(
+    "sample_pack_sequences",
+    # Same tokenization as the Spark side (whitespace split), same
+    # shard key (first 4 md5 hex chars of the decimal doc_id as an
+    # integer, mod 8), same deterministic within-shard order
+    # (md5 key, then doc_id), same sequential-fill rule
+    # (pack = floor(tokens-before-this-doc / 512)).
+    oracle="""
+        WITH d AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tok,
+                   md5(CAST(doc_id AS VARCHAR)) AS k
+            FROM documents
+        ), o AS (
+            SELECT doc_id, n_tok,
+                   CAST(('0x' || substring(k, 1, 4))::VARCHAR AS BIGINT)
+                       % 8 AS shard,
+                   k
+            FROM d
+        ), c AS (
+            SELECT shard, n_tok,
+                   COALESCE(SUM(n_tok) OVER (
+                       PARTITION BY shard ORDER BY k, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS tok_before
+            FROM o
+        )
+        SELECT shard, CAST(tok_before // 512 AS BIGINT) AS pack_id,
+               COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_sum
+        FROM c GROUP BY shard, pack_id
+    """,
+    section=SECTION,
+)
+def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training (r9): bin documents into
+    fixed-token-budget packs (L = 512) by sequential fill — each doc
+    goes to pack floor(tokens_before / L) within its shard — the
+    standard pre-tokenization packing pass that turns a ragged corpus
+    into near-constant-length training examples (padding waste shows
+    up as packs whose tok_sum ≠ L neighborhood; the per-pack rows ARE
+    the packing manifest a downstream tokenizer consumes).
+
+    The 100 TB shape is the point: packing is inherently sequential,
+    so make the sequence PER SHARD — shard = md5(doc_id) mod 8 (a
+    deterministic repartition key), order within shard by the same
+    md5 key. The plan is one hash exchange on shard + an in-partition
+    window sort — NO global sort, and shards pack embarrassingly in
+    parallel (S scales with the cluster; the fixture pins S=8,
+    L=512). The prefix-sum window (tokens before this doc) is the
+    only stateful step and it is per-shard. Deterministic by
+    construction: same corpus → same packs on any partitioning,
+    which is what makes a packing manifest reproducible
+    (and hash-checkable against DuckDB's window machinery)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tok"),
+        _hash_key().alias("k"),
+    )
+    shard = (
+        F.conv(F.substring("k", 1, 4), 16, 10).cast("bigint") % 8
+    ).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = d.select("doc_id", "n_tok", shard, "k").select(
+        "shard",
+        "n_tok",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("tok_before"),
+    )
+    return (
+        c.groupBy(
+            "shard",
+            F.floor(F.col("tok_before") / 512).alias("pack_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("tok_sum"),
+        )
+    )

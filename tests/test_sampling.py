@@ -146,3 +146,65 @@ def test_cluster_safe_split_no_dup_pair_straddles(spark):
         for r in sample_split_hash(spark, SF_SMALL).collect()
     }
     assert any(naive[a] != naive[b] for a, b in pairs)
+
+
+def test_pack_sequences_conservation_and_fill(spark):
+    """Packing must conserve tokens (Σ pack tok_sum == corpus token
+    count), produce contiguous pack ids per shard, and respect the
+    sequential-fill rule: every pack's id equals
+    floor(tokens-before-first-doc / 512), so no pack except a shard's
+    last can START at or past the next 512 boundary with room left
+    behind it — equivalently, per shard, pack p's cumulative start is
+    in [512p, 512(p+1))."""
+    from logdb_spark.sources.load import load_table
+
+    rows = OPS["sample_pack_sequences"].fn(spark, SF_SMALL).collect()
+    total = (
+        load_table(spark, SF_SMALL, "documents")
+        .select(F.sum(F.size(F.split("text", " "))).alias("t"))
+        .first()["t"]
+    )
+    assert sum(r["tok_sum"] for r in rows) == total
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) == set(range(8))
+    for shard, packs in by_shard.items():
+        packs.sort(key=lambda r: r["pack_id"])
+        assert [p["pack_id"] for p in packs] == list(range(len(packs)))
+        cum = 0
+        for p in packs:
+            assert 512 * p["pack_id"] <= cum < 512 * (p["pack_id"] + 1), (
+                shard,
+                p["pack_id"],
+                cum,
+            )
+            cum += p["tok_sum"]
+
+
+def test_pack_sequences_no_global_sort(spark):
+    """The packing plan's only exchange is the hash partition on
+    shard (plus the final pack aggregation) — a range partition would
+    mean a global sort, which the per-shard design exists to avoid."""
+    import contextlib
+    import io
+
+    df = OPS["sample_pack_sequences"].fn(spark, SF_SMALL)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    assert "rangepartitioning" not in buf.getvalue()
+
+
+def test_dedup_weights_sum_to_cluster_count(spark):
+    """Each near-dup cluster's member weights (1/|cluster|) must sum
+    to exactly 1, so the corpus-wide weight total equals the number of
+    clusters — the invariant that makes downweighting equivalent to
+    one-vote-per-cluster."""
+    rows = OPS["sample_dedup_weights"].fn(spark, SF_SMALL).collect()
+    n_clusters = len({r["canonical_id"] for r in rows})
+    assert abs(sum(r["weight"] for r in rows) - n_clusters) < 1e-3
+    assert all(0 < r["weight"] <= 1 for r in rows)
+    assert all(r["cluster_size"] >= 1 for r in rows)
+    singles = [r for r in rows if r["cluster_size"] == 1]
+    assert all(r["weight"] == 1.0 for r in singles)
