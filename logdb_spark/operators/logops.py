@@ -3403,6 +3403,77 @@ def log_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "log_dp_noisy_release",
+    # Same md5 -> uniform -> Laplace inverse-CDF arithmetic on both
+    # engines; ROUND(.,6) absorbs ln() last-ulp libm differences (the
+    # sample_importance_weighted precedent). The true count is emitted
+    # ONLY as the verification certificate, like the exact column in
+    # agg_hll_sketch_merge.
+    oracle="""
+        WITH g AS (
+            SELECT event_type, COUNT(*) AS n_events
+            FROM events GROUP BY event_type
+        ), drawn AS (
+            SELECT event_type, n_events,
+                   (CAST('0x' || substring(md5(event_type), 1, 8)
+                         AS BIGINT) + 0.5) / 4294967296.0 - 0.5 AS c
+            FROM g
+        )
+        SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
+               0.5 AS eps,
+               ROUND(n_events
+                     - 2.0 * sign(c) * ln(1.0 - 2.0 * abs(c)), 6)
+                   AS noisy_count,
+               abs(-2.0 * sign(c) * ln(1.0 - 2.0 * abs(c)))
+                   <= 27.631021115928547 AS noise_bound_ok
+        FROM drawn
+    """,
+    section=SECTION,
+)
+def log_dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private count release (r9) — the publication
+    step after log_k_anonymity's audit: per-event-type counts with
+    Laplace(Δ/ε) noise, ε = 0.5, event-level sensitivity Δ = 1 (one
+    event changes one row; USER-level DP additionally needs per-user
+    contribution clipping before this operator — documented, not
+    silently assumed). Noise is the Laplace inverse-CDF of a
+    deterministic md5-derived uniform — the engine-neutral-randomness
+    discipline every sampling op here uses, which is what lets a
+    second engine REPRODUCE the release bit-for-bit and audit it (a
+    production release would substitute a fresh secret seed per
+    publication; the mechanism and its calibration are what this
+    operator pins). noise_bound_ok certifies in-plan that the drawn
+    noise sits inside the (1−δ) Laplace envelope b·ln(1/δ) at
+    δ = 1e−6 (2·ln(1e6) ≈ 27.63) — the utility half of the DP
+    contract.
+
+    Scale: one bounded-key aggregation (|event_type| keys) + a
+    map-side noise projection; the DP budget spent is ε per release
+    regardless of corpus size — at 100 TB the agg is the same partial
+    count the flagship runs, and noise cost is O(groups)."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    u32 = F.conv(
+        F.substring(F.md5(F.col("event_type")), 1, 8), 16, 10
+    ).cast("bigint")
+    c = (u32 + F.lit(0.5)) / F.lit(4294967296.0) - F.lit(0.5)
+    noise = (
+        F.lit(-2.0)
+        * F.signum(c)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(c))
+    )
+    return g.select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.lit(0.5).alias("eps"),
+        F.round(F.col("n_events") + noise, 6).alias("noisy_count"),
+        (F.abs(noise) <= F.lit(27.631021115928547)).alias(
+            "noise_bound_ok"
+        ),
+    )
+
+
+@register(
     "log_user_lifecycle_stages",
     oracle="""
         WITH daily AS (

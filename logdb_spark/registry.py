@@ -77,10 +77,10 @@ _LOADED = False
 #            text_containment_prefix_join (sizes de-broadcast),
 #            dedup_cluster_assign / dedup_keep_best (candidates-path
 #            verify).
-#   [45..46] NEW operators added in r9 (sample_dedup_weights,
-#            sample_pack_sequences) — oracles from birth, never
-#            sampled.
-# That is 47 names; the remaining 3 rows of the 50-cap fall through to
+#   [45..47] NEW operators added in r9 (sample_dedup_weights,
+#            sample_pack_sequences, log_dp_noisy_release) — oracles
+#            from birth, never sampled.
+# That is 48 names; the remaining 2 rows of the 50-cap fall through to
 # tier 1 (r2-green streaming/UDF ops, the stalest surviving hashes).
 # Tiers 1-3 unchanged: r2-green, then r1-green, then freshest.
 _R9_NEEDS_ROW_FIRST = (
@@ -136,6 +136,7 @@ _R9_NEEDS_ROW_FIRST = (
     # -- NEW in r9 (never sampled, oracles from birth) --
     "sample_dedup_weights",
     "sample_pack_sequences",
+    "log_dp_noisy_release",
 )
 _R2_DRIVER_GREEN = frozenset(
     {
