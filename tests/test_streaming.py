@@ -683,3 +683,61 @@ def test_stream_dedup_minhash_equals_batch_minwins(spark):
         .collect()
     }
     assert got == all_ids - dropped
+
+
+def _sdm_corpus(spark, tmp_path, docs: dict[int, list[str]]) -> str:
+    """Write a synthetic documents.parquet under tmp_path and return
+    the dir usable as sf_dir for stream_dedup_minhash."""
+    rows = [
+        (i, " ".join(toks), "en", "syn", len(" ".join(toks)))
+        for i, toks in docs.items()
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = str(tmp_path / "sdm")
+    df.coalesce(2).write.parquet(f"{out}/documents.parquet")
+    return out
+
+
+def test_stream_dedup_minhash_bit63_boundary(spark, tmp_path):
+    """Regression for the ADVICE r8 sign-bit defect: with a vocabulary
+    of EXACTLY 64 tokens, documents containing the lexicographically
+    last token get mask bit 63 — a Python `1 << 63` literal would
+    overflow signed long, NULL those masks, and silently drop their
+    near-dup pairs. The fixture vocabulary (31 tokens) never reaches
+    that bit; this corpus pins it: docs 0/1 are J=62/64≈0.97 near-dups
+    that BOTH contain token w63 and arrive in DIFFERENT micro-batches
+    (doc_id % 3 slicing)."""
+    from logdb_spark.streaming.batch_equiv import stream_dedup_minhash
+
+    vocab = [f"w{i:02d}" for i in range(64)]
+    docs = {0: vocab[1:], 1: vocab[:1] + vocab[2:]}  # drop w00 / w01
+    # cold tail: 20-token slices at stride 5 -> max J between two
+    # slices is 15/25 = 0.6, far below the 0.9 threshold; together
+    # with docs 0/1 the union vocabulary is exactly the 64 tokens.
+    for k in range(9):
+        docs[2 + k] = vocab[5 * k : 5 * k + 20]
+    sf = _sdm_corpus(spark, tmp_path, docs)
+    surv = {r["doc_id"] for r in stream_dedup_minhash(spark, sf).collect()}
+    assert 1 not in surv, "near-dup pair on mask bit 63 was lost"
+    assert surv == set(docs) - {1}
+
+
+def test_stream_dedup_minhash_open_vocab_overflow(spark, tmp_path):
+    """The open-vocabulary fallback (vocab > 64 -> overflow flag,
+    token-array payload on the band rows) is never exercised by the
+    31-token fixture. This corpus holds ~120 distinct tokens: the
+    vocabulary state must flip to overflow and the same cross-batch
+    near-dup pair must still be found via the array_intersect
+    payload."""
+    from logdb_spark.streaming.batch_equiv import stream_dedup_minhash
+
+    base = [f"t{i:03d}" for i in range(40)]
+    docs = {0: base[1:], 1: base[:1] + base[2:]}  # J = 38/40 = 0.95
+    for k in range(10):  # 8 unique tokens each -> vocab 40 + 80 = 120
+        docs[2 + k] = [f"u{k}_{j}" for j in range(8)]
+    sf = _sdm_corpus(spark, tmp_path, docs)
+    surv = {r["doc_id"] for r in stream_dedup_minhash(spark, sf).collect()}
+    assert 1 not in surv, "near-dup pair lost on the open-vocab path"
+    assert surv == set(docs) - {1}
