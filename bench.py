@@ -60,12 +60,12 @@ def _foreign_cpu_cores(interval: float = 0.5) -> float:
         with open("/proc/stat") as fh:
             v = list(map(int, fh.readline().split()[1:9]))
         busy = sum(v) - v[3] - v[4]  # minus idle, iowait
-        mine = 0
+        mine = {}
         for pid in _self_tree():
             try:
                 with open(f"/proc/{pid}/stat") as fh:
                     f_ = fh.read().rpartition(")")[2].split()
-                mine += int(f_[11]) + int(f_[12])  # utime + stime
+                mine[pid] = int(f_[11]) + int(f_[12])  # utime + stime
             except (OSError, IndexError, ValueError):
                 continue
         return busy, mine
@@ -75,7 +75,19 @@ def _foreign_cpu_cores(interval: float = 0.5) -> float:
         time.sleep(interval)
         b1, m1 = snap()
         hz = os.sysconf("SC_CLK_TCK")
-        return round(max(0.0, ((b1 - b0) - (m1 - m0)) / hz / interval), 2)
+        # Per-pid deltas over pids alive in BOTH snapshots: a totals
+        # subtraction would go negative by a process's whole LIFETIME
+        # CPU if any of our pids (a pyspark daemon, the JVM at
+        # shutdown) exits inside the window, reporting huge phantom
+        # foreign cores on a quiet host. A self pid that exits
+        # mid-window loses only its in-window jiffies (bounded by
+        # interval × cores), not its lifetime.
+        mine_delta = sum(
+            max(0, m1[p] - m0[p]) for p in m0 if p in m1
+        )
+        return round(
+            max(0.0, ((b1 - b0) - mine_delta) / hz / interval), 2
+        )
     except (OSError, ValueError):
         return -1.0
 

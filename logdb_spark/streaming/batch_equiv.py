@@ -1052,10 +1052,13 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-batch plan is one map-side scan of state with zero joins
     against the unbounded corpus (VERDICT r8 #2). The verify kernel's
     vocabulary is itself state updated from the NEW batch only — no
-    full-corpus scan recurs per batch (VERDICT r8 #3). The pair log is
-    append-only — no state rewrite, so there is no read-modify-write
-    race and a replayed batch only re-appends rows the final distinct
-    ignores."""
+    full-corpus scan recurs per batch (VERDICT r8 #3). Both state
+    tables are append-only — no state rewrite, so there is no
+    read-modify-write race; foreachBatch replay makes the appends
+    at-least-once, and a retried batch re-appends bit-identical rows
+    (signatures are pure functions of the text) which the final
+    per-doc dropDuplicates + pair distinct collapse back to
+    exactly-once OUTPUT."""
     import glob
     import json
     import os
@@ -1235,7 +1238,14 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
 
-    corpus = spark.read.parquet(docs_state)
+    # dropDuplicates(doc_id): the signature append is at-least-once
+    # under foreachBatch replay (a batch can commit its docs_state
+    # write, fail before the checkpoint commits, and re-append the
+    # same rows on retry). Replayed rows are bit-identical per doc —
+    # signatures are pure functions of the text — so collapsing on
+    # doc_id restores exactly-once OUTPUT semantics; the pair log's
+    # duplicates are likewise absorbed by the distinct below.
+    corpus = spark.read.parquet(docs_state).dropDuplicates(["doc_id"])
     dropped = (
         spark.read.parquet(pairs_state)
         .select(F.col("doc_b").alias("doc_id"))

@@ -814,9 +814,9 @@ def test_stream_dedup_minhash_state_never_forced_broadcast():
     ).read_text()
     body = src[src.index("def stream_dedup_minhash") :]
     body = body[: body.index("\n@register")] if "\n@register" in body else body
-    assert not re.search(r"F\.broadcast\((ta|tb|all_rel)\b", body), (
-        "stream_dedup_minhash hint-broadcasts unbounded state"
-    )
+    assert not re.search(
+        r"F\.broadcast\(\s*(?:bands\(\s*)?(ta|tb|all_rel)\b", body
+    ), "stream_dedup_minhash hint-broadcasts unbounded state"
     assert not re.search(r"all_rel\s*\.select\(F\.explode", body), (
         "stream_dedup_minhash re-derives vocabulary from full state"
     )

@@ -111,7 +111,6 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     from logdb_spark.operators.llm import (
-        _doc_tokens,
         _jaccard_pairs,
         _minhash_bands,
         _minhash_candidates,
