@@ -59,7 +59,10 @@ def _foreign_cpu_cores(interval: float = 0.5) -> float:
     def snap():
         with open("/proc/stat") as fh:
             v = list(map(int, fh.readline().split()[1:9]))
-        busy = sum(v) - v[3] - v[4]  # minus idle, iowait
+        # minus idle, iowait, AND steal (ADVICE r9): steal jiffies are
+        # hypervisor time no local process consumed — counting them as
+        # busy would report phantom foreign cores on a clean guest.
+        busy = sum(v) - v[3] - v[4] - v[7]
         mine = {}
         for pid in _self_tree():
             try:
@@ -82,8 +85,12 @@ def _foreign_cpu_cores(interval: float = 0.5) -> float:
         # foreign cores on a quiet host. A self pid that exits
         # mid-window loses only its in-window jiffies (bounded by
         # interval × cores), not its lifetime.
+        # A self pid that SPAWNS mid-window (pyspark worker daemons
+        # fork exactly as a bench starts) appears only in m1; its
+        # whole jiffy count accrued inside the window, so it is self
+        # time, not foreign (ADVICE r9).
         mine_delta = sum(
-            max(0, m1[p] - m0[p]) for p in m0 if p in m1
+            max(0, m1[p] - m0.get(p, 0)) for p in m1
         )
         return round(
             max(0.0, ((b1 - b0) - mine_delta) / hz / interval), 2
@@ -149,6 +156,21 @@ def main() -> int:
     from logdb_spark.registry import all_operators
 
     spark = get_spark("logdb-bench")
+    # Silence WindowExec's single-partition warning (VERDICT r9 #6):
+    # every partition-less window in the repo is declared bounded via
+    # functions.ranking.bounded_global_window and swept by
+    # tests/test_plans.py::test_no_raw_global_windows — a NEW unbounded
+    # window fails that test instead of logging. ~300 known-bounded
+    # repeats of this warning were burying real regressions in the
+    # bench tail the driver captures.
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # log4j API drift: noisy tail, never a failed bench
     ops = all_operators()
     names = [n for n in sorted(ops) if not only or n in only]
 

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
+from logdb_spark.functions.ranking import bounded_global_window
 from logdb_spark.plans.session import configure, get_spark
 from logdb_spark.sources.load import normalize_ts
 
@@ -324,7 +325,9 @@ class LogDB:
                 "resurrected_users"
             ),
         )
-        wd = Window.orderBy("day")  # calendar-bounded
+        wd = bounded_global_window(
+            "day", max_rows=31, why="calendar day grid (<=31 rows)"
+        )
         return per_day.withColumn(
             "churned_users",
             F.coalesce(F.lag("active_users").over(wd), F.lit(0))

@@ -82,3 +82,28 @@ def global_row_number(
         .drop("bucket", "offset")
     )
     return ranked, n
+
+
+# -- declared-bounded global windows (VERDICT r9 item #6) -------------
+#
+# Some relations are SMALL BY CONSTRUCTION (a 720-row hour grid, a ≤31
+# day calendar, a capped vocabulary) and a single-partition ordered
+# window over them is the correct plan — cheaper than two-phase
+# bucketing. Every such deliberate use must go through
+# bounded_global_window() so (a) the bound and its reason live AT the
+# call site, (b) tests/test_plans.py's AST sweep can fail any NEW raw
+# ``Window.orderBy()`` (which would silently move an unbounded relation
+# through one task at 100 TB), and (c) bench.py can silence the
+# WindowExec single-partition warning knowing every site is declared —
+# the warning had buried genuine regressions under ~300 known-bounded
+# repeats (VERDICT r9 "What's wrong").
+
+_GLOBAL_WINDOW_SITES: list[tuple[int, str]] = []
+
+
+def bounded_global_window(*cols, max_rows: int, why: str):
+    """``Window.orderBy(*cols)`` with NO partition key — deliberate,
+    over a relation bounded to ``max_rows`` rows because ``why``.
+    Chain ``.rowsBetween``/``.rangeBetween`` on the result as usual."""
+    _GLOBAL_WINDOW_SITES.append((max_rows, why))
+    return Window.orderBy(*cols)

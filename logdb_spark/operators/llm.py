@@ -23,6 +23,7 @@ import pandas as pd  # annotations of Arrow-batched UDFs resolve via module glob
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from logdb_spark.functions.ranking import bounded_global_window
 from logdb_spark.functions.numeric import ratio
 from logdb_spark.functions.vector import dot, l2_norm
 from logdb_spark.registry import register, track_persist
@@ -218,7 +219,16 @@ def _pair_kernel(spark, tok, sets_fn):
         .distinct()
         .select(
             "token",
-            (F.row_number().over(Window.orderBy("token")) - 1).alias("tid"),
+            (
+                F.row_number().over(
+                    bounded_global_window(
+                        "token", max_rows=4096,
+                        why="dictionary gated by _BITMASK_MAX_VOCAB; "
+                        "the open-vocab fallback abandons this path",
+                    )
+                )
+                - 1
+            ).alias("tid"),
         )
     )
     dict_ = track_persist(dict_)
@@ -3330,7 +3340,11 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
     )
     freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
-    wv = Window.orderBy(F.col("n").desc(), "w")  # vocab-bounded ranking
+    wv = bounded_global_window(
+        F.col("n").desc(), "w", max_rows=1 << 20,
+        why="distinct-token vocabulary, sublinear in corpus rows; "
+        "ranked once for the top-24 cut",
+    )
     vocab = (
         freq.withColumn("rnk", F.row_number().over(wv))
         .filter(F.col("rnk") <= 24)
@@ -5106,7 +5120,10 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_RRF_K)
     )
     # rank within the bounded K-row shortlist (window over ≤20 rows)
-    w_lex = Window.orderBy(F.desc("lex_score"), "doc_id")
+    w_lex = bounded_global_window(
+        F.desc("lex_score"), "doc_id",
+        max_rows=20, why="post-limit RRF shortlist (<= _RRF_K rows)",
+    )
     lex_top = lex_short.select(
         "doc_id", F.row_number().over(w_lex).alias("lex_rank")
     )
@@ -5127,7 +5144,10 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos"), "doc_id")
         .limit(_RRF_K)
     )
-    w_vec = Window.orderBy(F.desc("cos"), "doc_id")
+    w_vec = bounded_global_window(
+        F.desc("cos"), "doc_id",
+        max_rows=20, why="post-limit RRF shortlist (<= _RRF_K rows)",
+    )
     vec_top = vec_short.select(
         "doc_id", F.row_number().over(w_vec).alias("vec_rank")
     )

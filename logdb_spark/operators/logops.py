@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from logdb_spark.functions.ranking import bounded_global_window
 from logdb_spark.functions.numeric import dec4, dround, ratio
 from logdb_spark.functions.temporal import ts_str
 from logdb_spark.registry import register, track_persist
@@ -225,7 +226,7 @@ def log_rate_spike(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
         F.count(F.when(F.col("event_type") == "error", 1)).alias("n_errors")
     )
-    w = Window.orderBy("hour")
+    w = bounded_global_window("hour", max_rows=720, why="calendar hour grid (<=720 rows/month)")
     prev = F.coalesce(F.lag("n_errors").over(w), F.lit(0))
     return hourly.select(
         ts_str("hour").alias("hour"),
@@ -790,7 +791,9 @@ def log_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hh")
         )
     )
-    w = Window.orderBy("hh").rowsBetween(Window.unboundedPreceding, 0)
+    w = bounded_global_window(
+        "hh", max_rows=720, why="calendar hour grid (<=720 rows/month)"
+    ).rowsBetween(Window.unboundedPreceding, 0)
     return (
         grid.join(hourly, "hh", "left")
         .select(
@@ -900,7 +903,9 @@ def log_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     mu = hourly.agg(F.avg("n").alias("mu"))
-    w = Window.orderBy("hh").rowsBetween(Window.unboundedPreceding, 0)
+    w = bounded_global_window(
+        "hh", max_rows=720, why="calendar hour grid (<=720 rows/month)"
+    ).rowsBetween(Window.unboundedPreceding, 0)
     framed = hourly.join(F.broadcast(mu)).withColumn(
         "lst", F.collect_list(F.col("n").cast("double")).over(w)
     )
@@ -1029,7 +1034,9 @@ def log_user_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = first_day.groupBy("day").agg(
         F.count(F.lit(1)).alias("new_users")
     )
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w = bounded_global_window(
+        "day", max_rows=31, why="calendar day grid (<=31 rows)"
+    ).rowsBetween(Window.unboundedPreceding, 0)
     return daily.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.col("new_users").cast("bigint").alias("new_users"),
@@ -1085,7 +1092,9 @@ def log_error_budget_burndown(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget = daily.agg(
         F.floor(F.sum("n_total") * 0.20).cast("bigint").alias("allowed")
     )
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w = bounded_global_window(
+        "day", max_rows=31, why="calendar day grid (<=31 rows)"
+    ).rowsBetween(Window.unboundedPreceding, 0)
     cum = F.sum("n_err").over(w)
     return (
         daily.join(F.broadcast(budget))
@@ -1143,7 +1152,7 @@ def log_alert_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     thr = hourly.agg((F.avg("n") * 1.2).alias("thr"))
     spikes = hourly.join(F.broadcast(thr)).filter(F.col("n") >= F.col("thr"))
-    w = Window.orderBy("hh")
+    w = bounded_global_window("hh", max_rows=720, why="calendar hour grid (<=720 rows/month)")
     grp = spikes.withColumn(
         "island",
         F.col("hh")
@@ -3424,8 +3433,8 @@ def log_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROUND(n_events
                      - 2.0 * sign(c) * ln(1.0 - 2.0 * abs(c)), 6)
                    AS noisy_count,
-               abs(-2.0 * sign(c) * ln(1.0 - 2.0 * abs(c)))
-                   <= 27.631021115928547 AS noise_bound_ok
+               ROUND(abs(-2.0 * sign(c) * ln(1.0 - 2.0 * abs(c))), 6)
+                   <= 27.631021 AS noise_bound_ok
         FROM drawn
     """,
     section=SECTION,
@@ -3467,7 +3476,107 @@ def log_dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("bigint").alias("n_events"),
         F.lit(0.5).alias("eps"),
         F.round(F.col("n_events") + noise, 6).alias("noisy_count"),
-        (F.abs(noise) <= F.lit(27.631021115928547)).alias(
+        # Certificate computed on the 6-dp grid on BOTH engines
+        # (ADVICE r9): the unrounded |noise| carries a libm ln() whose
+        # last ulp can differ between the JVM and DuckDB; unlike
+        # noisy_count there is no ROUND absorption on a raw boolean,
+        # so a draw within an ulp of the bound would hash-diverge.
+        (F.round(F.abs(noise), 6) <= F.lit(27.631021)).alias(
+            "noise_bound_ok"
+        ),
+    )
+
+
+@register(
+    "log_dp_noisy_release_userlevel",
+    # Clip-then-count-then-perturb on both engines: row_number over
+    # (user_id ORDER BY event_id) is a deterministic total order
+    # (event_id is unique), so both engines keep the IDENTICAL k=32
+    # events per user; the Laplace draw reuses the md5 inverse-CDF
+    # machinery with a 'u|' salt so the user-level release never
+    # shares noise with the event-level one.
+    oracle="""
+        WITH clipped AS (
+            SELECT event_type FROM (
+                SELECT event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY event_id
+                       ) AS rk
+                FROM events
+            ) WHERE rk <= 32
+        ), g AS (
+            SELECT event_type, COUNT(*) AS n_clipped
+            FROM clipped GROUP BY event_type
+        ), drawn AS (
+            SELECT event_type, n_clipped,
+                   (CAST('0x' || substring(md5('u|' || event_type), 1, 8)
+                         AS BIGINT) + 0.5) / 4294967296.0 - 0.5 AS c
+            FROM g
+        )
+        SELECT event_type, CAST(n_clipped AS BIGINT) AS n_clipped,
+               0.5 AS eps, CAST(32 AS BIGINT) AS k_clip,
+               ROUND(n_clipped
+                     - 64.0 * sign(c) * ln(1.0 - 2.0 * abs(c)), 6)
+                   AS noisy_count,
+               ROUND(abs(-64.0 * sign(c) * ln(1.0 - 2.0 * abs(c))), 6)
+                   <= 884.192676 AS noise_bound_ok
+        FROM drawn
+    """,
+    section=SECTION,
+)
+def log_dp_noisy_release_userlevel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """USER-level differentially-private count release (r10, closing
+    log_dp_noisy_release's documented caveat): adding or removing one
+    whole USER must be indistinguishable, not just one event. The
+    mechanism is clip-then-count-then-perturb — every user contributes
+    at most k = 32 events (row_number over a per-user window ordered
+    by the unique event_id, a deterministic clip both engines
+    reproduce row-for-row), so the L1 sensitivity of the per-type
+    count vector to one user's presence is k, and each count gets
+    Laplace(k/ε) noise, ε = 0.5 → scale b = 64. The clip actually
+    bites on the fixtures (max events/user ≈ 86 > 32), so n_clipped
+    pins that the clipping ran, not just the noise. noise_bound_ok
+    certifies the draw sits inside the (1−δ) envelope b·ln(1/δ) at
+    δ = 1e−6 (64·ln(1e6) ≈ 884.19), computed on the 6-dp ROUND grid
+    on both engines (the ADVICE-r9 ulp discipline from birth).
+
+    Scale: one shuffle on user_id (the window), rank truncation
+    map-side after it, then a bounded-|event_type|-key partial agg —
+    the same two-exchange shape as log_hourly_top_users; at 100 TB the
+    per-user window is the standard contribution-bounding pass every
+    user-level DP pipeline runs, and noise cost stays O(groups)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    clipped = (
+        ev.select("user_id", "event_id", "event_type")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 32)
+    )
+    g = clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_clipped")
+    )
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("u|"), F.col("event_type"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    c = (u32 + F.lit(0.5)) / F.lit(4294967296.0) - F.lit(0.5)
+    noise = (
+        F.lit(-64.0)
+        * F.signum(c)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(c))
+    )
+    return g.select(
+        "event_type",
+        F.col("n_clipped").cast("bigint").alias("n_clipped"),
+        F.lit(0.5).alias("eps"),
+        F.lit(32).cast("bigint").alias("k_clip"),
+        F.round(F.col("n_clipped") + noise, 6).alias("noisy_count"),
+        (F.round(F.abs(noise), 6) <= F.lit(884.192676)).alias(
             "noise_bound_ok"
         ),
     )
@@ -3549,7 +3658,7 @@ def log_user_lifecycle_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
             "resurrected_users"
         ),
     )
-    wd = Window.orderBy("day")  # calendar-bounded (~31 rows)
+    wd = bounded_global_window("day", max_rows=31, why="calendar day grid (<=31 rows)")
     return per_day.select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.col("active_users").cast("bigint").alias("active_users"),

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from logdb_spark.functions.ranking import bounded_global_window
 from logdb_spark.registry import register
 from logdb_spark.sources.load import load_table
 
@@ -214,10 +215,10 @@ def sample_shard_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     within = d.withColumn("cum_in", F.sum("n_chars").over(win_in))
     totals = d.groupBy("bucket").agg(F.sum("n_chars").alias("btotal"))
     # 16-row bounded global cumsum -> exclusive per-bucket offsets.
-    win_b = (
-        Window.orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    win_b = bounded_global_window(
+        "bucket", max_rows=16,
+        why="one row per shard bucket (fixed 16-way split)",
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     offsets = totals.select(
         "bucket",
         (F.sum("btotal").over(win_b) - F.col("btotal")).alias("offset"),

@@ -14,7 +14,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from logdb_spark.functions.numeric import dec4, dround, ratio
-from logdb_spark.functions.ranking import global_row_number
+from logdb_spark.functions.ranking import (
+    bounded_global_window,
+    global_row_number,
+)
 from logdb_spark.functions.temporal import ts_str
 from logdb_spark.registry import register
 from logdb_spark.sources.load import load_table
@@ -487,7 +490,10 @@ def win_percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_all = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    w_rank = Window.orderBy(F.col("nation_bal").desc(), "n_name")
+    w_rank = bounded_global_window(
+        F.col("nation_bal").desc(), "n_name",
+        max_rows=25, why="one row per nation (TPC-H fixed 25)",
+    )
     return n.select(
         "n_name",
         "nation_bal",

