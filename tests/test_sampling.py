@@ -208,3 +208,41 @@ def test_dedup_weights_sum_to_cluster_count(spark):
     assert all(r["cluster_size"] >= 1 for r in rows)
     singles = [r for r in rows if r["cluster_size"] == 1]
     assert all(r["weight"] == 1.0 for r in singles)
+
+
+def test_bpe_tokenize_invariants(spark):
+    """The subword count must sit strictly between the two budgets it
+    replaces: tok_ws <= tok_bpe <= n_chars per document (a word of
+    length L yields at least ceil(L/4) and at most L tokens), and the
+    corpus-level subword/whitespace expansion factor must stay in a
+    sane band — a tokenizer whose counts collapse to chars or to words
+    has stopped doing its job even if it still hash-matches itself."""
+    from logdb_spark.operators.llm import bpe_doc_tokens
+
+    rows = bpe_doc_tokens(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r["tok_ws"] <= r["tok_bpe"] <= r["n_chars"], r
+    expansion = sum(r["tok_bpe"] for r in rows) / sum(
+        r["tok_ws"] for r in rows
+    )
+    assert 1.2 <= expansion <= 2.5, expansion
+
+
+def test_pack_bpe_conserves_and_exceeds_ws_packs(spark):
+    """BPE packing must conserve subword tokens exactly (sum of pack
+    tok_sum == corpus tok_bpe total) and, because each doc costs more
+    subwords than words, produce at least as many packs as the
+    whitespace variant under the same 512 budget."""
+    from logdb_spark.operators.llm import bpe_doc_tokens
+
+    bpe_rows = OPS["sample_pack_sequences_bpe"].fn(spark, SF_SMALL).collect()
+    ws_rows = OPS["sample_pack_sequences"].fn(spark, SF_SMALL).collect()
+    total = (
+        bpe_doc_tokens(spark, SF_SMALL)
+        .agg(F.sum("tok_bpe").alias("t"))
+        .first()["t"]
+    )
+    assert sum(r["tok_sum"] for r in bpe_rows) == total
+    assert len(bpe_rows) >= len(ws_rows)
+    assert {r["shard"] for r in bpe_rows} == set(range(8))
