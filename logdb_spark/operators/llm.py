@@ -1691,7 +1691,12 @@ def _pair_lsh_oracle_sql() -> str:
     oracle=_pair_lsh_oracle_sql(),
     section=SECTION,
 )
-def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_cosine_lsh(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: int | None = None,
+    planes: int | None = None,
+) -> DataFrame:
     """Scale path for embedding pair-dedup: hyperplane-LSH blocking +
     in-bucket exact verify. FULLY hash-checked against DuckDB since
     r8: the md5-derived INTEGER planes over the exact x6 embedding
@@ -1699,6 +1704,18 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the candidate set and the exact rescore (tests
     additionally pin recall ≥95% vs the exact dedup_embedding_cosine
     twin — same pattern as MinHash vs Jaccard).
+
+    ``tables``/``planes`` expose the corpus-tuned blocking constants
+    (default: the fixture-floor 16×3 the oracle is pinned to). r10's
+    tools/scalebench.py MEASURED what the constants comment predicts:
+    on a corpus with diffuse cross-pair angles (θ≈90°), 3-bit tables
+    admit ~88% of all pairs as candidates — wall time went 4.7s→27s
+    from 2k→6k vectors (fitted α = 1.6) and did not complete at 20k
+    (>25 min, GC-bound). The high-selectivity 8×12 configuration on
+    the same corpus: 2.1s→2.1s→3.0s across 10× (α ≤ 0.27) at ≈95.5%
+    recall for cos-0.96 true pairs. At 100 TB, pick constants from the
+    corpus's dup/noise angle split (SCALING.md r10 table); the plan
+    shape is identical either way.
 
     dedup_embedding_cosine broadcasts the whole table for O(n²)
     scoring — correct as ground truth, a scale-killer at 100 TB
@@ -1718,7 +1735,13 @@ def dedup_embedding_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Bucket rows carry only (vec_id, table, sig) — embeddings are NOT
     # shipped through the pair join; they rejoin after the distinct, so
     # each surviving pair is scored exactly once.
-    sig_udf = _signature_udf(_int_planes("pairlsh", PAIR_TABLES, PAIR_PLANES))
+    sig_udf = _signature_udf(
+        _int_planes(
+            "pairlsh",
+            tables if tables is not None else PAIR_TABLES,
+            planes if planes is not None else PAIR_PLANES,
+        )
+    )
     # Persisted: both sides of the bucket self-join read this relation —
     # without the persist the Arrow signature matmul runs twice.
     buckets = track_persist(

@@ -373,3 +373,42 @@ def test_fuzzy_decontaminate_sides_and_completeness(spark):
     got = {(r["doc_id"], r["eval_doc_id"]) for r in rows}
     assert got <= truth
     assert len(got) / max(1, len(truth)) >= 0.95
+
+
+def test_embedding_lsh_blocking_params_sound_and_selective(spark):
+    """r10: dedup_embedding_cosine_lsh takes corpus-tuned blocking
+    constants (tables=, planes=). Soundness must be configuration-
+    independent — every pair ANY configuration emits passed the exact
+    dot≥0.4 rescore, so it must appear in the exact twin's output.
+    Selectivity must actually respond to the constants: 12-bit tables
+    admit a random pair with prob ~8/4096, so on the fixture (dups at
+    cos 0.4-0.51, i.e. BELOW the high-sim regime 8x12 targets) the
+    8x12 candidate set — and hence output — must be a strict subset of
+    the 16x3 fixture-floor output. scalebench measured the scale side:
+    16x3 is quadratic on diffuse corpora (DNF at 20k vectors), 8x12 is
+    flat at 10x (SCALING.md r10)."""
+    from logdb_spark.operators.llm import (
+        dedup_embedding_cosine,
+        dedup_embedding_cosine_lsh,
+    )
+
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup_embedding_cosine(spark, SF_SMALL).collect()
+    }
+    fixture = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup_embedding_cosine_lsh(spark, SF_SMALL).collect()
+    }
+    tuned = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup_embedding_cosine_lsh(
+            spark, SF_SMALL, tables=8, planes=12
+        ).collect()
+    }
+    assert fixture <= exact
+    assert tuned <= exact
+    assert tuned < fixture, (
+        "8x12 must be strictly more selective than 16x3 on the "
+        f"fixture: {len(tuned)} vs {len(fixture)}"
+    )
