@@ -5682,11 +5682,11 @@ _BPE_DOC_SQL = """
 """
 
 
-def bpe_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, tok_ws, n_chars, tok_bpe) under the aligned two-round
-    pair-encoding tokenizer. Shared by text_bpe_tokenize and
-    sample_pack_sequences_bpe — one definition, two consumers, one
-    oracle fragment (_BPE_DOC_SQL)."""
+def _bpe_word_freq(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(docw, wf): per-doc word counts and the corpus word-frequency
+    relation the aligned pair-encoder learns from."""
     words = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
@@ -5696,38 +5696,52 @@ def bpe_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     wf = docw.groupBy("w").agg(F.sum("n_w").alias("n")).select(
         "w", F.length("w").alias("len"), "n"
     )
+    return docw, wf
+
+
+def _bpe_grams(wf: DataFrame, width: int) -> DataFrame:
+    """(w, n, gram): each word's aligned width-grams (offsets ≡ 0 mod
+    width), weighted by corpus occurrence count n."""
+    stop = (F.floor(F.col("len") / width) - 1).cast("int")
+    return (
+        wf.filter(F.col("len") >= width)
+        .select(
+            "w", "n",
+            F.explode(F.sequence(F.lit(0), stop)).alias("i"),
+        )
+        .select(
+            "w", "n",
+            F.expr(f"substr(w, {width} * i + 1, {width})").alias("gram"),
+        )
+    )
+
+
+def _bpe_gram_counts(wf: DataFrame, width: int, top: int) -> DataFrame:
+    """(gram, cnt): the learned merge table — top-``top`` aligned
+    width-grams by (occurrence-weighted count DESC, gram ASC);
+    orderBy+limit plans as TakeOrdered, no global sort."""
+    return (
+        _bpe_grams(wf, width)
+        .groupBy("gram")
+        .agg(F.sum("n").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "gram")
+        .limit(top)
+    )
+
+
+def bpe_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tok_ws, n_chars, tok_bpe) under the aligned two-round
+    pair-encoding tokenizer. Shared by text_bpe_tokenize and
+    sample_pack_sequences_bpe — one definition, two consumers, one
+    oracle fragment (_BPE_DOC_SQL)."""
+    docw, wf = _bpe_word_freq(spark, sf_dir)
     wf = track_persist(wf)  # vocab-sized; feeds 4 downstream reads
 
     def grams(width: int):
-        stop = (F.floor(F.col("len") / width) - 1).cast("int")
-        return (
-            wf.filter(F.col("len") >= width)
-            .select(
-                "w", "n",
-                F.explode(F.sequence(F.lit(0), stop)).alias("i"),
-            )
-            .select(
-                "w", "n",
-                F.expr(f"substr(w, {width} * i + 1, {width})").alias("gram"),
-            )
-        )
+        return _bpe_grams(wf, width)
 
-    m1 = (
-        grams(2)
-        .groupBy("gram")
-        .agg(F.sum("n").alias("cnt"))
-        .orderBy(F.col("cnt").desc(), "gram")
-        .limit(256)
-        .select("gram")
-    )
-    m2 = (
-        grams(4)
-        .groupBy("gram")
-        .agg(F.sum("n").alias("cnt"))
-        .orderBy(F.col("cnt").desc(), "gram")
-        .limit(64)
-        .select(F.col("gram").alias("gram4"))
-    )
+    m1 = _bpe_gram_counts(wf, 2, 256).select("gram")
+    m2 = _bpe_gram_counts(wf, 4, 64).select(F.col("gram").alias("gram4"))
     h1 = (
         grams(2)
         .join(F.broadcast(m1), "gram")
@@ -5812,3 +5826,52 @@ def text_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "tok_ws", "n_chars", "tok_bpe",
         ratio(F.col("tok_bpe") / F.col("n_chars")).alias("bpe_per_char"),
     )
+
+
+@register(
+    "text_bpe_vocab",
+    # Same m1/m2 CTEs as the tokenizer (fragment imported, rank added)
+    # — the vocab op IS the tokenizer's learned state, exported.
+    oracle="WITH " + _BPE_DOC_SQL + """
+        SELECT CAST(1 AS INT) AS level,
+               row_number() OVER (ORDER BY cnt DESC, gram) AS merge_rank,
+               gram, CAST(cnt AS BIGINT) AS cnt
+        FROM m1
+        UNION ALL
+        SELECT CAST(2 AS INT),
+               row_number() OVER (ORDER BY cnt DESC, gram4),
+               gram4, CAST(cnt AS BIGINT)
+        FROM m2
+    """,
+    section=SECTION,
+)
+def text_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge tables of text_bpe_tokenize, exported as rows
+    (r10): level 1 = the top-256 aligned character bigrams, level 2 =
+    the top-64 aligned 4-grams, each with its merge rank and
+    occurrence-weighted count. A production pipeline PERSISTS this
+    artifact — it is what makes tokenization reproducible across jobs
+    (freeze the merges, re-tokenize any shard identically) and
+    auditable (inspect what the corpus taught the tokenizer). Sharing
+    the learning CTEs with the tokenizer oracle pins that the exported
+    table is byte-identical to the one the tokenizer applies.
+
+    Scale: the vocabulary-sized gram aggregation + two TakeOrdered
+    top-k cuts; the ranked output is 320 rows total — window over the
+    post-limit relation only."""
+    _, wf = _bpe_word_freq(spark, sf_dir)
+    wf = track_persist(wf)  # both merge levels read it
+
+    def ranked(width: int, top: int, level: int) -> DataFrame:
+        w = bounded_global_window(
+            F.col("cnt").desc(), "gram",
+            max_rows=top, why="post-limit merge table (<=256 rows)",
+        )
+        return _bpe_gram_counts(wf, width, top).select(
+            F.lit(level).cast("int").alias("level"),
+            F.row_number().over(w).cast("bigint").alias("merge_rank"),
+            "gram",
+            F.col("cnt").cast("bigint").alias("cnt"),
+        )
+
+    return ranked(2, 256, 1).unionByName(ranked(4, 64, 2))

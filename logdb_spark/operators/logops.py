@@ -3583,6 +3583,103 @@ def log_dp_noisy_release_userlevel(
 
 
 @register(
+    "log_dp_noisy_sum_userlevel",
+    # Exact-decimal user×type sums (dec4 discipline), decimal clip at
+    # C=500, decimal release sum ROUNDed to the shared 2-dp grid
+    # BEFORE the double noise is added — every noisy_sum input is
+    # bit-identical across engines; certificates on the 6-dp grid.
+    oracle="""
+        WITH ut AS (
+            SELECT user_id, event_type,
+                   SUM(CAST(value AS DECIMAL(18,4))) AS s
+            FROM events GROUP BY 1, 2
+        ), g AS (
+            SELECT event_type,
+                   CAST(ROUND(SUM(least(s, CAST(500 AS DECIMAL(18,4)))), 2)
+                        AS DOUBLE) AS clipped_sum,
+                   CAST(SUM(CASE WHEN s > 500 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_users_clipped
+            FROM ut GROUP BY 1
+        ), drawn AS (
+            SELECT event_type, clipped_sum, n_users_clipped,
+                   (CAST('0x' || substring(md5('us|' || event_type), 1, 8)
+                         AS BIGINT) + 0.5) / 4294967296.0 - 0.5 AS c
+            FROM g
+        )
+        SELECT event_type, clipped_sum,
+               CAST(500 AS BIGINT) AS clip_c, 0.5 AS eps,
+               n_users_clipped,
+               ROUND(clipped_sum
+                     - 1000.0 * sign(c) * ln(1.0 - 2.0 * abs(c)), 6)
+                   AS noisy_sum,
+               ROUND(abs(-1000.0 * sign(c) * ln(1.0 - 2.0 * abs(c))), 6)
+                   <= 13815.510557 AS noise_bound_ok
+        FROM drawn
+    """,
+    section=SECTION,
+)
+def log_dp_noisy_sum_userlevel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """USER-level DP SUM release (r10) — the other standard primitive
+    next to the clipped count: per-type revenue/value totals where
+    each user's contribution to a type is CLIPPED at C = 500 value
+    units (the fixture's per-user-type sums average ~660, so the clip
+    bites on ~70% of contributions — n_users_clipped pins it), then
+    Laplace(C/ε) noise, ε = 0.5 → scale b = 1000. Clipping bounds the
+    L1 sensitivity of each type's sum to one user's presence by C
+    regardless of how many events the user has — the value-space
+    analogue of the count op's k-event cap. ε is PER released group;
+    a user can span groups, so a full-vector release composes
+    sequentially (ε_total = ε·n_types) — stated, not hidden (the same
+    caveat applies to any per-group DP release keyed on a non-user
+    attribute). noise_bound_ok certifies the (1−1e−6) envelope
+    b·ln(1/δ) ≈ 13815.51 on the 6-dp grid both engines share.
+
+    Scale: one shuffle on the composite (user_id, event_type) key
+    (time-diluted skew, the log_rate_limit_flag shape), map-side
+    decimal clip, then a bounded-|event_type| agg — the clip is the
+    standard contribution-bounding pass, fused into the first
+    aggregation rather than a separate window (no per-user ordering
+    needed for sums, unlike the count op's k-row rank)."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.sum(dec4("value")).alias("s")
+    )
+    clip = F.least(F.col("s"), F.lit(500).cast("decimal(18,4)"))
+    g = ut.groupBy("event_type").agg(
+        dround(F.sum(clip)).alias("clipped_sum"),
+        F.sum((F.col("s") > 500).cast("int"))
+        .cast("bigint")
+        .alias("n_users_clipped"),
+    )
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("us|"), F.col("event_type"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    c = (u32 + F.lit(0.5)) / F.lit(4294967296.0) - F.lit(0.5)
+    noise = (
+        F.lit(-1000.0)
+        * F.signum(c)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(c))
+    )
+    return g.select(
+        "event_type",
+        "clipped_sum",
+        F.lit(500).cast("bigint").alias("clip_c"),
+        F.lit(0.5).alias("eps"),
+        "n_users_clipped",
+        F.round(F.col("clipped_sum") + noise, 6).alias("noisy_sum"),
+        (F.round(F.abs(noise), 6) <= F.lit(13815.510557)).alias(
+            "noise_bound_ok"
+        ),
+    )
+
+
+@register(
     "log_user_lifecycle_stages",
     oracle="""
         WITH daily AS (

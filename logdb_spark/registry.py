@@ -66,21 +66,24 @@ _LOADED = False
 # r10 head below is its output with one prepend — the operators born
 # in r10 (oracles from birth, never sampled) take the first slots so
 # every new op gets a birth-round driver row. Layout:
-#   [0..2]   NEW in r10: log_dp_noisy_release_userlevel,
-#            text_bpe_tokenize, sample_pack_sequences_bpe.
-#   [3..47]  the 45 operators whose freshest hash-green driver row is
+#   [0..4]   NEW in r10: log_dp_noisy_release_userlevel,
+#            text_bpe_tokenize, sample_pack_sequences_bpe,
+#            text_bpe_vocab, log_dp_noisy_sum_userlevel.
+#   [5..49]  the 45 operators whose freshest hash-green driver row is
 #            round 1 (alphabetical within the round bucket, matching
 #            tools/staleness.py's deterministic ordering).
-#   [48..57] the 10 operators whose freshest row is round 2.
-# 3 + 45 + 10 = 58 names; the 50-cap samples [0..49] (all new ops, all
-# of r1, the first 2 of r2), leaving an 8-op r2 tail + the r3/r4
-# buckets for the r11 tuple — regenerate it with
-# `python -m tools.staleness --tuple` after the r10 report lands.
+#   [50..59] the 10 operators whose freshest row is round 2.
+# 5 + 45 + 10 = 60 names; the 50-cap samples [0..49] (all new ops +
+# all of r1), leaving the 10-op r2 bucket + the r3/r4 buckets for the
+# r11 tuple — regenerate it with `python -m tools.staleness --tuple`
+# after the r10 report lands.
 _R10_NEEDS_ROW_FIRST = (
     # -- NEW in r10 (oracles from birth, never sampled) --
     "log_dp_noisy_release_userlevel",
     "text_bpe_tokenize",
     "sample_pack_sequences_bpe",
+    "text_bpe_vocab",
+    "log_dp_noisy_sum_userlevel",
     # -- freshest driver row is round 1 (45 ops) --
     "agg_count_distinct",
     "agg_cube",

@@ -214,3 +214,59 @@ def test_dp_userlevel_window_is_user_partitioned(spark):
     plan = buf.getvalue()
     assert "hashpartitioning(user_id" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_dp_sum_userlevel_clips_and_bounds(spark):
+    """Clipped-sum DP (r10): (1) the released base equals the sum of
+    per-(user,type) min(contribution, 500) — engine-independent
+    because the clip needs no ordering; (2) the clip actually bites on
+    the fixture (n_users_clipped > 0 and the clipped release is
+    strictly below the raw sum); (3) every noisy_sum sits within the
+    advertised Laplace envelope of its clipped base and the in-plan
+    certificate agrees."""
+    from logdb_spark.functions.numeric import dec4
+    from logdb_spark.operators.logops import log_dp_noisy_sum_userlevel
+
+    rows = log_dp_noisy_sum_userlevel(spark, SF_SMALL).collect()
+    ev = load_table(spark, SF_SMALL, "events")
+    ut = ev.groupBy("user_id", "event_type").agg(
+        F.sum(dec4("value")).alias("s")
+    )
+    agg = ut.agg(
+        F.sum(F.least(F.col("s"), F.lit(500).cast("decimal(18,4)"))).alias(
+            "clip_total"
+        ),
+        F.sum("s").alias("raw_total"),
+        F.sum((F.col("s") > 500).cast("int")).alias("n_hit"),
+    ).first()
+    assert agg["n_hit"] > 0, "fixture no longer exercises the clip"
+    assert sum(r["n_users_clipped"] for r in rows) == agg["n_hit"]
+    released = sum(r["clipped_sum"] for r in rows)
+    assert abs(released - float(agg["clip_total"])) < 0.05
+    assert released < float(agg["raw_total"])
+    for r in rows:
+        assert r["noise_bound_ok"], r
+        assert abs(r["noisy_sum"] - r["clipped_sum"]) <= 13815.510558
+        assert r["clip_c"] == 500 and r["eps"] == 0.5
+
+
+def test_bpe_vocab_is_the_applied_merge_table(spark):
+    """The exported vocab must BE the table the tokenizer applies:
+    contiguous merge ranks per level, counts non-increasing in rank,
+    level sizes within the 256/64 caps, and every level-2 4-gram's
+    aligned halves splittable into 2-char grams (structural sanity of
+    the aligned encoding)."""
+    from logdb_spark.operators.llm import text_bpe_vocab
+
+    rows = text_bpe_vocab(spark, SF_SMALL).collect()
+    by_level: dict[int, list] = {}
+    for r in rows:
+        by_level.setdefault(r["level"], []).append(r)
+    assert set(by_level) == {1, 2}
+    for level, cap, width in ((1, 256, 2), (2, 64, 4)):
+        lv = sorted(by_level[level], key=lambda r: r["merge_rank"])
+        assert 1 <= len(lv) <= cap
+        assert [r["merge_rank"] for r in lv] == list(range(1, len(lv) + 1))
+        assert all(len(r["gram"]) == width for r in lv)
+        counts = [r["cnt"] for r in lv]
+        assert counts == sorted(counts, reverse=True)
