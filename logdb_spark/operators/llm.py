@@ -213,7 +213,24 @@ def _pair_kernel(spark, tok, sets_fn):
     # Persist the exploded tokens: the vocab probe, the dictionary,
     # and the encode join all consume this one relation.
     tok = track_persist(tok)
-    # Tiny global sort: vocab_n rows through one partition, by design.
+    # Probe the vocabulary size BEFORE building the ranked dictionary
+    # (r10 review): the row_number dictionary is a single-partition
+    # sort, so on an open-vocab corpus the old order-of-operations
+    # materialized an UNBOUNDED global window just to learn the path
+    # must be abandoned. A plain distinct-count probe is shuffle-only;
+    # the ranked dictionary is built only once the ≤4096 gate holds
+    # (the kept path re-runs the tiny distinct — vocab-sized, cheap).
+    vocab_n = tok.select("token").distinct().count()
+    if vocab_n > _BITMASK_MAX_VOCAB:
+        tok.unpersist()
+        return (
+            sets_fn(),
+            F.size(F.array_intersect("toks_a", "toks_b")),
+            None,
+            0,  # n_chunks = 0 → open-vocab fallback, no bitmasks
+        )
+    # Tiny global sort: ≤4096 rows through one partition, by design —
+    # and only ever executed under the gate just proven.
     dict_ = (
         tok.select("token")
         .distinct()
@@ -223,8 +240,8 @@ def _pair_kernel(spark, tok, sets_fn):
                 F.row_number().over(
                     bounded_global_window(
                         "token", max_rows=4096,
-                        why="dictionary gated by _BITMASK_MAX_VOCAB; "
-                        "the open-vocab fallback abandons this path",
+                        why="dictionary built only under the proven "
+                        "_BITMASK_MAX_VOCAB gate",
                     )
                 )
                 - 1
@@ -232,16 +249,6 @@ def _pair_kernel(spark, tok, sets_fn):
         )
     )
     dict_ = track_persist(dict_)
-    vocab_n = dict_.count()
-    if vocab_n > _BITMASK_MAX_VOCAB:
-        dict_.unpersist()
-        tok.unpersist()
-        return (
-            sets_fn(),
-            F.size(F.array_intersect("toks_a", "toks_b")),
-            None,
-            0,  # n_chunks = 0 → open-vocab fallback, no bitmasks
-        )
     n_chunks = (vocab_n + 63) // 64
     chunked = (
         tok.join(F.broadcast(dict_), "token")
@@ -3352,25 +3359,26 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-of-vocabulary rate per language against the corpus's own
     top-24 token vocabulary — the coverage check run before fixing a
     tokenizer vocab (a language whose OOV rate spikes is about to be
-    shredded into bytes). Vocabulary selection is a bounded global
-    top-k (vocab-sized ranking, the documented-bounded pattern of the
-    token-id assignment at llm.py); the vocab then BROADCASTS into a
-    left join against the token stream — at 100 TB the token side
-    never shuffles, which is the entire point of a fixed-vocab
-    design. Ranking ties break lexicographically on the token for
-    cross-engine determinism."""
+    shredded into bytes). Vocabulary selection is TakeOrdered top-24
+    over the frequency relation (per-partition top-k + a 24-row
+    driver merge — no global sort even on an open vocabulary); the
+    vocab then BROADCASTS into a left join against the token stream —
+    at 100 TB the token side never shuffles, which is the entire
+    point of a fixed-vocab design. Ranking ties break
+    lexicographically on the token for cross-engine determinism."""
     tok = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("w")
     )
     freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
-    wv = bounded_global_window(
-        F.col("n").desc(), "w", max_rows=1 << 20,
-        why="distinct-token vocabulary, sublinear in corpus rows; "
-        "ranked once for the top-24 cut",
-    )
+    # Top-24 vocabulary via orderBy+limit (TakeOrdered: per-partition
+    # top-24 + a 24-row driver merge) — r10 review replaced a global
+    # rank window here; the rank was only ever consumed by a ≤24 cut,
+    # and the vocabulary is open (grows with the corpus), so the
+    # single-partition sort was the one genuinely unbounded window
+    # hiding behind a declared bound.
     vocab = (
-        freq.withColumn("rnk", F.row_number().over(wv))
-        .filter(F.col("rnk") <= 24)
+        freq.orderBy(F.col("n").desc(), "w")
+        .limit(24)
         .select("w", F.lit(True).alias("in_vocab"))
     )
     per_doc = (

@@ -3613,7 +3613,7 @@ def log_dp_noisy_release_userlevel(
                      - 1000.0 * sign(c) * ln(1.0 - 2.0 * abs(c)), 6)
                    AS noisy_sum,
                ROUND(abs(-1000.0 * sign(c) * ln(1.0 - 2.0 * abs(c))), 6)
-                   <= 13815.510557 AS noise_bound_ok
+                   <= 13815.510558 AS noise_bound_ok
         FROM drawn
     """,
     section=SECTION,
@@ -3673,7 +3673,7 @@ def log_dp_noisy_sum_userlevel(
         F.lit(0.5).alias("eps"),
         "n_users_clipped",
         F.round(F.col("clipped_sum") + noise, 6).alias("noisy_sum"),
-        (F.round(F.abs(noise), 6) <= F.lit(13815.510557)).alias(
+        (F.round(F.abs(noise), 6) <= F.lit(13815.510558)).alias(
             "noise_bound_ok"
         ),
     )

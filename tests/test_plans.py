@@ -877,20 +877,30 @@ def test_no_raw_global_windows():
 
 def test_bounded_global_window_declarations_hold(spark):
     """The bounds declared at bounded_global_window call sites must be
-    real: run a representative op per bound class and assert the
-    relation actually feeding the global window fits the declaration
-    (hour grid <= 720, day grid <= 31, RRF shortlist <= 20)."""
+    real, per bound class: the calendar grids measured on the fixture
+    (hour grid <= 720, day grid <= 31), the RRF shortlist bound pinned
+    against the _RRF_K constant the .limit() calls actually use, the
+    merge-table bound against its .limit(256), and the bitmask
+    dictionary bound against _BITMASK_MAX_VOCAB (the window is built
+    only under that proven gate since the r10 review)."""
     from pyspark.sql import functions as F
 
+    from logdb_spark.operators import llm
     from logdb_spark.sources.load import load_table
 
-    # hour grid: the rate-spike hourly relation
     ev = load_table(spark, SF_SMALL, "events")
     n_hours = ev.select(F.date_trunc("hour", "ts")).distinct().count()
     assert n_hours <= 720, n_hours
     n_days = ev.select(F.date_trunc("day", "ts")).distinct().count()
     assert n_days <= 31, n_days
-    # the declared-bounded ops still execute green
+    # constants the declarations cite must still match the limits the
+    # plans apply — a raised K or dropped .limit() fails here, not in
+    # a silenced log line
+    assert llm._RRF_K <= 20, "sim_hybrid_rrf windows declare max_rows=20"
+    assert llm._BITMASK_MAX_VOCAB <= 4096, (
+        "the pair-kernel dictionary window declares max_rows=4096"
+    )
+    # the declared-bounded ops still execute green end-to-end
     for name in ("log_rate_spike", "log_error_budget_burndown",
-                 "sim_hybrid_rrf"):
+                 "sim_hybrid_rrf", "text_bpe_vocab"):
         assert OPS[name].fn(spark, SF_SMALL).count() >= 0

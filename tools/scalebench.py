@@ -198,9 +198,22 @@ def main() -> int:
                 _build_corpus(spark, scratch, n)
                 for name in ops_wanted:
                     fn = ops[name].fn
+
+                    def drop_caches():
+                        # r10 review: track_persist'd intermediates
+                        # from one invocation are plan-matched by the
+                        # CacheManager and SERVED to the next, so a
+                        # timed run after an uncleared warm run skips
+                        # every pre-persist stage (or, for UDF-bearing
+                        # plans, piles up duplicate cache entries).
+                        # Each measured run must pay full cost.
+                        release_tracked_caches()
+                        spark.catalog.clearCache()
+
                     fn(spark, scratch).write.mode("overwrite").format(
                         "noop"
-                    ).save()  # warm: plan compile, file listing
+                    ).save()  # warm: JVM/codegen/file-listing only...
+                    drop_caches()  # ...data caches must NOT carry over
                     samples = []
                     for _ in range(args.runs):
                         t0 = time.perf_counter()
@@ -208,6 +221,7 @@ def main() -> int:
                             "noop"
                         ).save()
                         samples.append(time.perf_counter() - t0)
+                        drop_caches()
                     hist = (
                         fn(spark, scratch)
                         .withColumn("pid", F.spark_partition_id())
