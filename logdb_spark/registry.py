@@ -40,6 +40,7 @@ _OPERATOR_MODULES = [
     "logdb_spark.operators.multimodal",
     "logdb_spark.operators.sampling",
     "logdb_spark.operators.layout",
+    "logdb_spark.operators.tableformat",
     "logdb_spark.operators.analytics",
     "logdb_spark.operators.udfs",
     "logdb_spark.streaming.batch_equiv",
@@ -66,17 +67,16 @@ _LOADED = False
 # r10 head below is its output with one prepend — the operators born
 # in r10 (oracles from birth, never sampled) take the first slots so
 # every new op gets a birth-round driver row. Layout:
-#   [0..4]   NEW in r10: log_dp_noisy_release_userlevel,
-#            text_bpe_tokenize, sample_pack_sequences_bpe,
-#            text_bpe_vocab, log_dp_noisy_sum_userlevel.
-#   [5..49]  the 45 operators whose freshest hash-green driver row is
+#   [0..12]  NEW in r10 (never sampled, oracles from birth): the five
+#            BPE/DP ops plus the eight §2.O table-format ops.
+#   [13..57] the 45 operators whose freshest hash-green driver row is
 #            round 1 (alphabetical within the round bucket, matching
 #            tools/staleness.py's deterministic ordering).
-#   [50..59] the 10 operators whose freshest row is round 2.
-# 5 + 45 + 10 = 60 names; the 50-cap samples [0..49] (all new ops +
-# all of r1), leaving the 10-op r2 bucket + the r3/r4 buckets for the
-# r11 tuple — regenerate it with `python -m tools.staleness --tuple`
-# after the r10 report lands.
+#   [58..67] the 10 operators whose freshest row is round 2.
+# 13 + 45 + 10 = 68 names; the 50-cap samples [0..49] (all 13 new ops
+# + the first 37 of r1), leaving 8 r1 ops + the 10-op r2 bucket + the
+# r3/r4 buckets for the r11 tuple — regenerate it with
+# `python -m tools.staleness --tuple` after the r10 report lands.
 _R10_NEEDS_ROW_FIRST = (
     # -- NEW in r10 (oracles from birth, never sampled) --
     "log_dp_noisy_release_userlevel",
@@ -84,6 +84,15 @@ _R10_NEEDS_ROW_FIRST = (
     "sample_pack_sequences_bpe",
     "text_bpe_vocab",
     "log_dp_noisy_sum_userlevel",
+    # -- NEW in r10, §2.O table format (oracles from birth) --
+    "table_txlog_snapshot",
+    "table_delete_cow",
+    "table_merge_cow",
+    "table_skipping_stats",
+    "table_compact_binpack",
+    "table_incremental_read",
+    "table_vacuum_orphans",
+    "table_commit_conflict_retry",
     # -- freshest driver row is round 1 (45 ops) --
     "agg_count_distinct",
     "agg_cube",
