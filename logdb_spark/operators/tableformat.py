@@ -630,3 +630,74 @@ def table_commit_conflict_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("o_orderkey").alias("key_checksum"),
     )
+
+
+@register(
+    "table_schema_evolution_log",
+    oracle="""
+        SELECT CASE WHEN year(o_orderdate) <= 1997 THEN NULL
+                    WHEN o_totalprice < 50000 THEN 'low'
+                    WHEN o_totalprice < 150000 THEN 'mid'
+                    ELSE 'high' END AS discount_band,
+               count(*) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+               CAST(2 AS BIGINT) AS schema_versions
+        FROM orders
+        GROUP BY 1
+    """,
+    section=SECTION,
+)
+def table_schema_evolution_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution tracked BY THE LOG (not by parquet footer
+    merging — contrast scan_schema_evolution §2.A): commit v1 lands
+    the ≤1997 years under schema version 1; commit v2 appends the
+    rest with a new ``discount_band`` column and stamps schema
+    version 2 in the commit metadata and on each add-action. A
+    snapshot reader groups live files by their recorded schema
+    version, reads each generation with its own schema, and aligns by
+    name with nulls for pre-evolution rows — old files are NEVER
+    rewritten for an additive schema change. Output: per-band totals
+    (NULL band = pre-evolution rows) plus the generation count; the
+    oracle derives the band from the raw data with the same year
+    split.
+
+    Scale: the schema registry is commit metadata — one entry per
+    schema change, zero data movement for additive evolution; the
+    union-by-name read costs nothing extra (each generation is its
+    own splittable scan)."""
+    orders = _orders_with_year(spark, sf_dir)
+    tx = TxTable(spark, scratch_dir("logdb_txtable_"))
+    adds_v1 = write_grouped(
+        orders.filter(F.col("g") <= 1997), tx.root, "data1", "o_orderkey"
+    )
+    for a in adds_v1:
+        a["schema_version"] = 1
+    tx.commit(adds_v1, meta={"schema_version": 1})
+    evolved = (
+        orders.filter(F.col("g") > 1997)
+        .withColumn(
+            "discount_band",
+            F.when(F.col("o_totalprice") < 50000, "low")
+            .when(F.col("o_totalprice") < 150000, "mid")
+            .otherwise("high"),
+        )
+    )
+    adds_v2 = write_grouped(evolved, tx.root, "data2", "o_orderkey")
+    for a in adds_v2:
+        a["schema_version"] = 2
+    tx.commit(adds_v2, meta={"schema_version": 2})
+
+    live = tx.live_files()
+    gens = sorted({e["schema_version"] for e in live})
+    frames = [
+        tx.read(files=[e for e in live if e["schema_version"] == g])
+        for g in gens
+    ]
+    snap = frames[0]
+    for f in frames[1:]:
+        snap = snap.unionByName(f, allowMissingColumns=True)
+    return snap.groupBy("discount_band").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("key_checksum"),
+        F.lit(len(gens)).cast("bigint").alias("schema_versions"),
+    )

@@ -67,14 +67,14 @@ _LOADED = False
 # r10 head below is its output with one prepend — the operators born
 # in r10 (oracles from birth, never sampled) take the first slots so
 # every new op gets a birth-round driver row. Layout:
-#   [0..12]  NEW in r10 (never sampled, oracles from birth): the five
-#            BPE/DP ops plus the eight §2.O table-format ops.
-#   [13..57] the 45 operators whose freshest hash-green driver row is
+#   [0..14]  NEW in r10 (never sampled, oracles from birth): the five
+#            BPE/DP ops plus the ten §2.O table-format / txlog ops.
+#   [15..59] the 45 operators whose freshest hash-green driver row is
 #            round 1 (alphabetical within the round bucket, matching
 #            tools/staleness.py's deterministic ordering).
-#   [58..67] the 10 operators whose freshest row is round 2.
-# 13 + 45 + 10 = 68 names; the 50-cap samples [0..49] (all 13 new ops
-# + the first 37 of r1), leaving 8 r1 ops + the 10-op r2 bucket + the
+#   [60..69] the 10 operators whose freshest row is round 2.
+# 15 + 45 + 10 = 70 names; the 50-cap samples [0..49] (all 15 new ops
+# + the first 35 of r1), leaving 10 r1 ops + the 10-op r2 bucket + the
 # r3/r4 buckets for the r11 tuple — regenerate it with
 # `python -m tools.staleness --tuple` after the r10 report lands.
 _R10_NEEDS_ROW_FIRST = (
@@ -93,6 +93,8 @@ _R10_NEEDS_ROW_FIRST = (
     "table_incremental_read",
     "table_vacuum_orphans",
     "table_commit_conflict_retry",
+    "table_schema_evolution_log",
+    "stream_txlog_append",
     # -- freshest driver row is round 1 (45 ops) --
     "agg_count_distinct",
     "agg_cube",

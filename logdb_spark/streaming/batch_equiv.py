@@ -1262,3 +1262,93 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return surv.select(
         "doc_id", F.col("n").cast("bigint").alias("n_tokens")
     )
+
+
+@register(
+    "stream_txlog_append",
+    oracle="""
+        SELECT count(*) AS n_rows,
+               CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+               CAST(3 AS BIGINT) AS n_commits,
+               CAST(3 AS BIGINT) AS n_files,
+               CAST(1 AS BIGINT) AS replays_skipped
+        FROM events
+    """,
+    section=SECTION,
+)
+def stream_txlog_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once STREAMING ingest into the §2.O transaction-log
+    table — the production lakehouse sink pattern: each micro-batch
+    writes one immutable data file and commits it with the batch id
+    stamped as the transaction identity in the commit metadata; a
+    replayed batch (checkpoint-recovered retry, at-least-once
+    delivery) is detected by the txn-id guard BEFORE any data is
+    written and skipped, so the table never double-ingests. The
+    fixture replays as three real micro-batches
+    (maxFilesPerTrigger=1 over three staged day-slices), then batch 0
+    is re-delivered by hand — the commit count stays 3 and
+    replays_skipped records the guard firing. The final snapshot must
+    hold every event exactly once (count + id checksum vs the raw
+    table).
+
+    Scale: the guard is a log scan for txn ids — O(commits) metadata,
+    the same idempotent-writes contract Delta's txn action provides;
+    data files land once and are never rewritten for an append."""
+    import glob
+    import os
+    import shutil
+
+    from logdb_spark.streaming.harness import read_events_stream
+    from logdb_spark.tablefmt import TxTable, write_grouped
+
+    ev = load_table(spark, sf_dir, "events")
+    out = scratch_dir("logdb_stxa_")
+    stage = out + "/stage"
+    os.makedirs(stage)
+    dom = F.dayofmonth("ts")
+    for name, cond in (
+        ("f1", dom <= 10),
+        ("f2", (dom > 10) & (dom <= 20)),
+        ("f3", dom > 20),
+    ):
+        tmp = f"{out}/{name}_tmp"
+        ev.filter(cond).coalesce(1).write.parquet(tmp)
+        shutil.copy(
+            glob.glob(tmp + "/*.parquet")[0], f"{stage}/{name}.parquet"
+        )
+
+    tx = TxTable(spark, out + "/table")
+    skipped = {"n": 0}
+
+    def ingest_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch_id in tx.committed_txn_ids():
+            skipped["n"] += 1  # replayed delivery — already committed
+            return
+        adds = write_grouped(
+            batch.withColumn("g", F.lit(int(batch_id))),
+            tx.root,
+            f"b{batch_id}",
+            "event_id",
+        )
+        tx.commit(adds, meta={"txn_id": int(batch_id)})
+
+    s = read_events_stream(spark, stage, max_files_per_trigger=1)
+    q = (
+        s.writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", out + "/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("txlog append stream did not finish")
+    # Hand-replay batch 0 (same batch id, same data): the txn guard
+    # must skip it before any write — exactly-once under retry.
+    ingest_batch(spark.read.parquet(f"{stage}/f1.parquet"), 0)
+    return tx.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").alias("id_checksum"),
+        F.lit(tx.latest_version()).cast("bigint").alias("n_commits"),
+        F.lit(len(tx.live_files())).cast("bigint").alias("n_files"),
+        F.lit(skipped["n"]).cast("bigint").alias("replays_skipped"),
+    )

@@ -75,11 +75,14 @@ class TxTable:
         version: int,
         adds: list[dict],
         removes: tuple[str, ...] | list[str] = (),
+        meta: dict | None = None,
     ) -> None:
         """Atomically publish ``version``; raise CommitConflict if a
         concurrent writer already owns it. O_CREAT|O_EXCL is the same
         atomic-rename/put-if-absent primitive object stores expose —
-        exactly one writer wins a version number."""
+        exactly one writer wins a version number. ``meta`` carries
+        application transaction identity (e.g. a streaming batch id
+        for exactly-once sinks, a schema version for evolution)."""
         try:
             fd = os.open(
                 self._vpath(version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
@@ -88,7 +91,12 @@ class TxTable:
             raise CommitConflict(version) from None
         with os.fdopen(fd, "w") as f:
             json.dump(
-                {"version": version, "add": adds, "remove": list(removes)},
+                {
+                    "version": version,
+                    "add": adds,
+                    "remove": list(removes),
+                    "meta": meta or {},
+                },
                 f,
                 sort_keys=True,
             )
@@ -97,6 +105,7 @@ class TxTable:
         self,
         adds: list[dict],
         removes: tuple[str, ...] | list[str] = (),
+        meta: dict | None = None,
     ) -> tuple[int, int]:
         """Optimistic-concurrency commit: retry on conflict after
         re-reading the log (append-only actions never invalidate a
@@ -106,10 +115,20 @@ class TxTable:
         while True:
             v = self.latest_version() + 1
             try:
-                self.try_commit(v, adds, removes)
+                self.try_commit(v, adds, removes, meta=meta)
                 return v, conflicts
             except CommitConflict:
                 conflicts += 1
+
+    def committed_txn_ids(self, key: str = "txn_id") -> set:
+        """Application transaction ids already in the log — the
+        exactly-once guard an idempotent streaming sink checks before
+        committing a (possibly replayed) micro-batch."""
+        return {
+            c["meta"][key]
+            for c in self.log_actions()
+            if c.get("meta", {}).get(key) is not None
+        }
 
     def log_actions(self, as_of: int | None = None) -> list[dict]:
         """All commit documents, log order, up to ``as_of``."""
