@@ -701,3 +701,224 @@ def table_schema_evolution_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o_orderkey").alias("key_checksum"),
         F.lit(len(gens)).cast("bigint").alias("schema_versions"),
     )
+
+
+@register(
+    "table_zorder_skipping",
+    oracle="""
+        WITH nc AS (SELECT max(o_custkey) + 1 AS w FROM orders),
+        base AS (
+            SELECT o_orderkey, o_custkey,
+                   (year(o_orderdate) - 1995) * 12
+                       + month(o_orderdate) - 1 AS mkey
+            FROM orders
+        ),
+        nm AS (SELECT max(mkey) + 1 AS t FROM base),
+        zed AS (
+            SELECT *,
+                   (o_custkey * 4) // (SELECT w FROM nc) AS cx,
+                   (mkey * 4) // (SELECT t FROM nm) AS mq
+            FROM base
+        ),
+        zfile AS (
+            SELECT (cx % 2) + 2 * (mq % 2)
+                       + 4 * ((cx // 2) % 2) + 8 * ((mq // 2) % 2) AS z,
+                   min(o_custkey) AS mnc, max(o_custkey) AS mxc,
+                   min(mkey) AS mnm, max(mkey) AS mxm
+            FROM zed GROUP BY 1
+        ),
+        box AS (
+            SELECT (SELECT w FROM nc) * 3 // 8 AS clo,
+                   (SELECT w FROM nc) * 4 // 8 - 1 AS chi,
+                   (SELECT t FROM nm) * 5 // 8 AS mlo,
+                   (SELECT t FROM nm) * 6 // 8 - 1 AS mhi
+        )
+        SELECT (SELECT count(*) FROM zfile) AS files_total,
+               (SELECT count(*) FROM zfile, box
+                WHERE mxc >= clo AND mnc <= chi
+                  AND mxm >= mlo AND mnm <= mhi) AS files_scanned_zorder,
+               (SELECT count(*) FROM zfile, box
+                WHERE mxc >= clo AND mnc <= chi) AS files_scanned_1d,
+               count(*) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+        FROM base, box
+        WHERE o_custkey BETWEEN clo AND chi AND mkey BETWEEN mlo AND mhi
+    """,
+    section=SECTION,
+)
+def table_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering + multi-column stats skipping: the table's
+    16 files are 2-bit×2-bit BIT-INTERLEAVED buckets of (customer-key
+    quartile, month quartile), each add-action carrying min/max stats
+    on BOTH columns; a 2-D box query (one custkey eighth × one month
+    eighth) prunes on both stat intervals at once. The summary proves
+    the z-order win directly: files_scanned_zorder (both dims, 1 of
+    16) vs files_scanned_1d (what custkey-only stats could prune, 4
+    of 16) — the oracle recomputes the interleaving, the per-file
+    stats, and both prune counts from the raw data.
+
+    Scale: linear sort orders make stats selective on ONE leading
+    column; interleaved ordering keeps min/max tight on every
+    interleaved dimension, so multi-predicate scans prune
+    multiplicatively. This is sink_zorder_layout's row-group story
+    lifted to table-format file skipping — same public technique
+    (Morton curves), applied at the metadata layer."""
+    orders = load_table(spark, sf_dir, "orders")
+    w_rows = (
+        orders.agg(F.max("o_custkey").alias("m"))
+        .collect()  # driver-scalar: single max() row — custkey quartile width
+    )
+    w = w_rows[0]["m"] + 1
+    base = orders.withColumn(
+        "mkey",
+        ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1)
+        .cast("bigint"),
+    )
+    t_rows = (
+        base.agg(F.max("mkey").alias("m"))
+        .collect()  # driver-scalar: single max() row — month quartile width
+    )
+    t = t_rows[0]["m"] + 1
+    zed = base.withColumn(
+        "g",
+        F.expr(
+            f"CAST((((o_custkey * 4) DIV {w}) % 2)"
+            f" + 2 * (((mkey * 4) DIV {t}) % 2)"
+            f" + 4 * ((((o_custkey * 4) DIV {w}) DIV 2) % 2)"
+            f" + 8 * ((((mkey * 4) DIV {t}) DIV 2) % 2) AS BIGINT)"
+        ),
+    )
+    tx = TxTable(spark, scratch_dir("logdb_txtable_"))
+    tx.commit(write_grouped(zed, tx.root, "data1", ("o_custkey", "mkey")))
+    clo, chi = (w * 3) // 8, (w * 4) // 8 - 1
+    mlo, mhi = (t * 5) // 8, (t * 6) // 8 - 1
+    hit2d, total = tx.prune_box(
+        {"o_custkey": (clo, chi), "mkey": (mlo, mhi)}
+    )
+    hit1d, _ = tx.prune("o_custkey", clo, chi)
+    return (
+        tx.read(files=hit2d)
+        .withColumn(
+            "mkey",
+            ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1)
+            .cast("bigint"),
+        )
+        .filter(
+            F.col("o_custkey").between(clo, chi)
+            & F.col("mkey").between(mlo, mhi)
+        )
+        .agg(
+            F.lit(total).cast("bigint").alias("files_total"),
+            F.lit(len(hit2d)).cast("bigint").alias("files_scanned_zorder"),
+            F.lit(len(hit1d)).cast("bigint").alias("files_scanned_1d"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_checksum"),
+        )
+    )
+
+
+@register(
+    "table_partition_evolution",
+    oracle="""
+        WITH base AS (
+            SELECT o_orderkey,
+                   year(o_orderdate) AS y,
+                   year(o_orderdate) * 100 + month(o_orderdate) AS ym,
+                   year(o_orderdate) * 10000 + month(o_orderdate) * 100
+                       + day(o_orderdate) AS dk
+            FROM orders
+        ),
+        oldf AS (
+            SELECT y, min(dk) AS mn, max(dk) AS mx
+            FROM base WHERE y <= 1996 GROUP BY y
+        ),
+        newf AS (
+            SELECT ym, min(dk) AS mn, max(dk) AS mx
+            FROM base WHERE y >= 1997 GROUP BY ym
+        )
+        SELECT (SELECT count(*) FROM oldf)
+                   + (SELECT count(*) FROM newf) AS files_total,
+               (SELECT count(*) FROM oldf
+                WHERE mx >= 19961101 AND mn <= 19970228)
+                   AS files_scanned_old_spec,
+               (SELECT count(*) FROM newf
+                WHERE mx >= 19961101 AND mn <= 19970228)
+                   AS files_scanned_new_spec,
+               count(*) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+        FROM base
+        WHERE dk BETWEEN 19961101 AND 19970228
+    """,
+    section=SECTION,
+)
+def table_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-spec evolution without rewrite (the Iceberg-signature
+    capability): v1 lands years ≤1996 under a COARSE per-year spec;
+    the spec then evolves and v2 appends years ≥1997 under a FINE
+    per-month spec — old files keep their layout forever, each
+    generation recorded in commit metadata. A date-range query
+    spanning the spec boundary (1996-11-01 .. 1997-02-28) prunes each
+    file against its OWN stats: one coarse year-file (1996, scanned
+    whole — the price of the old spec) plus two fine month-files
+    (1997-01/02). The summary carries both per-spec scan counts; the
+    oracle recomputes the per-generation file stats and prune counts
+    from the raw data.
+
+    Scale: repartitioning a 100 TB table to a finer spec by rewrite
+    is the operation nobody can afford; spec evolution makes new data
+    cheap to prune immediately while old data ages out — and the
+    skipping logic needs only per-file stats, agnostic to which spec
+    produced the file."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "dk",
+        (
+            F.year("o_orderdate") * 10000
+            + F.month("o_orderdate") * 100
+            + F.dayofmonth("o_orderdate")
+        ).cast("bigint"),
+    )
+    tx = TxTable(spark, scratch_dir("logdb_txtable_"))
+    adds_old = write_grouped(
+        orders.filter(F.year("o_orderdate") <= 1996).withColumn(
+            "g", F.year("o_orderdate")
+        ),
+        tx.root,
+        "yearly",
+        "dk",
+    )
+    for a in adds_old:
+        a["spec"] = "year"
+    tx.commit(adds_old, meta={"partition_spec": "year"})
+    adds_new = write_grouped(
+        orders.filter(F.year("o_orderdate") >= 1997).withColumn(
+            "g", F.year("o_orderdate") * 100 + F.month("o_orderdate")
+        ),
+        tx.root,
+        "monthly",
+        "dk",
+    )
+    for a in adds_new:
+        a["spec"] = "month"
+    tx.commit(adds_new, meta={"partition_spec": "month"})
+
+    lo, hi = 19961101, 19970228
+    hit, total = tx.prune("dk", lo, hi)
+    n_old = sum(1 for e in hit if e["spec"] == "year")
+    n_new = sum(1 for e in hit if e["spec"] == "month")
+    return (
+        tx.read(files=hit)
+        .filter(
+            (
+                F.year("o_orderdate") * 10000
+                + F.month("o_orderdate") * 100
+                + F.dayofmonth("o_orderdate")
+            ).between(lo, hi)
+        )
+        .agg(
+            F.lit(total).cast("bigint").alias("files_total"),
+            F.lit(n_old).cast("bigint").alias("files_scanned_old_spec"),
+            F.lit(n_new).cast("bigint").alias("files_scanned_new_spec"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("o_orderkey").alias("key_checksum"),
+        )
+    )

@@ -182,11 +182,25 @@ class TxTable:
         """Data skipping: keep only files whose [min,max] interval for
         ``stat`` intersects [lo, hi]. Pure metadata — O(files), no
         data read. Returns (selected_files, total_files)."""
+        return self.prune_box({stat: (lo, hi)}, as_of=as_of)
+
+    def prune_box(
+        self,
+        box: dict[str, tuple],
+        as_of: int | None = None,
+    ) -> tuple[list[dict], int]:
+        """Multi-dimension data skipping: keep files whose per-column
+        [min,max] intervals intersect EVERY query range in ``box``
+        ({col: (lo, hi)}) — the skipping rule z-order clustering
+        exists to make effective on more than one column at once."""
         live = self.live_files(as_of)
         hit = [
             e
             for e in live
-            if not (e[f"max_{stat}"] < lo or e[f"min_{stat}"] > hi)
+            if all(
+                not (e[f"max_{c}"] < lo or e[f"min_{c}"] > hi)
+                for c, (lo, hi) in box.items()
+            )
         ]
         return hit, len(live)
 
@@ -195,12 +209,14 @@ def write_grouped(
     df: DataFrame,
     root: str,
     subdir: str,
-    stat_col: str,
+    stat_col: str | tuple[str, ...],
 ) -> list[dict]:
     """Write ``df`` (which carries an integer/string grouping column
     ``g``) as one parquet data file per distinct ``g`` under
     ``root/subdir/g=<v>``, and return the add-actions with per-file
-    row counts and min/max stats on ``stat_col``.
+    row counts and min/max stats on each column in ``stat_col``
+    (a single name or a tuple — multi-column stats feed z-order
+    style multi-dimension skipping).
 
     One shuffle (repartition by g → exactly one writer task per file)
     plus one partial+final aggregation for the stats — both linear,
@@ -208,23 +224,29 @@ def write_grouped(
     stats transfer is one row per FILE (bounded by the grouping
     domain, ≤ ~100 here), never per data row.
     """
+    cols = (stat_col,) if isinstance(stat_col, str) else tuple(stat_col)
     out = os.path.join(root, subdir)
     df.repartition("g").write.mode("errorifexists").partitionBy("g").parquet(out)
+    aggs = [F.count(F.lit(1)).alias("rows")]
+    for c in cols:
+        aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
     stats = (
         df.groupBy("g")
-        .agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.min(stat_col).alias("mn"),
-            F.max(stat_col).alias("mx"),
-        )
+        .agg(*aggs)
         .collect()  # driver-scalar: one row per FILE (bounded grouping domain), metadata not data
     )
     return [
         {
             "path": f"{subdir}/g={r['g']}",
             "rows": r["rows"],
-            f"min_{stat_col}": r["mn"],
-            f"max_{stat_col}": r["mx"],
+            **{
+                k: v
+                for c in cols
+                for k, v in (
+                    (f"min_{c}", r[f"mn_{c}"]),
+                    (f"max_{c}", r[f"mx_{c}"]),
+                )
+            },
         }
         for r in sorted(stats, key=lambda r: str(r["g"]))
     ]
