@@ -13,7 +13,13 @@ Two claims the operator family makes get numbers here, at sf0.1
 
 Both arms assert result parity before timing. Median of 3.
 
-Usage: python -m tools.tablebench [--sf DIR] [--files N]
+A ``--scale K`` flag replicates lineitem K-fold in-query (distinct
+keys per replica) before building the table, giving measured scaling
+points: metadata costs (prune, replay) must stay flat, pruned-scan and
+COW costs must track the hit-file BYTES, full-scan/full-rewrite costs
+must track the table.
+
+Usage: python -m tools.tablebench [--sf DIR] [--files N] [--scale K]
 """
 
 from __future__ import annotations
@@ -43,11 +49,23 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--files", type=int, default=64)
+    ap.add_argument("--scale", type=int, default=1)
     args = ap.parse_args()
     nf = args.files
 
     spark = get_spark("tablebench")
     li = load_table(spark, args.sf, "lineitem")
+    if args.scale > 1:
+        base_mx = li.agg(F.max("l_orderkey")).first()[0] + 1
+        reps = spark.range(args.scale).select(F.col("id").alias("rep"))
+        li = (
+            li.crossJoin(F.broadcast(reps))
+            .withColumn(
+                "l_orderkey",
+                F.col("l_orderkey") + F.col("rep") * F.lit(base_mx),
+            )
+            .drop("rep")
+        )
     n = li.count()
     # Key-range files over l_orderkey; stats on the key. Width from
     # the actual key max so the bucketing is data-driven.
@@ -106,10 +124,13 @@ def main() -> None:
 
     t_cow = _timed(lambda: cow_delete(next_sub("cow")))
     t_full_rw = _timed(lambda: full_rewrite(next_sub("fullrw")))
+    t_prune = _timed(lambda: tx.prune("l_orderkey", lo, hi), runs=5)
+    t_replay = _timed(lambda: tx.live_files(), runs=5)
 
     print(
         {
             "sf": args.sf,
+            "scale": args.scale,
             "rows": n,
             "files_total": total,
             "files_hit": len(hit),
@@ -119,6 +140,8 @@ def main() -> None:
             "cow_delete_s": t_cow,
             "full_rewrite_s": t_full_rw,
             "rewrite_speedup": round(t_full_rw / t_cow, 2),
+            "prune_metadata_s": t_prune,
+            "log_replay_s": t_replay,
         }
     )
 
