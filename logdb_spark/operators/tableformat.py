@@ -65,6 +65,28 @@ def _year_table(spark: SparkSession, sf_dir: str) -> tuple[TxTable, list[dict]]:
     return tx, adds
 
 
+def _cow_delete_p_years(tx: TxTable, years: tuple[int, int]) -> list[str]:
+    """Copy-on-write delete of 'P'-status rows from the given year
+    files of a ``_year_table``: discover the touched files from a
+    bounded grouped distinct, rewrite ONLY those files without the
+    matching rows, and commit the reference swap. Shared by
+    table_delete_cow, table_vacuum_orphans, and the byte-identity
+    test. Returns the removed (touched) paths."""
+    pred = (F.col("o_orderstatus") == "P") & F.col("g").isin(*years)
+    snap = tx.read().withColumn("g", F.year("o_orderdate"))
+    touched_rows = (
+        snap.filter(pred)
+        .select("g")
+        .distinct()
+        .collect()  # driver-scalar: one row per FILE containing matches (≤7 years)
+    )
+    touched = sorted(f"data1/g={r['g']}" for r in touched_rows)
+    rewrite = snap.filter(F.col("g").isin([r["g"] for r in touched_rows]))
+    adds_rw = write_grouped(rewrite.filter(~pred), tx.root, "rw1", "o_orderkey")
+    tx.commit(adds_rw, removes=touched)
+    return touched
+
+
 def _snapshot_summary(df: DataFrame, version: int, n_files: int) -> DataFrame:
     return df.agg(
         F.lit(version).cast("bigint").alias("version"),
@@ -155,20 +177,7 @@ def table_delete_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     per file); rewrite cost is proportional to the matched FILES, not
     the table — the property that makes COW deletes affordable."""
     tx, adds = _year_table(spark, sf_dir)
-    pred = (F.col("o_orderstatus") == "P") & F.col("g").isin(1996, 1999)
-    snap = tx.read().withColumn("g", F.year("o_orderdate"))
-    touched_rows = (
-        snap.filter(pred)
-        .select("g")
-        .distinct()
-        .collect()  # driver-scalar: one row per FILE containing matches (≤7 years)
-    )
-    touched = {f"data1/g={r['g']}" for r in touched_rows}
-    rewrite = snap.filter(F.col("g").isin([r["g"] for r in touched_rows]))
-    adds_rw = write_grouped(
-        rewrite.filter(~pred), tx.root, "rw1", "o_orderkey"
-    )
-    tx.commit(adds_rw, removes=sorted(touched))
+    touched = _cow_delete_p_years(tx, (1996, 1999))
     final = tx.read()
     return (
         final.groupBy("o_orderstatus")
@@ -541,19 +550,8 @@ def table_vacuum_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: vacuum = set-difference between the log's ever-added paths
     and the live replay — pure metadata, O(files); the actual file
     deletion a retention job performs is embarrassingly parallel."""
-    tx, adds = _year_table(spark, sf_dir)
-    pred = (F.col("o_orderstatus") == "P") & F.col("g").isin(1995, 2000)
-    snap = tx.read().withColumn("g", F.year("o_orderdate"))
-    touched_rows = (
-        snap.filter(pred)
-        .select("g")
-        .distinct()
-        .collect()  # driver-scalar: one row per FILE containing matches (≤7 years)
-    )
-    touched = sorted(f"data1/g={r['g']}" for r in touched_rows)
-    rewrite = snap.filter(F.col("g").isin([r["g"] for r in touched_rows]))
-    adds_rw = write_grouped(rewrite.filter(~pred), tx.root, "rw1", "o_orderkey")
-    tx.commit(adds_rw, removes=touched)
+    tx, _ = _year_table(spark, sf_dir)
+    _cow_delete_p_years(tx, (1995, 2000))
 
     on_disk = tx.all_added_paths()
     live = {e["path"] for e in tx.live_files()}

@@ -1299,7 +1299,11 @@ def stream_txlog_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from logdb_spark.streaming.harness import read_events_stream
-    from logdb_spark.tablefmt import TxTable, write_grouped
+    from logdb_spark.tablefmt import (
+        TxTable,
+        attempt_unique_subdir,
+        write_grouped,
+    )
 
     ev = load_table(spark, sf_dir, "events")
     out = scratch_dir("logdb_stxa_")
@@ -1324,10 +1328,15 @@ def stream_txlog_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         if batch_id in tx.committed_txn_ids():
             skipped["n"] += 1  # replayed delivery — already committed
             return
+        # Attempt-unique data path (tablefmt.attempt_unique_subdir): a
+        # crash between write and commit leaves an orphaned
+        # uncommitted dir (vacuum's job); the retry writes fresh files
+        # instead of colliding with the leftovers.
+        sub = attempt_unique_subdir(tx.root, f"b{batch_id}")
         adds = write_grouped(
             batch.withColumn("g", F.lit(int(batch_id))),
             tx.root,
-            f"b{batch_id}",
+            sub,
             "event_id",
         )
         tx.commit(adds, meta={"txn_id": int(batch_id)})

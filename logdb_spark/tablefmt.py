@@ -70,6 +70,8 @@ class TxTable:
         ]
         return max(versions, default=0)
 
+    _tmp_seq = 0
+
     def try_commit(
         self,
         version: int,
@@ -78,28 +80,42 @@ class TxTable:
         meta: dict | None = None,
     ) -> None:
         """Atomically publish ``version``; raise CommitConflict if a
-        concurrent writer already owns it. O_CREAT|O_EXCL is the same
-        atomic-rename/put-if-absent primitive object stores expose —
-        exactly one writer wins a version number. ``meta`` carries
-        application transaction identity (e.g. a streaming batch id
-        for exactly-once sinks, a schema version for evolution)."""
+        concurrent writer already owns it. The commit document is
+        fully written and fsynced to a private temp file FIRST, then
+        linked into the version name — link(2) is atomic
+        put-if-absent, so readers can never observe an empty or
+        partial commit file and exactly one writer wins a version
+        (the object-store equivalent is a conditional PUT of the
+        complete body). ``meta`` carries application transaction
+        identity (e.g. a streaming batch id for exactly-once sinks, a
+        schema version for evolution)."""
+        TxTable._tmp_seq += 1
+        tmp = os.path.join(
+            self.log_dir, f".commit.{os.getpid()}.{TxTable._tmp_seq}.tmp"
+        )
         try:
-            fd = os.open(
-                self._vpath(version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
-            )
-        except FileExistsError:
-            raise CommitConflict(version) from None
-        with os.fdopen(fd, "w") as f:
-            json.dump(
-                {
-                    "version": version,
-                    "add": adds,
-                    "remove": list(removes),
-                    "meta": meta or {},
-                },
-                f,
-                sort_keys=True,
-            )
+            with open(tmp, "w") as f:
+                json.dump(
+                    {
+                        "version": version,
+                        "add": adds,
+                        "remove": list(removes),
+                        "meta": meta or {},
+                    },
+                    f,
+                    sort_keys=True,
+                )
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, self._vpath(version))
+            except FileExistsError:
+                raise CommitConflict(version) from None
+        finally:
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass  # body write failed before the file was created
 
     def commit(
         self,
@@ -192,17 +208,41 @@ class TxTable:
         """Multi-dimension data skipping: keep files whose per-column
         [min,max] intervals intersect EVERY query range in ``box``
         ({col: (lo, hi)}) — the skipping rule z-order clustering
-        exists to make effective on more than one column at once."""
+        exists to make effective on more than one column at once.
+
+        A file with ABSENT or NULL stats for a queried column cannot
+        be pruned and is conservatively kept (the table-format
+        contract: a metadata gap — e.g. a pre-schema-evolution file
+        queried on the new column, or an all-NULL column — must never
+        turn into a wrong answer or a crash)."""
+
+        def may_match(e: dict, c: str, lo, hi) -> bool:
+            mn, mx = e.get(f"min_{c}"), e.get(f"max_{c}")
+            if mn is None or mx is None:
+                return True  # no usable stats — keep the file
+            return not (mx < lo or mn > hi)
+
         live = self.live_files(as_of)
         hit = [
             e
             for e in live
-            if all(
-                not (e[f"max_{c}"] < lo or e[f"min_{c}"] > hi)
-                for c, (lo, hi) in box.items()
-            )
+            if all(may_match(e, c, lo, hi) for c, (lo, hi) in box.items())
         ]
         return hit, len(live)
+
+
+def attempt_unique_subdir(root: str, base: str) -> str:
+    """First non-existing of ``base``, ``base_r1``, ``base_r2``… —
+    the attempt-unique data path an idempotent writer needs: a crash
+    between data write and log commit leaves an orphaned uncommitted
+    dir (vacuum's job), and the retry writes fresh files instead of
+    colliding with the leftovers. Visibility is decided ONLY by the
+    log commit, never by a data path existing."""
+    sub, attempt = base, 0
+    while os.path.exists(os.path.join(root, sub)):
+        attempt += 1
+        sub = f"{base}_r{attempt}"
+    return sub
 
 
 def write_grouped(
@@ -226,15 +266,24 @@ def write_grouped(
     """
     cols = (stat_col,) if isinstance(stat_col, str) else tuple(stat_col)
     out = os.path.join(root, subdir)
-    df.repartition("g").write.mode("errorifexists").partitionBy("g").parquet(out)
-    aggs = [F.count(F.lit(1)).alias("rows")]
-    for c in cols:
-        aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
-    stats = (
-        df.groupBy("g")
-        .agg(*aggs)
-        .collect()  # driver-scalar: one row per FILE (bounded grouping domain), metadata not data
-    )
+    # The write and the stats agg are two actions over the same plan;
+    # persist around them so an expensive upstream (e.g. the COW merge
+    # join) executes once, not twice.
+    df = df.persist()
+    try:
+        df.repartition("g").write.mode("errorifexists").partitionBy(
+            "g"
+        ).parquet(out)
+        aggs = [F.count(F.lit(1)).alias("rows")]
+        for c in cols:
+            aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
+        stats = (
+            df.groupBy("g")
+            .agg(*aggs)
+            .collect()  # driver-scalar: one row per FILE (bounded grouping domain), metadata not data
+        )
+    finally:
+        df.unpersist()
     return [
         {
             "path": f"{subdir}/g={r['g']}",

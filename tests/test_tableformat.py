@@ -40,25 +40,23 @@ def year_table(spark):
 def test_cow_delete_leaves_untouched_files_byte_identical(spark):
     """The COW contract: files without matches are NOT rewritten — the
     commit only swaps log references. Digest every untouched year-file
-    before and after the delete; any byte difference fails."""
-    from logdb_spark.sources.load import load_table
-    from logdb_spark.sources.scratch import scratch_dir
-    from logdb_spark.tablefmt import TxTable, write_grouped
-
-    orders = load_table(spark, SF_SMALL, "orders").withColumn(
-        "g", F.year("o_orderdate")
+    before and after the delete (via the same _cow_delete_p_years path
+    the operators use); any byte difference fails."""
+    from logdb_spark.operators.tableformat import (
+        _cow_delete_p_years,
+        _year_table,
     )
-    tx = TxTable(spark, scratch_dir("tt_cow_"))
-    adds = write_grouped(orders, tx.root, "data1", "o_orderkey")
-    tx.commit(adds)
-    untouched = [a["path"] for a in adds if a["path"].split("=")[1] not in ("1996", "1999")]
+
+    tx, adds = _year_table(spark, SF_SMALL)
+    untouched = [
+        a["path"]
+        for a in adds
+        if a["path"].split("=")[1] not in ("1996", "1999")
+    ]
     before = {p: _dir_digest(os.path.join(tx.root, p)) for p in untouched}
 
-    pred = (F.col("o_orderstatus") == "P") & F.col("g").isin(1996, 1999)
-    snap = tx.read().withColumn("g", F.year("o_orderdate"))
-    rewrite = snap.filter(F.col("g").isin(1996, 1999)).filter(~pred)
-    adds_rw = write_grouped(rewrite, tx.root, "rw1", "o_orderkey")
-    tx.commit(adds_rw, removes=["data1/g=1996", "data1/g=1999"])
+    touched = _cow_delete_p_years(tx, (1996, 1999))
+    assert touched == ["data1/g=1996", "data1/g=1999"]
 
     after = {p: _dir_digest(os.path.join(tx.root, p)) for p in untouched}
     assert before == after, "COW delete rewrote an untouched file"
@@ -141,3 +139,77 @@ def test_compaction_preserves_content_and_shrinks_files(spark):
     assert row["files_after"] < row["files_before"]
     assert row["files_before"] >= 70  # ~80 months of fixture data
     assert row["files_after"] <= 12  # cap rule packs into ~10-11 bins
+
+
+def test_commit_never_visible_partial(spark, tmp_path, monkeypatch):
+    """Atomic publication (r10 review finding): the version file must
+    appear with its COMPLETE body — a reader between create and
+    content-write must be impossible. The temp-then-link protocol
+    guarantees it; simulate the old failure by asserting the commit
+    doc parses immediately after any crash point BEFORE the link (the
+    tmp file is private, so the log never sees it)."""
+    import json
+
+    from logdb_spark.tablefmt import TxTable
+
+    tx = TxTable(spark, str(tmp_path))
+    tx.commit([{"path": "a"}])
+    # every visible version file must be complete JSON
+    for c in tx.log_actions():
+        assert c["add"] == [{"path": "a"}]
+    # a failed json.dump must leave NO visible version file
+    class Boom(Exception):
+        pass
+
+    real_dump = json.dump
+
+    def exploding_dump(*a, **k):
+        raise Boom()
+
+    monkeypatch.setattr(json, "dump", exploding_dump)
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(Boom):
+            tx.try_commit(2, [{"path": "b"}])
+    finally:
+        monkeypatch.setattr(json, "dump", real_dump)
+    assert tx.latest_version() == 1  # v2 never became visible
+    assert not [
+        f for f in os.listdir(tx.log_dir) if not f.startswith("v")
+    ], "temp commit file leaked into the log dir"
+
+
+def test_prune_keeps_files_with_missing_or_null_stats(spark, tmp_path):
+    """Skipping conservatism (r10 review finding): absent or NULL
+    stats for the queried column must KEEP the file, never crash or
+    wrongly skip — e.g. pre-schema-evolution files queried on the
+    evolved column."""
+    from logdb_spark.tablefmt import TxTable
+
+    tx = TxTable(spark, str(tmp_path))
+    tx.commit(
+        [
+            {"path": "old", "rows": 5},  # no stats for 'x' at all
+            {"path": "nul", "rows": 5, "min_x": None, "max_x": None},
+            {"path": "in", "rows": 5, "min_x": 10, "max_x": 20},
+            {"path": "out", "rows": 5, "min_x": 100, "max_x": 200},
+        ]
+    )
+    hit, total = tx.prune("x", 0, 50)
+    assert total == 4
+    assert {e["path"] for e in hit} == {"old", "nul", "in"}
+
+
+def test_attempt_unique_subdir_skips_leftovers(tmp_path):
+    """Crash-retry safety (r10 review finding): a leftover data dir
+    from a crash between write and commit must not block the retry —
+    the writer picks the next attempt-suffixed path."""
+    from logdb_spark.tablefmt import attempt_unique_subdir
+
+    root = str(tmp_path)
+    assert attempt_unique_subdir(root, "b0") == "b0"
+    os.makedirs(os.path.join(root, "b0"))  # the orphaned leftover
+    assert attempt_unique_subdir(root, "b0") == "b0_r1"
+    os.makedirs(os.path.join(root, "b0_r1"))
+    assert attempt_unique_subdir(root, "b0") == "b0_r2"

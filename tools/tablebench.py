@@ -76,7 +76,10 @@ def main() -> None:
     tx = TxTable(spark, scratch_dir("tablebench_"))
     adds = write_grouped(keyed, tx.root, "data1", "l_orderkey")
     tx.commit(adds)
-    lo, hi = (mx * 5) // (nf), (mx * 7) // (nf) - 1  # ~2 file-widths
+    # Exactly 2 file-widths: [first key of file 5, last key of file 6].
+    # File i holds keys with (k*nf) div mx == i, so file i starts at
+    # ceil(i*mx/nf).
+    lo, hi = -(-(mx * 5) // nf), -(-(mx * 7) // nf) - 1
     hit, total = tx.prune("l_orderkey", lo, hi)
 
     def q(files=None):
