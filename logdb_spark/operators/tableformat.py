@@ -920,3 +920,79 @@ def table_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("o_orderkey").alias("key_checksum"),
         )
     )
+
+
+@register(
+    "table_retention_expire",
+    oracle="""
+        WITH b AS (
+            SELECT event_id,
+                   CAST(FLOOR(epoch(ts)) AS BIGINT) AS ek,
+                   day(ts) AS d
+            FROM events
+        ),
+        cut AS (
+            SELECT CAST(FLOOR(epoch(TIMESTAMP '2024-01-20 12:00:00'))
+                        AS BIGINT) AS c
+        ),
+        pf AS (SELECT d, max(ek) AS mx FROM b GROUP BY d)
+        SELECT (SELECT count(*) FROM pf) AS files_before,
+               (SELECT count(*) FROM pf, cut WHERE mx < c)
+                   AS files_expired,
+               (SELECT count(*) FROM pf, cut WHERE mx >= c) AS files_kept,
+               count(*) AS rows_after,
+               CAST(SUM(CASE WHEN ek < (SELECT c FROM cut)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS rows_expired_remaining,
+               CAST(SUM(event_id) AS BIGINT) AS id_checksum_after
+        FROM b
+        WHERE d IN (SELECT d FROM pf, cut WHERE mx >= c)
+    """,
+    section=SECTION,
+)
+def table_retention_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention expiry as a METADATA-ONLY commit — the log-store
+    operation that makes time-based retention free at 100 TB: the
+    events table lands as per-day files with min/max event-time
+    stats; expiring everything before the cutoff (2024-01-20 12:00)
+    drops the 19 wholly-expired day-files by committing remove
+    actions computed purely from the stats — ZERO data read, zero
+    rewrite. The one straddling file (day 20) is conservatively KEPT
+    whole; rows_expired_remaining counts its pre-cutoff rows — the
+    honest residue lazy retention leaves for the next compaction to
+    scrub (contrast log_retention_prune §2.I, the row-exact variant
+    that must read data). The oracle recomputes the per-file stats,
+    the expire decision, and the surviving content from the raw
+    table.
+
+    Scale: expiry cost is O(files) interval tests + one commit
+    document, independent of data volume — at 100 TB a daily
+    retention job runs in milliseconds; physical deletion is the
+    vacuum job's embarrassingly-parallel follow-up."""
+    import calendar
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ek", F.unix_timestamp("ts"))
+        .withColumn("g", F.dayofmonth("ts"))
+        .select("event_id", "ek", "g")
+    )
+    tx = TxTable(spark, scratch_dir("logdb_txtable_"))
+    adds = write_grouped(ev, tx.root, "data1", "ek")
+    tx.commit(adds)
+    cutoff = calendar.timegm((2024, 1, 20, 12, 0, 0))
+    expired = [
+        e["path"] for e in tx.live_files() if e["max_ek"] < cutoff
+    ]
+    tx.commit([], removes=expired)  # metadata-only: no scan, no rewrite
+    kept = tx.live_files()
+    return tx.read().agg(
+        F.lit(len(adds)).cast("bigint").alias("files_before"),
+        F.lit(len(expired)).cast("bigint").alias("files_expired"),
+        F.lit(len(kept)).cast("bigint").alias("files_kept"),
+        F.count(F.lit(1)).alias("rows_after"),
+        F.sum(F.when(F.col("ek") < cutoff, 1).otherwise(0))
+        .cast("bigint")
+        .alias("rows_expired_remaining"),
+        F.sum("event_id").alias("id_checksum_after"),
+    )
