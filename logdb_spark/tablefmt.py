@@ -31,6 +31,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -70,8 +71,6 @@ class TxTable:
         ]
         return max(versions, default=0)
 
-    _tmp_seq = 0
-
     def try_commit(
         self,
         version: int,
@@ -89,12 +88,11 @@ class TxTable:
         complete body). ``meta`` carries application transaction
         identity (e.g. a streaming batch id for exactly-once sinks, a
         schema version for evolution)."""
-        TxTable._tmp_seq += 1
-        tmp = os.path.join(
-            self.log_dir, f".commit.{os.getpid()}.{TxTable._tmp_seq}.tmp"
+        fd, tmp = tempfile.mkstemp(
+            dir=self.log_dir, prefix=".commit.", suffix=".tmp"
         )
         try:
-            with open(tmp, "w") as f:
+            with os.fdopen(fd, "w") as f:
                 json.dump(
                     {
                         "version": version,
@@ -111,11 +109,16 @@ class TxTable:
                 os.link(tmp, self._vpath(version))
             except FileExistsError:
                 raise CommitConflict(version) from None
-        finally:
+            # Durability of the PUBLICATION, not just the body: fsync
+            # the directory so the new link survives power loss — a
+            # commit() that returned success must never vanish.
+            dfd = os.open(self.log_dir, os.O_RDONLY)
             try:
-                os.unlink(tmp)
-            except FileNotFoundError:
-                pass  # body write failed before the file was created
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
+        finally:
+            os.unlink(tmp)
 
     def commit(
         self,

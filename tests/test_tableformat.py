@@ -84,7 +84,7 @@ def test_skipping_scan_reads_only_pruned_files(spark):
     assert total == 8 and len(hit) == 2
     hit_dirs = {e["path"] for e in hit}
     for f in tx.read(files=hit).inputFiles():
-        assert any(f"/{d}/" in f or f.rstrip("/").endswith(d) or d in f for d in hit_dirs), f
+        assert any(f"/{d}/" in f for d in hit_dirs), f
     # and the pruned read misses no qualifying row vs the full scan
     full = tx.read().filter(F.col("o_custkey").between(lo, hi)).count()
     pruned = tx.read(files=hit).filter(F.col("o_custkey").between(lo, hi)).count()
@@ -161,19 +161,13 @@ def test_commit_never_visible_partial(spark, tmp_path, monkeypatch):
     class Boom(Exception):
         pass
 
-    real_dump = json.dump
-
     def exploding_dump(*a, **k):
         raise Boom()
 
     monkeypatch.setattr(json, "dump", exploding_dump)
-    try:
-        import pytest as _pytest
-
-        with _pytest.raises(Boom):
-            tx.try_commit(2, [{"path": "b"}])
-    finally:
-        monkeypatch.setattr(json, "dump", real_dump)
+    with pytest.raises(Boom):
+        tx.try_commit(2, [{"path": "b"}])
+    monkeypatch.undo()
     assert tx.latest_version() == 1  # v2 never became visible
     assert not [
         f for f in os.listdir(tx.log_dir) if not f.startswith("v")
