@@ -67,14 +67,14 @@ _LOADED = False
 # r10 head below is its output with one prepend — the operators born
 # in r10 (oracles from birth, never sampled) take the first slots so
 # every new op gets a birth-round driver row. Layout:
-#   [0..17]  NEW in r10 (never sampled, oracles from birth): the five
-#            BPE/DP ops plus the thirteen §2.O table-format / txlog ops.
-#   [18..62] the 45 operators whose freshest hash-green driver row is
+#   [0..18]  NEW in r10 (never sampled, oracles from birth): the five
+#            BPE/DP ops plus the fourteen §2.O table-format / txlog ops.
+#   [19..63] the 45 operators whose freshest hash-green driver row is
 #            round 1 (alphabetical within the round bucket, matching
 #            tools/staleness.py's deterministic ordering).
-#   [63..72] the 10 operators whose freshest row is round 2.
-# 18 + 45 + 10 = 73 names; the 50-cap samples [0..49] (all 18 new ops
-# + the first 32 of r1), leaving 13 r1 ops + the 10-op r2 bucket + the
+#   [64..73] the 10 operators whose freshest row is round 2.
+# 19 + 45 + 10 = 74 names; the 50-cap samples [0..49] (all 19 new ops
+# + the first 31 of r1), leaving 14 r1 ops + the 10-op r2 bucket + the
 # r3/r4 buckets for the r11 tuple — regenerate it with
 # `python -m tools.staleness --tuple` after the r10 report lands.
 _R10_NEEDS_ROW_FIRST = (
@@ -98,6 +98,7 @@ _R10_NEEDS_ROW_FIRST = (
     "table_zorder_skipping",
     "table_partition_evolution",
     "table_retention_expire",
+    "stream_table_changes",
     # -- freshest driver row is round 1 (45 ops) --
     "agg_count_distinct",
     "agg_cube",

@@ -1361,3 +1361,58 @@ def stream_txlog_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(len(tx.live_files())).cast("bigint").alias("n_files"),
         F.lit(skipped["n"]).cast("bigint").alias("replays_skipped"),
     )
+
+
+@register(
+    "stream_table_changes",
+    oracle="""
+        SELECT CASE WHEN day(ts) <= 10 THEN 1
+                    WHEN day(ts) <= 20 THEN 2
+                    ELSE 3 END AS version,
+               count(*) AS n_rows,
+               CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+               count(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY 1
+    """,
+    section=SECTION,
+)
+def stream_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2.O transaction-log table read as a CHANGE STREAM —
+    offsets ARE commit versions (sources/txlogstream.py, the full
+    partition-planned DataSourceStreamReader surface): three commits
+    land the events table as per-day files, and the reader emits each
+    commit's added files tagged with the version that added them —
+    one InputPartition per file, planned driver-side from pure log
+    metadata, scanned executor-side with pyarrow. Batch face here
+    (same reader over the full version range, per-version rollup);
+    tests/test_streaming.py::test_stream_table_changes_* run the REAL
+    streaming reader through micro-batches across live appends and
+    assert equality with this batch answer plus version-replay
+    determinism.
+
+    Scale: this is how a downstream pipeline tails a 100 TB table —
+    per-batch cost is the new commits' files, never a base rescan;
+    offset arithmetic is O(files-per-commit) metadata. The oracle
+    restates the per-version feed from the raw day slices."""
+    from logdb_spark.sources.txlogstream import register_txlogstream
+    from logdb_spark.tablefmt import TxTable, write_grouped
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("g", F.dayofmonth("ts"))
+        .select("event_id", "user_id", "g")
+    )
+    tx = TxTable(spark, scratch_dir("logdb_stc_"))
+    dom = F.col("g")
+    for cond in (dom <= 10, (dom > 10) & (dom <= 20), dom > 20):
+        sub = f"c{tx.latest_version() + 1}"
+        tx.commit(write_grouped(ev.filter(cond), tx.root, sub, "event_id"))
+
+    register_txlogstream(spark)
+    feed = spark.read.format("txlogstream").option("path", tx.root).load()
+    return feed.groupBy("version").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("event_id").alias("id_checksum"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
