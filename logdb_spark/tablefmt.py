@@ -31,12 +31,14 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _VFILE = re.compile(r"^v(\d{6})\.json$")
+_CPFILE = re.compile(r"^checkpoint\.v(\d{6})\.json$")
 
 
 class CommitConflict(Exception):
@@ -75,7 +77,7 @@ class TxTable:
         self,
         version: int,
         adds: list[dict],
-        removes: tuple[str, ...] | list[str] = (),
+        removes: tuple | list = (),
         meta: dict | None = None,
     ) -> None:
         """Atomically publish ``version``; raise CommitConflict if a
@@ -97,7 +99,17 @@ class TxTable:
                     {
                         "version": version,
                         "add": adds,
-                        "remove": list(removes),
+                        # Removes carry the full PRE-IMAGE add-entry of
+                        # the file they drop (path + rows + stats) —
+                        # the reference a row-level change feed needs
+                        # to read the deleted rows and a vacuum needs
+                        # to size the reclaim, without replaying the
+                        # whole log. Bare path strings are normalized
+                        # for writer convenience.
+                        "remove": [
+                            r if isinstance(r, dict) else {"path": r}
+                            for r in removes
+                        ],
                         "meta": meta or {},
                     },
                     f,
@@ -123,12 +135,17 @@ class TxTable:
     def commit(
         self,
         adds: list[dict],
-        removes: tuple[str, ...] | list[str] = (),
+        removes: tuple | list = (),
         meta: dict | None = None,
+        max_retries: int = 50,
     ) -> tuple[int, int]:
         """Optimistic-concurrency commit: retry on conflict after
         re-reading the log (append-only actions never invalidate a
         concurrent append, so rebase = just take the next version).
+        Retries are BOUNDED (ADVICE r10: an unbounded while-True can
+        livelock under a persistent losing race) — after
+        ``max_retries`` lost races the CommitConflict propagates and
+        the caller decides (back off, split the batch, alert).
         Returns (committed_version, conflicts_hit)."""
         conflicts = 0
         while True:
@@ -138,43 +155,233 @@ class TxTable:
                 return v, conflicts
             except CommitConflict:
                 conflicts += 1
+                if conflicts > max_retries:
+                    raise
 
     def committed_txn_ids(self, key: str = "txn_id") -> set:
         """Application transaction ids already in the log — the
         exactly-once guard an idempotent streaming sink checks before
-        committing a (possibly replayed) micro-batch."""
-        return {
+        committing a (possibly replayed) micro-batch. Reads the latest
+        checkpoint's id set plus the log tail, so the guard stays
+        O(commits-since-checkpoint) on a long-lived table."""
+        cp_v, cp = self._latest_checkpoint()
+        ids = {t for t in cp.get("txn_ids", []) if t is not None} if cp else set()
+        ids |= {
             c["meta"][key]
-            for c in self.log_actions()
+            for c in self.log_actions(from_version=cp_v + 1)
             if c.get("meta", {}).get(key) is not None
         }
+        return ids
 
-    def log_actions(self, as_of: int | None = None) -> list[dict]:
-        """All commit documents, log order, up to ``as_of``."""
+    def log_actions(
+        self, as_of: int | None = None, from_version: int = 1
+    ) -> list[dict]:
+        """Commit documents in log order, versions
+        [``from_version`` .. ``as_of``] (latest when None)."""
         top = self.latest_version() if as_of is None else as_of
         out = []
-        for v in range(1, top + 1):
+        for v in range(from_version, top + 1):
             with open(self._vpath(v)) as f:
                 out.append(json.load(f))
         return out
 
+    # ---- checkpoints ----------------------------------------------------
+
+    def _cppath(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"checkpoint.v{version:06d}.json")
+
+    def checkpoint_versions(self) -> list[int]:
+        return sorted(
+            int(m.group(1))
+            for f in os.listdir(self.log_dir)
+            if (m := _CPFILE.match(f))
+        )
+
+    def _latest_checkpoint(
+        self, as_of: int | None = None
+    ) -> tuple[int, dict | None]:
+        """(version, document) of the newest checkpoint ≤ ``as_of``,
+        or (0, None) when none qualifies."""
+        cands = [
+            v
+            for v in self.checkpoint_versions()
+            if as_of is None or v <= as_of
+        ]
+        if not cands:
+            return 0, None
+        v = max(cands)
+        with open(self._cppath(v)) as f:
+            return v, json.load(f)
+
+    def write_checkpoint(self, as_of: int | None = None) -> int:
+        """Materialize the replayed state at ``as_of`` (latest when
+        None) into ``_txlog/checkpoint.vNNNNNN.json`` — the Delta/
+        Iceberg move that bounds snapshot construction on a long-lived
+        table: a reader starts from the newest checkpoint ≤ its target
+        version and replays only the tail, O(commits-since-checkpoint)
+        instead of O(commits-forever). The document holds the live
+        add-entries (first-added order), every ever-added path (for
+        vacuum accounting), the seen txn-ids (for the exactly-once
+        guard), and the tombstone map (orphan path → ts of the commit
+        that removed it, for retention-gated vacuum). Published with
+        the same fsync-then-link(2) discipline as a commit; the log is
+        immutable below ``as_of``, so a racing double-write would bear
+        identical content and put-if-absent keeps the first."""
+        v = self.latest_version() if as_of is None else as_of
+        doc = {
+            "version": v,
+            "live": self.live_files(v, use_checkpoint=False),
+            "all_added": sorted(
+                a["path"] for c in self.log_actions(v) for a in c["add"]
+            ),
+            "txn_ids": sorted(
+                (
+                    c["meta"]["txn_id"]
+                    for c in self.log_actions(v)
+                    if c.get("meta", {}).get("txn_id") is not None
+                ),
+                key=str,
+            ),
+            "tombstones": self._tombstones_full(v),
+        }
+        fd, tmp = tempfile.mkstemp(
+            dir=self.log_dir, prefix=".cp.", suffix=".tmp"
+        )
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(doc, f, sort_keys=True)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, self._cppath(v))
+            except FileExistsError:
+                pass  # same immutable content — first writer's copy stands
+        finally:
+            os.unlink(tmp)
+        return v
+
+    def maybe_checkpoint(self, interval: int = 10) -> int | None:
+        """Write a checkpoint when the log head is ``interval`` or more
+        commits past the newest checkpoint — the writer-side hook a
+        table format runs after every commit."""
+        head = self.latest_version()
+        last = max(self.checkpoint_versions(), default=0)
+        if head - last >= interval:
+            return self.write_checkpoint(head)
+        return None
+
     # ---- snapshot reads ------------------------------------------------
 
-    def live_files(self, as_of: int | None = None) -> list[dict]:
+    def live_files(
+        self, as_of: int | None = None, use_checkpoint: bool = True
+    ) -> list[dict]:
         """Replay add/remove actions → the add-entries live at
-        ``as_of`` (latest when None), in first-added order."""
+        ``as_of`` (latest when None), in first-added order. Starts
+        from the newest checkpoint ≤ ``as_of`` when one exists (pass
+        ``use_checkpoint=False`` to force the full replay — the
+        equivalence proof in table_txlog_checkpoint compares the
+        two)."""
         live: dict[str, dict] = {}
-        for commit in self.log_actions(as_of):
+        start = 1
+        if use_checkpoint:
+            cp_v, cp = self._latest_checkpoint(as_of)
+            if cp is not None:
+                live = {e["path"]: e for e in cp["live"]}
+                start = cp_v + 1
+        for commit in self.log_actions(as_of, from_version=start):
             for a in commit["add"]:
                 live[a["path"]] = a
-            for p in commit["remove"]:
-                live.pop(p, None)
+            for r in commit["remove"]:
+                live.pop(r["path"] if isinstance(r, dict) else r, None)
         return list(live.values())
 
     def all_added_paths(self) -> set[str]:
-        """Every path any commit ever added — what is ON DISK (data
-        files are immutable; remove only drops the log reference)."""
-        return {a["path"] for c in self.log_actions() for a in c["add"]}
+        """Every path any commit ever added — what is ON DISK minus
+        vacuumed orphans (data files are immutable; remove only drops
+        the log reference). Checkpoint-accelerated like live_files."""
+        cp_v, cp = self._latest_checkpoint()
+        paths = set(cp["all_added"]) if cp else set()
+        paths |= {
+            a["path"]
+            for c in self.log_actions(from_version=cp_v + 1)
+            for a in c["add"]
+        }
+        return paths
+
+    # ---- timestamp time travel ------------------------------------------
+
+    def resolve_ts(self, ts) -> int:
+        """TIMESTAMP AS OF → version: the newest commit whose
+        ``meta.ts`` stamp is ≤ ``ts`` (the form users actually type;
+        version-based AS OF is the primitive underneath). Commits are
+        stamped by the writer with a monotone logical timestamp —
+        deterministic here so oracles stay bit-stable; wall-clock in a
+        real deployment. O(log tail) metadata scan."""
+        best = 0
+        for c in self.log_actions():
+            stamp = c.get("meta", {}).get("ts")
+            if stamp is not None and stamp <= ts:
+                best = max(best, c["version"])
+        if best == 0:
+            raise ValueError(f"no commit at or before ts={ts!r}")
+        return best
+
+    # ---- vacuum ----------------------------------------------------------
+
+    def _tombstones_full(self, as_of: int | None = None) -> dict:
+        """path → ts of the commit that (last) removed it, for every
+        currently-orphaned path. Re-added paths shed their tombstone
+        (they are live again)."""
+        tomb: dict = {}
+        for c in self.log_actions(as_of):
+            stamp = c.get("meta", {}).get("ts")
+            for a in c["add"]:
+                tomb.pop(a["path"], None)
+            for r in c["remove"]:
+                tomb[r["path"] if isinstance(r, dict) else r] = stamp
+        return tomb
+
+    def tombstones(self) -> dict:
+        """Checkpoint-accelerated orphan → removed-at-ts map."""
+        cp_v, cp = self._latest_checkpoint()
+        tomb = dict(cp.get("tombstones", {})) if cp else {}
+        for c in self.log_actions(from_version=cp_v + 1):
+            stamp = c.get("meta", {}).get("ts")
+            for a in c["add"]:
+                tomb.pop(a["path"], None)
+            for r in c["remove"]:
+                tomb[r["path"] if isinstance(r, dict) else r] = stamp
+        return tomb
+
+    def vacuum(self, before_ts) -> tuple[list[str], list[str]]:
+        """Retention-gated PHYSICAL deletion of orphaned data files:
+        delete an orphan only when the commit that removed it carries
+        ``meta.ts < before_ts`` (un-stamped tombstones are never
+        eligible — conservative by construction, like an un-parseable
+        retention tag). The live set is re-derived immediately before
+        deletion and asserted disjoint — vacuum can NEVER delete a
+        file a current snapshot references (the invariant test pins
+        this). Returns (deleted_paths, retained_orphan_paths).
+
+        Scale: the decision is O(orphans) metadata; the deletions are
+        embarrassingly parallel (here sequential rmtree over local
+        dirs, an object-store batch-delete in production). Time travel
+        and CDF reads BEFORE the retention horizon die with this —
+        the documented lakehouse retention trade."""
+        live = {e["path"] for e in self.live_files()}
+        deleted, retained = [], []
+        for path, stamp in sorted(self.tombstones().items()):
+            if stamp is not None and stamp < before_ts:
+                assert path not in live, (
+                    f"vacuum invariant violated: {path} is live"
+                )
+                target = os.path.join(self.root, path)
+                if os.path.exists(target):
+                    shutil.rmtree(target)
+                deleted.append(path)
+            else:
+                retained.append(path)
+        return deleted, retained
 
     def read(
         self,

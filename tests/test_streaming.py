@@ -886,3 +886,193 @@ def test_txlog_stream_offsets_replay_deterministically(spark, tmp_path):
     assert {v for v, _ in p1} == {1}
     # a later sub-range excludes already-emitted versions
     assert _plan(tx.root, 1, 2) == []
+
+
+# ---- r11: row-level CDF + Arrow read path + empty-range guard --------
+
+
+def _cdf_table(spark, root):
+    """A txlog table with one append and one COW delete: c1 = days
+    ≤10; v2 rewrites the day-5 file without its even-user rows,
+    removing the pre-image (full ref)."""
+    from logdb_spark.tablefmt import TxTable, write_grouped
+
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .withColumn("g", F.dayofmonth("ts"))
+        .select("event_id", "user_id", "g")
+    )
+    tx = TxTable(spark, root)
+    tx.commit(
+        write_grouped(ev.filter("g <= 10"), tx.root, "c1", "event_id"),
+        meta={"ts": 1000},
+    )
+    pre = {e["path"]: e for e in tx.live_files()}["c1/g=5"]
+    rewrite = (
+        tx.read(files=[pre])
+        .filter("user_id % 2 != 0 OR user_id IS NULL")
+        .withColumn("g", F.lit(5))
+    )
+    adds = write_grouped(rewrite, tx.root, "rw1", "event_id")
+    tx.commit(adds, removes=[pre], meta={"ts": 2000})
+    return tx
+
+
+def test_cdf_replay_reconstructs_snapshot(spark, tmp_path):
+    """Retraction semantics: applying each version's deletes then
+    inserts, in version order, reproduces the head snapshot as a
+    multiset — the property that makes the feed a correct row-level
+    CDF even though a COW rewrite emits whole-file retractions."""
+    from collections import Counter
+
+    from logdb_spark.sources.txlogstream import register_txlogstream
+
+    tx = _cdf_table(spark, str(tmp_path / "tbl"))
+    register_txlogstream(spark)
+    feed = (
+        spark.read.format("txlogstream")
+        .option("path", tx.root)
+        .option("mode", "cdf")
+        .load()
+        .collect()
+    )
+    state: Counter = Counter()
+    for v in sorted({r["version"] for r in feed}):
+        for r in feed:
+            if r["version"] == v and r["change_type"] == "delete":
+                state[(r["event_id"], r["user_id"])] -= 1
+        for r in feed:
+            if r["version"] == v and r["change_type"] == "insert":
+                state[(r["event_id"], r["user_id"])] += 1
+    assert all(c >= 0 for c in state.values())
+    snapshot = Counter(
+        (r["event_id"], r["user_id"]) for r in tx.read().collect()
+    )
+    assert +state == snapshot
+    # And the net v2 change is exactly the deleted even-user rows.
+    v2_del = Counter(
+        (r["event_id"], r["user_id"])
+        for r in feed
+        if r["version"] == 2 and r["change_type"] == "delete"
+    )
+    v2_ins = Counter(
+        (r["event_id"], r["user_id"])
+        for r in feed
+        if r["version"] == 2 and r["change_type"] == "insert"
+    )
+    net = v2_del - v2_ins
+    assert net and all(uid % 2 == 0 for (_, uid) in net)
+
+
+def test_stream_table_cdf_streaming_across_live_cow_delete(spark, tmp_path):
+    """The cdf-mode reader under REAL micro-batch execution: the
+    stream tails the table, a COW delete lands while it runs, and the
+    retraction rows arrive in the next micro-batch; the streamed union
+    equals the batch cdf read exactly."""
+    from logdb_spark.sources.txlogstream import register_txlogstream
+    from logdb_spark.tablefmt import TxTable, write_grouped
+
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .withColumn("g", F.dayofmonth("ts"))
+        .select("event_id", "user_id", "g")
+    )
+    tx = TxTable(spark, str(tmp_path / "tbl"))
+    tx.commit(
+        write_grouped(ev.filter("g <= 10"), tx.root, "c1", "event_id"),
+        meta={"ts": 1000},
+    )
+    register_txlogstream(spark)
+    q = (
+        spark.readStream.format("txlogstream")
+        .option("path", tx.root)
+        .option("mode", "cdf")
+        .load()
+        .writeStream.format("memory")
+        .queryName("txcdf")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert (
+            spark.sql(
+                "SELECT count(*) FROM txcdf WHERE change_type = 'delete'"
+            ).first()[0]
+            == 0
+        )
+        pre = {e["path"]: e for e in tx.live_files()}["c1/g=5"]
+        rewrite = (
+            tx.read(files=[pre])
+            .filter("user_id % 2 != 0 OR user_id IS NULL")
+            .withColumn("g", F.lit(5))
+        )
+        adds = write_grouped(rewrite, tx.root, "rw1", "event_id")
+        tx.commit(adds, removes=[pre], meta={"ts": 2000})
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    agg = "version, change_type, count(*) AS n, sum(event_id) AS s"
+    streamed = sorted(
+        tuple(r)
+        for r in spark.sql(
+            f"SELECT {agg} FROM txcdf GROUP BY version, change_type"
+        ).collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in spark.read.format("txlogstream")
+        .option("path", tx.root)
+        .option("mode", "cdf")
+        .load()
+        .groupBy("version", "change_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s"))
+        .collect()
+    )
+    assert streamed == batch
+    assert any(r[1] == "delete" and r[0] == 2 for r in streamed)
+    spark.catalog.dropTempView("txcdf")
+
+
+def test_txlog_read_slice_yields_arrow_batches(spark, tmp_path):
+    """ADVICE r10 #2 pinned closed: the executor read path yields
+    pyarrow.RecordBatch objects in the feed schema — no per-row
+    Python tuples — in both append and cdf shapes."""
+    import pyarrow as pa
+
+    from logdb_spark.sources.txlogstream import _FileSlice, _read_slice
+
+    tx = _cdf_table(spark, str(tmp_path / "tbl"))
+    part = _FileSlice(1, f"{tx.root}/c1/g=5", "delete")
+    batches = list(_read_slice(part))
+    assert batches and all(isinstance(b, pa.RecordBatch) for b in batches)
+    assert batches[0].schema.names == ["version", "event_id", "user_id"]
+    cdf_batches = list(_read_slice(part, cdf=True))
+    assert cdf_batches[0].schema.names == [
+        "version",
+        "change_type",
+        "event_id",
+        "user_id",
+    ]
+    assert cdf_batches[0].column(1)[0].as_py() == "delete"
+
+
+def test_txlog_batch_reader_empty_range_reads_empty(spark, tmp_path):
+    """ADVICE r10 #1 pinned closed: an empty version range plans zero
+    partitions, the engine substitutes one None partition, and the
+    reader returns an empty DataFrame instead of crashing."""
+    from logdb_spark.sources.txlogstream import register_txlogstream
+
+    tx = _cdf_table(spark, str(tmp_path / "tbl"))
+    register_txlogstream(spark)
+    head = tx.latest_version()
+    empty = (
+        spark.read.format("txlogstream")
+        .option("path", tx.root)
+        .option("from_version", head)
+        .option("to_version", head)
+        .load()
+    )
+    assert empty.count() == 0

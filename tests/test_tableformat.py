@@ -207,3 +207,138 @@ def test_attempt_unique_subdir_skips_leftovers(tmp_path):
     assert attempt_unique_subdir(root, "b0") == "b0_r1"
     os.makedirs(os.path.join(root, "b0_r1"))
     assert attempt_unique_subdir(root, "b0") == "b0_r2"
+
+
+# ---- r11: checkpointing, bounded retries, ts travel, vacuum ----------
+
+
+def _mini_log(tmp_path, n_commits=26, interval=10):
+    """A pure-metadata log (replay math needs no real parquet): commit
+    i adds path d/i with txn id t<i>; every 4th commit also removes
+    the path added 3 commits earlier; checkpoint every ``interval``."""
+    from logdb_spark.tablefmt import TxTable
+
+    tx = TxTable(None, str(tmp_path / "tbl"))
+    for i in range(1, n_commits + 1):
+        removes = [f"d/{i - 3}"] if i % 4 == 0 and i > 3 else []
+        tx.commit(
+            [{"path": f"d/{i}", "rows": i}],
+            removes=removes,
+            meta={"ts": 100 * i, "txn_id": f"t{i}"},
+        )
+        tx.maybe_checkpoint(interval=interval)
+    return tx
+
+
+def test_checkpoint_read_equals_full_replay_everywhere(tmp_path):
+    """The checkpoint contract: for EVERY version of a 26-commit log
+    with interleaved removes, checkpoint-accelerated replay returns
+    the identical live list (entries AND first-added order) as the
+    full replay — plus the same txn-id set, ever-added paths, and
+    tombstone map at head."""
+    tx = _mini_log(tmp_path)
+    assert tx.checkpoint_versions() == [10, 20]
+    for v in range(1, tx.latest_version() + 1):
+        assert tx.live_files(v) == tx.live_files(v, use_checkpoint=False)
+    assert tx.committed_txn_ids() == {f"t{i}" for i in range(1, 27)}
+    assert tx.all_added_paths() == {f"d/{i}" for i in range(1, 27)}
+    assert tx.tombstones() == tx._tombstones_full()
+
+
+def test_checkpoint_bounds_tail_replay(tmp_path, monkeypatch):
+    """A post-checkpoint read opens only the TAIL commit documents —
+    the O(since-checkpoint) claim, pinned by counting log_actions'
+    file opens."""
+    from logdb_spark import tablefmt
+
+    tx = _mini_log(tmp_path)
+    opened = []
+    real = tablefmt.TxTable.log_actions
+
+    def counting(self, as_of=None, from_version=1):
+        docs = real(self, as_of, from_version)
+        opened.extend(c["version"] for c in docs)
+        return docs
+
+    monkeypatch.setattr(tablefmt.TxTable, "log_actions", counting)
+    tx.live_files()  # head=26, newest checkpoint=20 → tail = 21..26
+    assert opened == [21, 22, 23, 24, 25, 26]
+
+
+def test_commit_retries_are_bounded(tmp_path, monkeypatch):
+    """ADVICE r10: a writer that persistently loses the race must not
+    livelock — commit() re-raises CommitConflict after max_retries."""
+    from logdb_spark.tablefmt import CommitConflict, TxTable
+
+    tx = TxTable(None, str(tmp_path / "tbl"))
+    attempts = []
+
+    def always_lose(version, adds, removes=(), meta=None):
+        attempts.append(version)
+        raise CommitConflict(version)
+
+    monkeypatch.setattr(tx, "try_commit", always_lose)
+    with pytest.raises(CommitConflict):
+        tx.commit([{"path": "d/1"}], max_retries=5)
+    assert len(attempts) == 6  # first try + 5 bounded retries
+
+
+def test_resolve_ts_boundaries(tmp_path):
+    from logdb_spark.tablefmt import TxTable
+
+    tx = _mini_log(tmp_path, n_commits=5)  # stamps 100..500
+    assert tx.resolve_ts(100) == 1  # inclusive boundary
+    assert tx.resolve_ts(250) == 2  # strictly between
+    assert tx.resolve_ts(10_000) == 5  # far future → head
+    with pytest.raises(ValueError):
+        tx.resolve_ts(99)  # before the first commit
+
+
+def test_vacuum_cannot_delete_live_file(tmp_path, monkeypatch):
+    """Force the impossible state (a live path in the tombstone map —
+    unreachable through the API, since re-adding a path sheds its
+    tombstone) and prove the pre-unlink invariant fires instead of
+    deleting data a snapshot references."""
+    from logdb_spark.tablefmt import TxTable
+
+    tx = TxTable(None, str(tmp_path / "tbl"))
+    tx.commit([{"path": "d/1"}], meta={"ts": 100})
+    monkeypatch.setattr(tx, "tombstones", lambda: {"d/1": 100})
+    with pytest.raises(AssertionError, match="vacuum invariant"):
+        tx.vacuum(before_ts=10_000)
+
+
+def test_vacuum_kills_expired_time_travel_only(spark, tmp_path):
+    """Physical vacuum semantics end-to-end on real files: after a COW
+    delete (tombstone ts=2000) and vacuum(before 2500), the head
+    snapshot is intact, but time travel to v1 — which references the
+    vacuumed pre-image — fails at read; orphans younger than the
+    horizon survive and v1 remains readable until they expire."""
+    from logdb_spark.operators.tableformat import (
+        _cow_delete_p_years,
+        _orders_with_year,
+    )
+    from logdb_spark.tablefmt import TxTable, write_grouped
+
+    tx = TxTable(spark, str(tmp_path / "tbl"))
+    tx.commit(
+        write_grouped(
+            _orders_with_year(spark, SF_SMALL), tx.root, "data1", "o_orderkey"
+        ),
+        meta={"ts": 1000},
+    )
+    head_rows_before = tx.read().count()
+    _cow_delete_p_years(tx, (1995, 2000), subdir="rw1", meta={"ts": 2000})
+    deleted_rows = head_rows_before - tx.read().count()
+    assert deleted_rows > 0
+
+    # Inside retention: nothing deletable yet → v1 still time-travels.
+    d0, r0 = tx.vacuum(before_ts=1500)
+    assert d0 == [] and len(r0) == 2
+    assert tx.read(as_of=1).count() == head_rows_before
+
+    d1, r1 = tx.vacuum(before_ts=2500)
+    assert len(d1) == 2 and r1 == []
+    assert tx.read().count() == head_rows_before - deleted_rows
+    with pytest.raises(Exception, match="PATH_NOT_FOUND|Path does not exist"):
+        tx.read(as_of=1).count()
