@@ -198,6 +198,17 @@ def main() -> int:
                 _build_corpus(spark, scratch, n)
                 for name in ops_wanted:
                     fn = ops[name].fn
+                    if (
+                        name == "dedup_embedding_cosine_lsh"
+                        and pair_config is None
+                    ):
+                        # r11: the registered face pins the fixture
+                        # 16x3 for oracle stability; with no explicit
+                        # --pair-config, measure what a USER gets —
+                        # the public callable's adaptive default.
+                        from logdb_spark.operators import llm
+
+                        fn = llm.dedup_embedding_cosine_lsh
 
                     def drop_caches():
                         # r10 review: track_persist'd intermediates
