@@ -137,11 +137,36 @@ def _quiescence() -> dict:
     }
 
 
+def _await_quiet_host() -> dict:
+    """Quiet-host GATE (VERDICT r9 #7 / r10 #8: every round's start
+    sample so far caught a foreign JVM or load1 ≈ 3, so the per-op
+    medians carry the documented ±9-12% host-variance band): spin-wait
+    up to $BENCH_QUIESCE_WAIT_SEC (default 300) for load1 < 1.0 AND
+    other_jvms == 0 AND foreign_cpu_cores < 0.5, sampling every 10 s.
+    Never fails the bench — on timeout the run proceeds and the
+    quiesce block records gate_met: false plus the wait, so a
+    contended-host number is self-flagged instead of silently noisy."""
+    budget = float(os.environ.get("BENCH_QUIESCE_WAIT_SEC", "300"))
+    t0 = time.monotonic()
+    while True:
+        q = _quiescence()
+        waited = round(time.monotonic() - t0, 1)
+        q["gate_met"] = (
+            0 <= q["load1"] < 1.0
+            and q["other_jvms"] == 0
+            and 0 <= q["foreign_cpu_cores"] < 0.5
+        )
+        q["gate_waited_sec"] = waited
+        if q["gate_met"] or waited + 10 > budget:
+            return q
+        time.sleep(10)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = int(os.environ.get("BENCH_RUNS", "3"))
     only = sys.argv[1:]  # optional operator-name filter
-    quiesce = _quiescence()  # sample before our own JVM exists
+    quiesce = _await_quiet_host()  # gate + sample before our JVM exists
 
     # Guarantee exactly one JSON line on stdout: save the real stdout fd,
     # then point fd 1 at stderr for the whole run — the JVM inherits fd 1,
