@@ -58,109 +58,85 @@ class Operator:
 _REGISTRY: dict[str, Operator] = {}
 _LOADED = False
 
-# Driver-gate coverage rotation, refreshed for round 10 (VERDICT r9
-# items #1 and #8). The driver correctness report caps at 50
-# enumeration entries per round, so enumeration order IS evidence
-# budget. This tuple is no longer hand-maintained: tools/staleness.py
-# derives the stale-first ordering mechanically from the
-# CORRECTNESS_r*.json reports (per-op freshest driver round), and the
-# r10 head below is its output with one prepend — the operators born
-# in r10 (oracles from birth, never sampled) take the first slots so
-# every new op gets a birth-round driver row. Layout:
-#   [0..18]  NEW in r10 (never sampled, oracles from birth): the five
-#            BPE/DP ops plus the fourteen §2.O table-format / txlog ops.
-#   [19..63] the 45 operators whose freshest hash-green driver row is
-#            round 1 (alphabetical within the round bucket, matching
-#            tools/staleness.py's deterministic ordering).
-#   [64..73] the 10 operators whose freshest row is round 2.
-# 19 + 45 + 10 = 74 names; the 50-cap samples [0..49] (all 19 new ops
-# + the first 31 of r1), leaving 14 r1 ops + the 10-op r2 bucket + the
-# r3/r4 buckets for the r11 tuple — regenerate it with
-# `python -m tools.staleness --tuple` after the r10 report lands.
-_R10_NEEDS_ROW_FIRST = (
-    # -- NEW in r10 (oracles from birth, never sampled) --
-    "log_dp_noisy_release_userlevel",
-    "text_bpe_tokenize",
-    "sample_pack_sequences_bpe",
-    "text_bpe_vocab",
-    "log_dp_noisy_sum_userlevel",
-    # -- NEW in r10, §2.O table format (oracles from birth) --
-    "table_txlog_snapshot",
-    "table_delete_cow",
-    "table_merge_cow",
-    "table_skipping_stats",
-    "table_compact_binpack",
-    "table_incremental_read",
-    "table_vacuum_orphans",
-    "table_commit_conflict_retry",
-    "table_schema_evolution_log",
-    "stream_txlog_append",
-    "table_zorder_skipping",
-    "table_partition_evolution",
-    "table_retention_expire",
-    "stream_table_changes",
-    # -- freshest driver row is round 1 (45 ops) --
-    "agg_count_distinct",
-    "agg_cube",
-    "agg_filtered",
-    "agg_grouping_sets",
-    "agg_min_max_by",
-    "agg_mode",
-    "agg_percentile_disc",
-    "agg_percentile_exact",
-    "agg_pricing_summary",
-    "agg_rollup",
-    "agg_stats",
-    "filter_compound",
-    "filter_like_regex",
-    "filter_null_semantics",
-    "ingest_json_props",
-    "ingest_raw_loglines",
-    "join_asof_latest_event",
-    "join_broadcast",
-    "join_cross",
-    "join_full_outer",
-    "join_inner_equi",
-    "join_interval_selfpair",
-    "join_left_anti",
-    "join_left_outer",
-    "join_left_semi",
-    "join_multiway_star",
-    "join_theta_range",
-    "project_computed",
-    "scan_parquet",
-    "scan_predicate_pushdown",
-    "scan_projection_pushdown",
-    "set_except",
-    "set_intersect",
-    "set_union_all",
-    "set_union_distinct",
-    "sink_csv_roundtrip",
-    "sink_jsonl_roundtrip",
-    "sort_multikey_nulls",
-    "topk_global",
-    "topk_per_group",
-    "win_first_last",
-    "win_lag_lead_delta",
-    "win_moving_avg_range",
-    "win_rank_dense_rownum",
-    "win_running_sum",
-    # -- freshest driver row is round 2 (10 ops) --
-    "stream_dedup_watermark",
-    "stream_late_data",
-    "stream_session_window",
-    "stream_sliding_counts",
-    "stream_stateful_alerts",
-    "stream_static_join",
-    "stream_stream_join",
-    "stream_tumbling_counts",
-    "udaf_pandas_group",
-    "udtf_explode_sessions",
+# Driver-gate coverage rotation, refreshed for round 11 (VERDICT r10
+# task #1). The driver correctness report caps at 50 enumeration
+# entries per round, so enumeration order IS evidence budget. The
+# tuple below is `python -m tools.staleness --tuple` output verbatim
+# (stale-first from the CORRECTNESS_r*.json ledger): the four ops born
+# in r11 (never sampled, oracles from birth) head the list, then the
+# 14 operators whose freshest hash-green driver row is still round 1,
+# the 10-op r2 bucket, and the alphabetical head of the r3 bucket.
+# 4 + 14 + 10 = 28, so the 50-cap samples all of those plus the first
+# 22 r3 ops — leaving ~61 pre-r5 rows for the r12 tuple, after which
+# every operator's driver evidence is ≤5 rounds old (VERDICT r10
+# task #10). Regenerate after the r11 report lands.
+_R11_NEEDS_ROW_FIRST = (
+    "stream_table_cdf",  # never
+    "table_time_travel_ts",  # never
+    "table_txlog_checkpoint",  # never
+    "table_vacuum_delete",  # never
+    "set_except",  # r1
+    "set_intersect",  # r1
+    "set_union_all",  # r1
+    "set_union_distinct",  # r1
+    "sink_csv_roundtrip",  # r1
+    "sink_jsonl_roundtrip",  # r1
+    "sort_multikey_nulls",  # r1
+    "topk_global",  # r1
+    "topk_per_group",  # r1
+    "win_first_last",  # r1
+    "win_lag_lead_delta",  # r1
+    "win_moving_avg_range",  # r1
+    "win_rank_dense_rownum",  # r1
+    "win_running_sum",  # r1
+    "stream_dedup_watermark",  # r2
+    "stream_late_data",  # r2
+    "stream_session_window",  # r2
+    "stream_sliding_counts",  # r2
+    "stream_stateful_alerts",  # r2
+    "stream_static_join",  # r2
+    "stream_stream_join",  # r2
+    "stream_tumbling_counts",  # r2
+    "udaf_pandas_group",  # r2
+    "udtf_explode_sessions",  # r2
+    "agg_collect_sorted",  # r3
+    "dedup_embedding_cosine",  # r3
+    "dedup_exact",  # r3
+    "dedup_near_jaccard",  # r3
+    "dedup_ngram_jaccard",  # r3
+    "fn_array_suite",  # r3
+    "fn_case_bucketing",  # r3
+    "fn_date_suite",  # r3
+    "fn_higher_order",  # r3
+    "fn_map_from_json",  # r3
+    "fn_math_suite",  # r3
+    "fn_regexp_extract",  # r3
+    "fn_string_suite",  # r3
+    "join_skew_salted",  # r3
+    "log_error_rate",  # r3
+    "log_funnel",  # r3
+    "log_pivot_types",  # r3
+    "log_rate_spike",  # r3
+    "log_retention_prune",  # r3
+    "log_sessionize_gap",  # r3
+    "log_time_histogram",  # r3
+    "log_top_talkers",  # r3
+    "log_value_histogram",  # r3
+    "mm_binary_metadata",  # r3
+    "mm_embedding_quantize",  # r3
+    "mm_frame_sample",  # r3
+    "mm_image_resize",  # r3
+    "sim_batch_topk",  # r3
+    "sim_knn_join_label",  # r3
+    "sim_topk_cosine",  # r3
+    "sink_orc_roundtrip",  # r3
+    "sql_q10_returned_items",  # r3
 )
 
 
+
 def _enumeration_order(ops: dict[str, Operator]) -> list[str]:
-    priority = {n: i for i, n in enumerate(_R10_NEEDS_ROW_FIRST)}
+    priority = {n: i for i, n in enumerate(_R11_NEEDS_ROW_FIRST)}
     # Stable sort: the explicit stale-first priority head, then
     # registration (module build-phase) order for everything else.
     return sorted(ops, key=lambda n: (0, priority[n]) if n in priority
