@@ -251,6 +251,14 @@ def table_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewritten/total file counts — the oracle rebuilds the merged
     content relationally.
 
+    Layout note (ADVICE r10): "octile" is exact on THIS testdata,
+    whose o_orderkey is dense (0..N-1 at every sf, verified), so
+    (key*8) DIV N yields exactly 8 files with 2 touched. On a sparse
+    keyspace (classic TPC-H, max ≈ 4N) the same rule yields ~4× more,
+    proportionally smaller key-range files — the semantics and the
+    oracle are unchanged (both sides derive file ids from the same
+    expression); only the file count scales with key-range density.
+
     Scale: matched-file discovery is a grouped distinct over the
     update keys' octiles (metadata-sized); the rewrite join shuffles
     only the matched files' rows against the update batch, and AQE
