@@ -1233,3 +1233,208 @@ def table_vacuum_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("live_rows"),
         F.sum("o_orderkey").alias("live_key_checksum"),
     )
+
+
+@register(
+    "table_shallow_clone",
+    oracle="""
+        WITH touched AS (
+            SELECT count(DISTINCT year(o_orderdate)) AS n FROM orders
+            WHERE o_orderstatus = 'P'
+              AND year(o_orderdate) IN (1996, 1999)
+        ), total AS (
+            SELECT count(DISTINCT year(o_orderdate)) AS n FROM orders
+        )
+        SELECT TRUE AS clone_equal_at_fork,
+               (SELECT count(*) FROM orders) AS source_rows,
+               (SELECT CAST(SUM(o_orderkey) AS BIGINT) FROM orders)
+                   AS source_key_checksum,
+               count(*) AS clone_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS clone_key_checksum,
+               (SELECT n FROM total) - (SELECT n FROM touched)
+                   AS files_shared,
+               (SELECT n FROM touched) AS files_private
+        FROM orders
+        WHERE NOT (o_orderstatus = 'P'
+                   AND year(o_orderdate) IN (1996, 1999))
+    """,
+    section=SECTION,
+)
+def table_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE — a zero-copy fork of the table (the public
+    Delta/Iceberg capability that makes dev/test sandboxes free at
+    100 TB): the clone is a NEW transaction log whose v1 add-actions
+    reference the SOURCE's immutable data files by absolute path — no
+    byte of data moves. Writers then diverge: a copy-on-write delete
+    on the CLONE rewrites the two touched files under the clone's own
+    root and drops the shared references, while the source log and
+    data are untouched (proven: source content checksums unchanged,
+    and the clone's surviving live set still SHARES the five
+    untouched source files — files_shared counts live clone paths
+    resolving into the source root). clone_equal_at_fork pins that
+    the fork point read byte-equal content; the oracle restates every
+    number relationally.
+
+    Scale: clone cost is one metadata commit listing the source's
+    live files — O(files), zero data; divergent writes pay only their
+    own COW rewrites. Retention caveat (documented, same as CDF):
+    vacuuming the SOURCE can delete files a clone still references —
+    production systems either track cross-table references or scope
+    clones inside the retention window."""
+    import os
+
+    tx, adds = _year_table(spark, sf_dir)
+    clone = TxTable(spark, scratch_dir("logdb_txclone_"))
+    shared_adds = [
+        {**a, "path": os.path.join(tx.root, a["path"])} for a in adds
+    ]
+    clone.commit(shared_adds, meta={"ts": 1000, "clone_of": tx.root})
+
+    fork_rows = (
+        clone.read()
+        .agg(F.count(F.lit(1)).alias("r"), F.sum("o_orderkey").alias("k"))
+        .collect()  # driver-scalar: single summary row at the fork point
+    )[0]
+    src_rows = (
+        tx.read()
+        .agg(F.count(F.lit(1)).alias("r"), F.sum("o_orderkey").alias("k"))
+        .collect()  # driver-scalar: single summary row of the source
+    )[0]
+    clone_equal_at_fork = (fork_rows["r"], fork_rows["k"]) == (
+        src_rows["r"],
+        src_rows["k"],
+    )
+
+    # Diverge: COW delete on the CLONE only (rewrites land under the
+    # clone root; shared source files merely lose their clone refs).
+    pred = (F.col("o_orderstatus") == "P") & F.year("o_orderdate").isin(
+        1996, 1999
+    )
+    snap = clone.read().withColumn("g", F.year("o_orderdate"))
+    touched_rows = (
+        snap.filter(pred)
+        .select("g")
+        .distinct()
+        .collect()  # driver-scalar: one row per FILE containing matches (≤7 years)
+    )
+    live_by_path = {e["path"]: e for e in clone.live_files()}
+    touched = sorted(
+        os.path.join(tx.root, f"data1/g={r['g']}") for r in touched_rows
+    )
+    rewrite = snap.filter(
+        F.col("g").isin([r["g"] for r in touched_rows])
+    ).filter(~pred)
+    adds_rw = write_grouped(rewrite, clone.root, "rw1", "o_orderkey")
+    clone.commit(
+        adds_rw,
+        removes=[live_by_path[p] for p in touched],
+        meta={"ts": 2000},
+    )
+
+    shared = sum(
+        1 for e in clone.live_files() if e["path"].startswith(tx.root)
+    )
+    private = len(clone.live_files()) - shared
+    # Source must be byte-untouched: same live set, same content.
+    src_after = (
+        tx.read()
+        .agg(F.count(F.lit(1)).alias("r"), F.sum("o_orderkey").alias("k"))
+        .collect()  # driver-scalar: single summary row re-read post-divergence
+    )[0]
+    return clone.read().agg(
+        F.lit(
+            bool(clone_equal_at_fork)
+            and (src_after["r"], src_after["k"])
+            == (src_rows["r"], src_rows["k"])
+        ).alias("clone_equal_at_fork"),
+        F.lit(src_after["r"]).cast("bigint").alias("source_rows"),
+        F.lit(src_after["k"]).cast("bigint").alias("source_key_checksum"),
+        F.count(F.lit(1)).alias("clone_rows"),
+        F.sum("o_orderkey").alias("clone_key_checksum"),
+        F.lit(shared).cast("bigint").alias("files_shared"),
+        F.lit(private).cast("bigint").alias("files_private"),
+    )
+
+
+@register(
+    "table_remove_conflict_abort",
+    oracle="""
+        SELECT CAST(1 AS BIGINT) AS conflicts_detected,
+               (SELECT count(DISTINCT year(o_orderdate)) FROM orders
+                WHERE o_orderstatus = 'P'
+                  AND year(o_orderdate) IN (1996, 1999))
+                   AS conflicting_files,
+               TRUE AS writer_b_aborted,
+               CAST(2 AS BIGINT) AS final_version,
+               count(*) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+        FROM orders
+        WHERE NOT (o_orderstatus = 'P'
+                   AND year(o_orderdate) IN (1996, 1999))
+    """,
+    section=SECTION,
+)
+def table_remove_conflict_abort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER half of optimistic concurrency (pairs with
+    table_commit_conflict_retry, which proves the append/append race
+    rebases safely): two writers race a REMOVE of overlapping files.
+    Writer A's copy-on-write delete wins v2, removing the two 'P'-year
+    files; writer B — a compaction staged against parent v1 that
+    planned to rewrite one of those same files — loses the O_EXCL
+    race, runs rebase VALIDATION (conflicting_removes: are my removes
+    still live?), finds a true remove/remove conflict, and ABORTS
+    instead of blindly rebasing (a blind rebase would re-remove a
+    dead reference and double-publish rows A already rewrote). The
+    final table is exactly A's outcome — B's staged compaction files
+    exist on disk as uncommitted orphans for vacuum. The oracle
+    restates the conflict arithmetic and A's content relationally.
+
+    Scale: validation is one log-tail replay + a set intersection —
+    O(files-in-transaction) metadata; the abort wastes only B's
+    staged write (attempt-unique paths make the retry collision-free),
+    which is the documented cost of optimistic concurrency under
+    true contention."""
+    tx, adds = _year_table(spark, sf_dir)
+    parent = tx.latest_version()
+
+    # Writer B stages a compaction of the two 'P'-year files (their
+    # rows repacked into one file) against parent v1...
+    pred = (F.col("o_orderstatus") == "P") & F.col("g").isin(1996, 1999)
+    snap = tx.read().withColumn("g", F.year("o_orderdate"))
+    touched_rows = (
+        snap.filter(pred)
+        .select("g")
+        .distinct()
+        .collect()  # driver-scalar: one row per FILE containing matches (≤7 years)
+    )
+    years = sorted(r["g"] for r in touched_rows)
+    b_removes = [f"data1/g={y}" for y in years]
+    b_adds = write_grouped(
+        snap.filter(F.col("g").isin(years)).drop("g").withColumn(
+            "g", F.lit(0)
+        ),
+        tx.root,
+        "compactB",
+        "o_orderkey",
+    )
+
+    # ...writer A's COW delete of the same files wins version 2.
+    touched_a = _cow_delete_p_years(tx, (1996, 1999), subdir="rwA")
+    assert touched_a == b_removes  # the race is over the SAME files
+
+    conflicts = 0
+    try:
+        tx.try_commit(parent + 1, b_adds, removes=b_removes)
+    except CommitConflict:
+        conflicts += 1
+    conflicting = tx.conflicting_removes(parent, b_removes)
+    aborted = bool(conflicting)  # true conflict → abort, never rebase
+    assert aborted  # the validation MUST catch the remove/remove race
+    return tx.read().agg(
+        F.lit(conflicts).cast("bigint").alias("conflicts_detected"),
+        F.lit(len(conflicting)).cast("bigint").alias("conflicting_files"),
+        F.lit(aborted).alias("writer_b_aborted"),
+        F.lit(tx.latest_version()).cast("bigint").alias("final_version"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("key_checksum"),
+    )

@@ -62,16 +62,19 @@ _LOADED = False
 # task #1). The driver correctness report caps at 50 enumeration
 # entries per round, so enumeration order IS evidence budget. The
 # tuple below is `python -m tools.staleness --tuple` output verbatim
-# (stale-first from the CORRECTNESS_r*.json ledger): the four ops born
+# (stale-first from the CORRECTNESS_r*.json ledger): the seven ops born
 # in r11 (never sampled, oracles from birth) head the list, then the
 # 14 operators whose freshest hash-green driver row is still round 1,
 # the 10-op r2 bucket, and the alphabetical head of the r3 bucket.
-# 4 + 14 + 10 = 28, so the 50-cap samples all of those plus the first
-# 22 r3 ops — leaving ~61 pre-r5 rows for the r12 tuple, after which
+# 7 + 14 + 10 = 31, so the 50-cap samples all of those plus the first
+# 19 r3 ops — leaving ~61 pre-r5 rows for the r12 tuple, after which
 # every operator's driver evidence is ≤5 rounds old (VERDICT r10
 # task #10). Regenerate after the r11 report lands.
 _R11_NEEDS_ROW_FIRST = (
     "stream_table_cdf",  # never
+    "table_cdf_apply_downstream",  # never
+    "table_remove_conflict_abort",  # never
+    "table_shallow_clone",  # never
     "table_time_travel_ts",  # never
     "table_txlog_checkpoint",  # never
     "table_vacuum_delete",  # never
@@ -128,9 +131,6 @@ _R11_NEEDS_ROW_FIRST = (
     "mm_image_resize",  # r3
     "sim_batch_topk",  # r3
     "sim_knn_join_label",  # r3
-    "sim_topk_cosine",  # r3
-    "sink_orc_roundtrip",  # r3
-    "sql_q10_returned_items",  # r3
 )
 
 

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from logdb_spark.functions.numeric import dec4, dround
 from logdb_spark.functions.temporal import ts_str
-from logdb_spark.registry import register
+from logdb_spark.registry import register, track_persist
 from logdb_spark.sources.load import load_table
 from logdb_spark.sources.scratch import scratch_dir
 
@@ -1418,6 +1418,51 @@ def stream_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cdf_events_table(spark: SparkSession, sf_dir: str):
+    """The CDF demo table shared by stream_table_cdf and
+    table_cdf_apply_downstream: v1 = events days <=20 as per-day
+    files, v2 = days >20, v3 = a copy-on-write delete (user_id = 0
+    mod 10 from days 5 and 25) whose remove actions carry the dropped
+    files' full pre-image refs — each touched file rewritten FROM ITS
+    PRE-IMAGE (only matched files read, never the table). The
+    null-guard keeps NULL-user rows out of the delete, mirrored
+    verbatim in both consumers' oracles."""
+    from logdb_spark.tablefmt import TxTable, write_grouped
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("g", F.dayofmonth("ts"))
+        .select("event_id", "user_id", "g")
+    )
+    tx = TxTable(spark, scratch_dir("logdb_cdf_"))
+    tx.commit(
+        write_grouped(ev.filter(F.col("g") <= 20), tx.root, "c1", "event_id"),
+        meta={"ts": 1000},
+    )
+    tx.commit(
+        write_grouped(ev.filter(F.col("g") > 20), tx.root, "c2", "event_id"),
+        meta={"ts": 2000},
+    )
+    keep = (F.col("user_id") % 10 != 0) | F.col("user_id").isNull()
+    live_by_path = {e["path"]: e for e in tx.live_files()}
+    touched = ["c1/g=5", "c2/g=25"]
+    parts = [
+        tx.read(files=[live_by_path[p]])
+        .filter(keep)
+        .withColumn("g", F.lit(g))
+        for p, g in (("c1/g=5", 5), ("c2/g=25", 25))
+    ]
+    adds_rw = write_grouped(
+        parts[0].unionByName(parts[1]), tx.root, "rw1", "event_id"
+    )
+    tx.commit(
+        adds_rw,
+        removes=[live_by_path[p] for p in touched],
+        meta={"ts": 3000},
+    )
+    return tx
+
+
 @register(
     "stream_table_cdf",
     oracle="""
@@ -1464,43 +1509,8 @@ def stream_table_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the change volume, never a base rescan — and deletes arrive
     as data, not as a silent gap."""
     from logdb_spark.sources.txlogstream import register_txlogstream
-    from logdb_spark.tablefmt import TxTable, write_grouped
 
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .withColumn("g", F.dayofmonth("ts"))
-        .select("event_id", "user_id", "g")
-    )
-    tx = TxTable(spark, scratch_dir("logdb_cdf_"))
-    tx.commit(
-        write_grouped(ev.filter(F.col("g") <= 20), tx.root, "c1", "event_id"),
-        meta={"ts": 1000},
-    )
-    tx.commit(
-        write_grouped(ev.filter(F.col("g") > 20), tx.root, "c2", "event_id"),
-        meta={"ts": 2000},
-    )
-    # COW delete: drop user_id ≡ 0 (mod 10) rows from days 5 and 25 —
-    # rewrite each touched file FROM ITS PRE-IMAGE (only the matched
-    # files are read, never the table), remove the pre-images (full
-    # refs), add the rewrites. The null-guard keeps NULL-user rows out
-    # of the delete, mirrored verbatim in the oracle.
-    keep = (F.col("user_id") % 10 != 0) | F.col("user_id").isNull()
-    live_by_path = {e["path"]: e for e in tx.live_files()}
-    touched = ["c1/g=5", "c2/g=25"]
-    parts = [
-        tx.read(files=[live_by_path[p]])
-        .filter(keep)
-        .withColumn("g", F.lit(g))
-        for p, g in (("c1/g=5", 5), ("c2/g=25", 25))
-    ]
-    adds_rw = write_grouped(parts[0].unionByName(parts[1]), tx.root, "rw1", "event_id")
-    tx.commit(
-        adds_rw,
-        removes=[live_by_path[p] for p in touched],
-        meta={"ts": 3000},
-    )
-
+    tx = _cdf_events_table(spark, sf_dir)
     register_txlogstream(spark)
     feed = (
         spark.read.format("txlogstream")
@@ -1511,4 +1521,89 @@ def stream_table_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feed.groupBy("version", "change_type").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("event_id").alias("id_checksum"),
+    )
+
+
+@register(
+    "table_cdf_apply_downstream",
+    oracle="""
+        WITH final AS (
+            SELECT user_id FROM events
+            WHERE NOT (day(ts) IN (5, 25) AND user_id % 10 = 0)
+        )
+        SELECT count(DISTINCT user_id) AS n_users,
+               count(*) AS total_events,
+               TRUE AS maintained_equals_recomputed
+        FROM final
+    """,
+    section=SECTION,
+)
+def table_cdf_apply_downstream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance FROM the change feed
+    — the downstream half of stream_table_cdf (a CDF nobody consumes
+    proves nothing): a per-user event-count view is built once from
+    the feed's v1–v2 inserts, then MAINTAINED through the v3
+    copy-on-write delete by applying its retraction rows as -1 and
+    its insert rows as +1 — never re-reading the base table. The
+    maintained view is then proven row-identical (anti-join both
+    directions, in-plan) to a from-scratch recompute over the head
+    snapshot; the oracle restates the final view's totals
+    relationally and pins the equality boolean TRUE.
+
+    Scale: THE reason CDFs exist — view maintenance cost tracks the
+    CHANGE volume (one grouped agg over the delta, one outer-join
+    merge against the view), not the base table; at 100 TB an hourly
+    delete touching 0.1% of files costs 0.1%-of-table work instead of
+    a full rebuild."""
+    from logdb_spark.sources.txlogstream import register_txlogstream
+
+    tx = _cdf_events_table(spark, sf_dir)
+    register_txlogstream(spark)
+    feed = (
+        spark.read.format("txlogstream")
+        .option("path", tx.root)
+        .option("mode", "cdf")
+        .load()
+    )
+    base = (
+        feed.filter("version <= 2")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    delta = (
+        feed.filter("version = 3")
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("change_type") == "insert", 1).otherwise(-1)
+            ).alias("d")
+        )
+    )
+    # Persisted (user-count sized, ≤ hundreds of rows): maintained
+    # feeds three actions and recomputed two — without the persists
+    # each action re-runs the upstream Python-DataSource feed scan.
+    maintained = track_persist(
+        base.join(delta, "user_id", "full_outer")
+        .select(
+            "user_id",
+            (F.coalesce("cnt", F.lit(0)) + F.coalesce("d", F.lit(0))).alias(
+                "cnt"
+            ),
+        )
+        .filter(F.col("cnt") > 0)
+    )
+    recomputed = track_persist(
+        tx.read().groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    a_not_b = maintained.join(
+        recomputed, ["user_id", "cnt"], "left_anti"
+    ).count()  # driver-scalar: single count, one side of the symmetric diff
+    b_not_a = recomputed.join(
+        maintained, ["user_id", "cnt"], "left_anti"
+    ).count()  # driver-scalar: single count, other side
+    equal = (a_not_b + b_not_a) == 0
+    return maintained.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("cnt").cast("bigint").alias("total_events"),
+        F.lit(equal).alias("maintained_equals_recomputed"),
     )

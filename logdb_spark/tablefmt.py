@@ -308,6 +308,26 @@ class TxTable:
         }
         return paths
 
+    def conflicting_removes(
+        self, parent_version: int, paths: list | tuple
+    ) -> list[str]:
+        """Rebase validation for a writer that lost an optimistic
+        race: of the files this transaction intends to REMOVE, which
+        are no longer live (removed or rewritten away by commits after
+        ``parent_version``)? Non-empty ⇒ a true semantic conflict
+        (remove/remove or remove/rewrite) — the transaction read files
+        the current snapshot no longer holds and must ABORT and
+        re-plan from fresh state; append-only transactions always
+        return [] and may rebase blindly (table_commit_conflict_retry
+        proves that path). O(log tail) metadata via the checkpointed
+        replay — the same cost class as conflict detection itself."""
+        live = {e["path"] for e in self.live_files()}
+        return sorted(
+            (p["path"] if isinstance(p, dict) else p)
+            for p in paths
+            if (p["path"] if isinstance(p, dict) else p) not in live
+        )
+
     # ---- timestamp time travel ------------------------------------------
 
     def resolve_ts(self, ts) -> int:

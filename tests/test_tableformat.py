@@ -342,3 +342,58 @@ def test_vacuum_kills_expired_time_travel_only(spark, tmp_path):
     assert tx.read().count() == head_rows_before - deleted_rows
     with pytest.raises(Exception, match="PATH_NOT_FOUND|Path does not exist"):
         tx.read(as_of=1).count()
+
+
+def test_shallow_clone_leaves_source_bytes_untouched(spark, tmp_path):
+    """The zero-copy claim, pinned at the byte level: after the clone
+    diverges (COW delete under the clone root), every SOURCE data dir
+    is byte-identical and the source log has gained no commits."""
+    from logdb_spark.operators.tableformat import _orders_with_year
+    from logdb_spark.tablefmt import TxTable, write_grouped
+
+    src = TxTable(spark, str(tmp_path / "src"))
+    adds = write_grouped(
+        _orders_with_year(spark, SF_SMALL), src.root, "data1", "o_orderkey"
+    )
+    src.commit(adds)
+    before = {
+        a["path"]: _dir_digest(os.path.join(src.root, a["path"]))
+        for a in adds
+    }
+    v_before = src.latest_version()
+
+    clone = TxTable(spark, str(tmp_path / "clone"))
+    clone.commit(
+        [{**a, "path": os.path.join(src.root, a["path"])} for a in adds]
+    )
+    # Diverge: drop one whole year-file from the clone (metadata-only
+    # here — the divergence mechanics are what this test pins).
+    victim = os.path.join(src.root, adds[0]["path"])
+    clone.commit([], removes=[victim])
+
+    assert src.latest_version() == v_before
+    after = {
+        a["path"]: _dir_digest(os.path.join(src.root, a["path"]))
+        for a in adds
+    }
+    assert after == before
+    # The clone lost the file; the source still reads it.
+    assert len(clone.live_files()) == len(adds) - 1
+    assert len(src.live_files()) == len(adds)
+
+
+def test_conflicting_removes_validation(tmp_path):
+    """Rebase validation semantics: append-only transactions validate
+    clean; a remove of a file another commit already removed (or
+    rewrote away) is flagged; dict-form pre-image refs are accepted."""
+    from logdb_spark.tablefmt import TxTable
+
+    tx = TxTable(None, str(tmp_path / "tbl"))
+    tx.commit([{"path": "d/1"}, {"path": "d/2"}, {"path": "d/3"}])
+    parent = tx.latest_version()
+    # Another writer removes d/2 (rewriting it to d/2b).
+    tx.commit([{"path": "d/2b"}], removes=["d/2"])
+    assert tx.conflicting_removes(parent, []) == []  # append-only: clean
+    assert tx.conflicting_removes(parent, ["d/1", "d/3"]) == []
+    assert tx.conflicting_removes(parent, ["d/2"]) == ["d/2"]
+    assert tx.conflicting_removes(parent, [{"path": "d/2"}]) == ["d/2"]
