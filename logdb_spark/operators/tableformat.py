@@ -1077,7 +1077,7 @@ def table_txlog_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     tx = TxTable(spark, scratch_dir("logdb_txtable_"))
     adds = write_grouped(orders, tx.root, "data1", "o_orderkey")
     for a in adds:  # one publish per staged file — the micro-batch shape
-        v, _ = tx.commit([a], meta={"ts": 1000 + len(tx.log_actions())})
+        v, _ = tx.commit([a], meta={"ts": 1000 + tx.latest_version()})
         tx.maybe_checkpoint(interval=12)
     n_commits = tx.latest_version()
     cps = tx.checkpoint_versions()
