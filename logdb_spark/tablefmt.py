@@ -162,10 +162,10 @@ class TxTable:
         """Application transaction ids already in the log — the
         exactly-once guard an idempotent streaming sink checks before
         committing a (possibly replayed) micro-batch. Reads the latest
-        checkpoint's id set plus the log tail, so the guard stays
-        O(commits-since-checkpoint) on a long-lived table."""
-        cp_v, cp = self._latest_checkpoint()
-        ids = {t for t in cp.get("txn_ids", []) if t is not None} if cp else set()
+        checkpoint's aux id set plus the log tail, so the guard never
+        re-reads the whole commit history on a long-lived table."""
+        cp_v, aux = self._latest_checkpoint_aux()
+        ids = {t for t in aux.get("txn_ids", []) if t is not None} if aux else set()
         ids |= {
             c["meta"][key]
             for c in self.log_actions(from_version=cp_v + 1)
@@ -177,18 +177,54 @@ class TxTable:
         self, as_of: int | None = None, from_version: int = 1
     ) -> list[dict]:
         """Commit documents in log order, versions
-        [``from_version`` .. ``as_of``] (latest when None)."""
-        top = self.latest_version() if as_of is None else as_of
+        [``from_version`` .. ``as_of``] (latest when None). A tail
+        read (``as_of`` None with ``from_version`` > 1 — the
+        post-checkpoint path) discovers the head by probing FORWARD
+        from ``from_version`` until the first missing version — the
+        local equivalent of an object store's listFrom(), O(tail)
+        instead of an O(total-entries) directory listing. Sound
+        because committed versions are contiguous by construction
+        (every commit publishes latest+1; a gap cannot exist)."""
         out = []
+        if as_of is None and from_version > 1:
+            v = from_version
+            while True:
+                try:
+                    with open(self._vpath(v)) as f:
+                        out.append(json.load(f))
+                except FileNotFoundError:
+                    return out
+                v += 1
+        top = self.latest_version() if as_of is None else as_of
         for v in range(from_version, top + 1):
             with open(self._vpath(v)) as f:
                 out.append(json.load(f))
         return out
 
     # ---- checkpoints ----------------------------------------------------
+    #
+    # Two documents per checkpoint (the public Delta v2-checkpoint
+    # move, re-derived): the HOT doc (checkpoint.vN.json) holds only
+    # the live add-entries — everything a snapshot read needs — so its
+    # size tracks the LIVE FILE COUNT, never the commit history; the
+    # AUX doc (checkpoint_aux.vN.json) carries the history-sized
+    # maintenance state (txn ids for the exactly-once guard, ever-
+    # added paths and tombstones for vacuum). A _last_checkpoint
+    # pointer file makes finding the newest checkpoint O(1) instead of
+    # a directory listing. Net effect, measured by
+    # tools/checkpointbench.py: snapshot reads are O(live + tail)
+    # flat while full replay grows with the log.
 
     def _cppath(self, version: int) -> str:
         return os.path.join(self.log_dir, f"checkpoint.v{version:06d}.json")
+
+    def _cpauxpath(self, version: int) -> str:
+        return os.path.join(
+            self.log_dir, f"checkpoint_aux.v{version:06d}.json"
+        )
+
+    def _ptrpath(self) -> str:
+        return os.path.join(self.log_dir, "_last_checkpoint")
 
     def checkpoint_versions(self) -> list[int]:
         return sorted(
@@ -197,40 +233,70 @@ class TxTable:
             if (m := _CPFILE.match(f))
         )
 
-    def _latest_checkpoint(
-        self, as_of: int | None = None
-    ) -> tuple[int, dict | None]:
-        """(version, document) of the newest checkpoint ≤ ``as_of``,
-        or (0, None) when none qualifies."""
+    def _latest_checkpoint_version(self, as_of: int | None = None) -> int:
+        """Newest checkpoint version ≤ ``as_of`` (0 when none). The
+        ``as_of`` None fast path reads the _last_checkpoint pointer —
+        one tiny file instead of a directory listing; time-travel
+        reads (explicit ``as_of``) take the listing path."""
+        if as_of is None:
+            try:
+                with open(self._ptrpath()) as f:
+                    return json.load(f)["version"]
+            except (OSError, ValueError, KeyError):
+                pass  # no pointer yet (or torn write) — fall through
         cands = [
             v
             for v in self.checkpoint_versions()
             if as_of is None or v <= as_of
         ]
-        if not cands:
-            return 0, None
-        v = max(cands)
-        with open(self._cppath(v)) as f:
-            return v, json.load(f)
+        return max(cands, default=0)
+
+    def _load_cp(self, path: str) -> dict | None:
+        try:
+            with open(path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return None
+
+    def _latest_checkpoint(
+        self, as_of: int | None = None
+    ) -> tuple[int, dict | None]:
+        """(version, hot document) of the newest checkpoint ≤
+        ``as_of``, or (0, None) when none qualifies."""
+        v = self._latest_checkpoint_version(as_of)
+        return (v, self._load_cp(self._cppath(v))) if v else (0, None)
+
+    def _latest_checkpoint_aux(
+        self, as_of: int | None = None
+    ) -> tuple[int, dict | None]:
+        """(version, aux document) — maintenance-path twin of
+        ``_latest_checkpoint``. A missing aux (crash between the two
+        publications) degrades to (0, None): callers fall back to the
+        full log walk, trading speed for correctness."""
+        v = self._latest_checkpoint_version(as_of)
+        aux = self._load_cp(self._cpauxpath(v)) if v else None
+        return (v, aux) if aux is not None else (0, None)
 
     def write_checkpoint(self, as_of: int | None = None) -> int:
         """Materialize the replayed state at ``as_of`` (latest when
-        None) into ``_txlog/checkpoint.vNNNNNN.json`` — the Delta/
-        Iceberg move that bounds snapshot construction on a long-lived
-        table: a reader starts from the newest checkpoint ≤ its target
-        version and replays only the tail, O(commits-since-checkpoint)
-        instead of O(commits-forever). The document holds the live
-        add-entries (first-added order), every ever-added path (for
-        vacuum accounting), the seen txn-ids (for the exactly-once
-        guard), and the tombstone map (orphan path → ts of the commit
-        that removed it, for retention-gated vacuum). Published with
-        the same fsync-then-link(2) discipline as a commit; the log is
-        immutable below ``as_of``, so a racing double-write would bear
-        identical content and put-if-absent keeps the first."""
+        None) — the Delta/Iceberg move that bounds snapshot
+        construction on a long-lived table: a reader starts from the
+        newest checkpoint ≤ its target version and replays only the
+        tail, O(commits-since-checkpoint) instead of
+        O(commits-forever). Hot doc = live add-entries (first-added
+        order); aux doc = ever-added paths + txn ids + tombstones
+        (see the section comment). Both published with the same
+        fsync-then-link(2) discipline as a commit (aux FIRST, so a
+        visible hot doc implies its aux exists barring a crash, which
+        degrades to the full-walk fallback); the log is immutable
+        below ``as_of``, so a racing double-write bears identical
+        content and put-if-absent keeps the first. The pointer file
+        is updated last (atomic rename — a stale pointer only costs
+        a slightly older checkpoint, never a wrong answer)."""
         v = self.latest_version() if as_of is None else as_of
-        doc = {
+        hot = {"version": v, "live": self.live_files(v, use_checkpoint=False)}
+        aux = {
             "version": v,
-            "live": self.live_files(v, use_checkpoint=False),
             "all_added": sorted(
                 a["path"] for c in self.log_actions(v) for a in c["add"]
             ),
@@ -244,20 +310,29 @@ class TxTable:
             ),
             "tombstones": self._tombstones_full(v),
         }
-        fd, tmp = tempfile.mkstemp(
-            dir=self.log_dir, prefix=".cp.", suffix=".tmp"
-        )
-        try:
-            with os.fdopen(fd, "w") as f:
-                json.dump(doc, f, sort_keys=True)
-                f.flush()
-                os.fsync(f.fileno())
+        for doc, dest in ((aux, self._cpauxpath(v)), (hot, self._cppath(v))):
+            fd, tmp = tempfile.mkstemp(
+                dir=self.log_dir, prefix=".cp.", suffix=".tmp"
+            )
             try:
-                os.link(tmp, self._cppath(v))
-            except FileExistsError:
-                pass  # same immutable content — first writer's copy stands
-        finally:
-            os.unlink(tmp)
+                with os.fdopen(fd, "w") as f:
+                    json.dump(doc, f, sort_keys=True)
+                    f.flush()
+                    os.fsync(f.fileno())
+                try:
+                    os.link(tmp, dest)
+                except FileExistsError:
+                    pass  # same immutable content — first writer's stands
+            finally:
+                os.unlink(tmp)
+        fd, tmp = tempfile.mkstemp(
+            dir=self.log_dir, prefix=".ptr.", suffix=".tmp"
+        )
+        with os.fdopen(fd, "w") as f:
+            json.dump({"version": v}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._ptrpath())  # atomic overwrite
         return v
 
     def maybe_checkpoint(self, interval: int = 10) -> int | None:
@@ -265,7 +340,7 @@ class TxTable:
         commits past the newest checkpoint — the writer-side hook a
         table format runs after every commit."""
         head = self.latest_version()
-        last = max(self.checkpoint_versions(), default=0)
+        last = self._latest_checkpoint_version()
         if head - last >= interval:
             return self.write_checkpoint(head)
         return None
@@ -298,8 +373,8 @@ class TxTable:
     def all_added_paths(self) -> set[str]:
         """Every path any commit ever added — what is ON DISK minus
         vacuumed orphans (data files are immutable; remove only drops
-        the log reference). Checkpoint-accelerated like live_files."""
-        cp_v, cp = self._latest_checkpoint()
+        the log reference). Aux-checkpoint-accelerated."""
+        cp_v, cp = self._latest_checkpoint_aux()
         paths = set(cp["all_added"]) if cp else set()
         paths |= {
             a["path"]
@@ -362,8 +437,8 @@ class TxTable:
         return tomb
 
     def tombstones(self) -> dict:
-        """Checkpoint-accelerated orphan → removed-at-ts map."""
-        cp_v, cp = self._latest_checkpoint()
+        """Aux-checkpoint-accelerated orphan → removed-at-ts map."""
+        cp_v, cp = self._latest_checkpoint_aux()
         tomb = dict(cp.get("tombstones", {})) if cp else {}
         for c in self.log_actions(from_version=cp_v + 1):
             stamp = c.get("meta", {}).get("ts")
