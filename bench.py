@@ -141,11 +141,12 @@ def _await_quiet_host() -> dict:
     """Quiet-host GATE (VERDICT r9 #7 / r10 #8: every round's start
     sample so far caught a foreign JVM or load1 ≈ 3, so the per-op
     medians carry the documented ±9-12% host-variance band): spin-wait
-    up to $BENCH_QUIESCE_WAIT_SEC (default 300) for load1 < 1.0 AND
-    other_jvms == 0 AND foreign_cpu_cores < 0.5, sampling every 10 s.
-    Never fails the bench — on timeout the run proceeds and the
-    quiesce block records gate_met: false plus the wait, so a
-    contended-host number is self-flagged instead of silently noisy."""
+    up to $BENCH_QUIESCE_WAIT_SEC (default 420) for load1 < 1.0 AND
+    load5 < 2.0 AND other_jvms == 0 AND foreign_cpu_cores < 0.5,
+    sampling every 10 s. Never fails the bench — on timeout the run
+    proceeds and the quiesce block records gate_met: false plus the
+    wait, so a contended-host number is self-flagged instead of
+    silently noisy."""
     budget = float(os.environ.get("BENCH_QUIESCE_WAIT_SEC", "420"))
     t0 = time.monotonic()
     while True:

@@ -1528,10 +1528,11 @@ def stream_table_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "table_cdf_apply_downstream",
     oracle="""
         WITH final AS (
-            SELECT user_id FROM events
-            WHERE NOT (day(ts) IN (5, 25) AND user_id % 10 = 0)
+            SELECT COALESCE(user_id, -1) AS uid FROM events
+            WHERE day(ts) NOT IN (5, 25)
+               OR user_id % 10 <> 0 OR user_id IS NULL
         )
-        SELECT count(DISTINCT user_id) AS n_users,
+        SELECT count(DISTINCT uid) AS n_users,
                count(*) AS total_events,
                TRUE AS maintained_equals_recomputed
         FROM final
@@ -1559,6 +1560,12 @@ def table_cdf_apply_downstream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tx = _cdf_events_table(spark, sf_dir)
     register_txlogstream(spark)
+    # NULL users group under sentinel -1 on EVERY side — view, delta,
+    # recompute, and oracle (review r11: a NULL group would silently
+    # never match the non-null-safe anti-join equality below, and the
+    # oracle's count(DISTINCT) would drop it; fixture user_ids are
+    # non-negative, pinned by the keyspace test, so -1 cannot collide).
+    uid = F.coalesce(F.col("user_id"), F.lit(-1)).alias("uid")
     feed = (
         spark.read.format("txlogstream")
         .option("path", tx.root)
@@ -1567,12 +1574,14 @@ def table_cdf_apply_downstream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = (
         feed.filter("version <= 2")
-        .groupBy("user_id")
+        .select(uid)
+        .groupBy("uid")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     delta = (
         feed.filter("version = 3")
-        .groupBy("user_id")
+        .select(uid, "change_type")
+        .groupBy("uid")
         .agg(
             F.sum(
                 F.when(F.col("change_type") == "insert", 1).otherwise(-1)
@@ -1583,9 +1592,9 @@ def table_cdf_apply_downstream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # feeds three actions and recomputed two — without the persists
     # each action re-runs the upstream Python-DataSource feed scan.
     maintained = track_persist(
-        base.join(delta, "user_id", "full_outer")
+        base.join(delta, "uid", "full_outer")
         .select(
-            "user_id",
+            "uid",
             (F.coalesce("cnt", F.lit(0)) + F.coalesce("d", F.lit(0))).alias(
                 "cnt"
             ),
@@ -1593,13 +1602,15 @@ def table_cdf_apply_downstream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") > 0)
     )
     recomputed = track_persist(
-        tx.read().groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+        tx.read().select(uid).groupBy("uid").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
     )
     a_not_b = maintained.join(
-        recomputed, ["user_id", "cnt"], "left_anti"
+        recomputed, ["uid", "cnt"], "left_anti"
     ).count()  # driver-scalar: single count, one side of the symmetric diff
     b_not_a = recomputed.join(
-        maintained, ["user_id", "cnt"], "left_anti"
+        maintained, ["uid", "cnt"], "left_anti"
     ).count()  # driver-scalar: single count, other side
     equal = (a_not_b + b_not_a) == 0
     return maintained.agg(

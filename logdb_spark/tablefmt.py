@@ -161,9 +161,20 @@ class TxTable:
     def committed_txn_ids(self, key: str = "txn_id") -> set:
         """Application transaction ids already in the log — the
         exactly-once guard an idempotent streaming sink checks before
-        committing a (possibly replayed) micro-batch. Reads the latest
-        checkpoint's aux id set plus the log tail, so the guard never
-        re-reads the whole commit history on a long-lived table."""
+        committing a (possibly replayed) micro-batch. For the default
+        key the latest checkpoint's aux id set plus the log tail is
+        enough, so the guard never re-reads the whole commit history
+        on a long-lived table. A NON-default key takes the full log
+        walk — the aux doc indexes only ``meta.txn_id``, and silently
+        substituting it would both lose the caller's pre-checkpoint
+        ids (letting a replayed batch re-commit) and inject foreign
+        ones (review r11)."""
+        if key != "txn_id":
+            return {
+                c["meta"][key]
+                for c in self.log_actions()
+                if c.get("meta", {}).get(key) is not None
+            }
         cp_v, aux = self._latest_checkpoint_aux()
         ids = {t for t in aux.get("txn_ids", []) if t is not None} if aux else set()
         ids |= {
@@ -292,23 +303,56 @@ class TxTable:
         below ``as_of``, so a racing double-write bears identical
         content and put-if-absent keeps the first. The pointer file
         is updated last (atomic rename — a stale pointer only costs
-        a slightly older checkpoint, never a wrong answer)."""
+        a slightly older checkpoint, never a wrong answer).
+
+        Writer cost is O(tail), not O(history) (review r11 — the
+        first cut replayed the full log FOUR times per checkpoint):
+        all five products (live set, ever-added paths, txn ids,
+        tombstones, newest-stamp marker) derive from the PREVIOUS
+        checkpoint's documents plus one pass over the post-checkpoint
+        commits; only a checkpoint-less log (or a crash-orphaned aux)
+        pays a single full pass."""
         v = self.latest_version() if as_of is None else as_of
-        hot = {"version": v, "live": self.live_files(v, use_checkpoint=False)}
+        prev_v, prev_hot = self._latest_checkpoint(v)
+        prev_aux_v, prev_aux = self._latest_checkpoint_aux(v)
+        if prev_hot is not None and prev_aux is not None and prev_v == prev_aux_v:
+            live = {e["path"]: e for e in prev_hot["live"]}
+            all_added = set(prev_aux["all_added"])
+            txn_ids = set(prev_aux["txn_ids"])
+            tomb = dict(prev_aux["tombstones"])
+            max_ts, max_ts_v = prev_hot.get("max_ts"), prev_hot.get(
+                "max_ts_version", 0
+            )
+            start = prev_v + 1
+        else:
+            live, all_added, txn_ids, tomb = {}, set(), set(), {}
+            max_ts, max_ts_v, start = None, 0, 1
+        for c in self.log_actions(v, from_version=start):
+            stamp = c.get("meta", {}).get("ts")
+            if stamp is not None:
+                max_ts, max_ts_v = stamp, c["version"]
+            tid = c.get("meta", {}).get("txn_id")
+            if tid is not None:
+                txn_ids.add(tid)
+            for r in c["remove"]:
+                rp = r["path"] if isinstance(r, dict) else r
+                live.pop(rp, None)
+                tomb[rp] = stamp
+            for a in c["add"]:
+                live[a["path"]] = a
+                all_added.add(a["path"])
+                tomb.pop(a["path"], None)
+        hot = {
+            "version": v,
+            "live": list(live.values()),
+            "max_ts": max_ts,
+            "max_ts_version": max_ts_v,
+        }
         aux = {
             "version": v,
-            "all_added": sorted(
-                a["path"] for c in self.log_actions(v) for a in c["add"]
-            ),
-            "txn_ids": sorted(
-                (
-                    c["meta"]["txn_id"]
-                    for c in self.log_actions(v)
-                    if c.get("meta", {}).get("txn_id") is not None
-                ),
-                key=str,
-            ),
-            "tombstones": self._tombstones_full(v),
+            "all_added": sorted(all_added),
+            "txn_ids": sorted(txn_ids, key=str),
+            "tombstones": tomb,
         }
         for doc, dest in ((aux, self._cpauxpath(v)), (hot, self._cppath(v))):
             fd, tmp = tempfile.mkstemp(
@@ -364,10 +408,14 @@ class TxTable:
                 live = {e["path"]: e for e in cp["live"]}
                 start = cp_v + 1
         for commit in self.log_actions(as_of, from_version=start):
-            for a in commit["add"]:
-                live[a["path"]] = a
+            # Removes BEFORE adds within a commit — the same order a
+            # CDF consumer applies changes (delete rows, then insert
+            # rows), so a commit that removes and re-adds one path
+            # nets to the re-added file being live (rewrite-in-place).
             for r in commit["remove"]:
                 live.pop(r["path"] if isinstance(r, dict) else r, None)
+            for a in commit["add"]:
+                live[a["path"]] = a
         return list(live.values())
 
     def all_added_paths(self) -> set[str]:
@@ -388,19 +436,30 @@ class TxTable:
     ) -> list[str]:
         """Rebase validation for a writer that lost an optimistic
         race: of the files this transaction intends to REMOVE, which
-        are no longer live (removed or rewritten away by commits after
-        ``parent_version``)? Non-empty ⇒ a true semantic conflict
-        (remove/remove or remove/rewrite) — the transaction read files
-        the current snapshot no longer holds and must ABORT and
-        re-plan from fresh state; append-only transactions always
-        return [] and may rebase blindly (table_commit_conflict_retry
-        proves that path). O(log tail) metadata via the checkpointed
-        replay — the same cost class as conflict detection itself."""
-        live = {e["path"] for e in self.live_files()}
+        were removed (or rewritten away) by commits AFTER
+        ``parent_version``? Non-empty ⇒ a true semantic conflict
+        (remove/remove or remove/rewrite) — the transaction read a
+        file version the current log history invalidated and must
+        ABORT and re-plan from fresh state; append-only transactions
+        always return [] and may rebase blindly
+        (table_commit_conflict_retry proves that path). The check
+        scans the post-parent tail's REMOVE actions directly — not
+        current liveness — so a remove-then-re-add of the same path
+        (a restore, a non-attempt-unique rewrite) still conflicts:
+        the re-added file is a DIFFERENT version than the one this
+        transaction read (review r11). O(log tail) probe-forward
+        metadata — the same cost class as conflict detection
+        itself."""
+        removed_since_parent = {
+            r["path"] if isinstance(r, dict) else r
+            for c in self.log_actions(from_version=parent_version + 1)
+            for r in c["remove"]
+        }
         return sorted(
             (p["path"] if isinstance(p, dict) else p)
             for p in paths
-            if (p["path"] if isinstance(p, dict) else p) not in live
+            if (p["path"] if isinstance(p, dict) else p)
+            in removed_since_parent
         )
 
     # ---- timestamp time travel ------------------------------------------
@@ -409,11 +468,29 @@ class TxTable:
         """TIMESTAMP AS OF → version: the newest commit whose
         ``meta.ts`` stamp is ≤ ``ts`` (the form users actually type;
         version-based AS OF is the primitive underneath). Commits are
-        stamped by the writer with a monotone logical timestamp —
-        deterministic here so oracles stay bit-stable; wall-clock in a
-        real deployment. O(log tail) metadata scan."""
+        stamped by the writer with a MONOTONE logical timestamp (the
+        writer contract this relies on) — deterministic here so
+        oracles stay bit-stable; wall-clock in a real deployment.
+
+        Checkpoint-bounded like any replay (review r11 — this used to
+        scan the whole log): the hot checkpoint doc records the
+        newest stamp ≤ its version (``max_ts``), so a query at or
+        past it needs only the post-checkpoint tail; only a query
+        into deeper history pays the full scan."""
         best = 0
-        for c in self.log_actions():
+        start = 1
+        cp_v, cp = self._latest_checkpoint()
+        if cp is not None:
+            cp_ts = cp.get("max_ts")
+            # best jumps to the newest STAMPED version at/under the
+            # checkpoint (not cp_v itself — trailing unstamped commits
+            # must not win), exactly what the full scan would pick
+            # from that prefix.
+            if cp_ts is not None and cp_ts <= ts:
+                best, start = cp["max_ts_version"], cp_v + 1
+            elif cp_ts is None and "max_ts_version" in cp:
+                start = cp_v + 1  # checkpointed prefix has no stamps
+        for c in self.log_actions(from_version=start):
             stamp = c.get("meta", {}).get("ts")
             if stamp is not None and stamp <= ts:
                 best = max(best, c["version"])
@@ -430,10 +507,10 @@ class TxTable:
         tomb: dict = {}
         for c in self.log_actions(as_of):
             stamp = c.get("meta", {}).get("ts")
-            for a in c["add"]:
-                tomb.pop(a["path"], None)
             for r in c["remove"]:
                 tomb[r["path"] if isinstance(r, dict) else r] = stamp
+            for a in c["add"]:
+                tomb.pop(a["path"], None)
         return tomb
 
     def tombstones(self) -> dict:
@@ -442,10 +519,10 @@ class TxTable:
         tomb = dict(cp.get("tombstones", {})) if cp else {}
         for c in self.log_actions(from_version=cp_v + 1):
             stamp = c.get("meta", {}).get("ts")
-            for a in c["add"]:
-                tomb.pop(a["path"], None)
             for r in c["remove"]:
                 tomb[r["path"] if isinstance(r, dict) else r] = stamp
+            for a in c["add"]:
+                tomb.pop(a["path"], None)
         return tomb
 
     def vacuum(self, before_ts) -> tuple[list[str], list[str]]:
@@ -458,19 +535,34 @@ class TxTable:
         file a current snapshot references (the invariant test pins
         this). Returns (deleted_paths, retained_orphan_paths).
 
+        Ownership rule (review r11 — without it, vacuuming a SHALLOW
+        CLONE would rmtree the SOURCE table's data): vacuum only ever
+        deletes paths INSIDE this table's root. A tombstone whose
+        path resolves elsewhere (shallow clones reference the source
+        by absolute path) is a shared file owned by another table —
+        retained unconditionally; reclaiming it is the owning table's
+        vacuum's job (production systems track such cross-table
+        references explicitly).
+
         Scale: the decision is O(orphans) metadata; the deletions are
         embarrassingly parallel (here sequential rmtree over local
         dirs, an object-store batch-delete in production). Time travel
         and CDF reads BEFORE the retention horizon die with this —
         the documented lakehouse retention trade."""
         live = {e["path"] for e in self.live_files()}
+        root = os.path.realpath(self.root)
         deleted, retained = [], []
         for path, stamp in sorted(self.tombstones().items()):
-            if stamp is not None and stamp < before_ts:
-                assert path not in live, (
-                    f"vacuum invariant violated: {path} is live"
-                )
-                target = os.path.join(self.root, path)
+            target = os.path.realpath(os.path.join(self.root, path))
+            owned = os.path.commonpath([root, target]) == root
+            if owned and stamp is not None and stamp < before_ts:
+                if path in live:
+                    # A real raise, not an assert — the one guard
+                    # against deleting referenced data must survive
+                    # python -O (review r11).
+                    raise RuntimeError(
+                        f"vacuum invariant violated: {path} is live"
+                    )
                 if os.path.exists(target):
                     shutil.rmtree(target)
                 deleted.append(path)

@@ -304,7 +304,7 @@ def test_vacuum_cannot_delete_live_file(tmp_path, monkeypatch):
     tx = TxTable(None, str(tmp_path / "tbl"))
     tx.commit([{"path": "d/1"}], meta={"ts": 100})
     monkeypatch.setattr(tx, "tombstones", lambda: {"d/1": 100})
-    with pytest.raises(AssertionError, match="vacuum invariant"):
+    with pytest.raises(RuntimeError, match="vacuum invariant"):
         tx.vacuum(before_ts=10_000)
 
 
@@ -397,3 +397,117 @@ def test_conflicting_removes_validation(tmp_path):
     assert tx.conflicting_removes(parent, ["d/1", "d/3"]) == []
     assert tx.conflicting_removes(parent, ["d/2"]) == ["d/2"]
     assert tx.conflicting_removes(parent, [{"path": "d/2"}]) == ["d/2"]
+
+
+def test_vacuum_never_deletes_foreign_paths(tmp_path):
+    """Review r11 (data-loss bug caught pre-ship): a SHALLOW CLONE's
+    tombstones reference the source table's files by absolute path;
+    clone.vacuum must treat any path outside its own root as a shared
+    file owned by another table — retained unconditionally, never
+    rmtree'd — or vacuuming the clone destroys the source."""
+    import json
+
+    from logdb_spark.tablefmt import TxTable
+
+    src = TxTable(None, str(tmp_path / "src"))
+    shared_abs = str(tmp_path / "src" / "data1")
+    os.makedirs(shared_abs)
+    with open(os.path.join(shared_abs, "part.parquet"), "w") as f:
+        json.dump({"stand-in": "bytes"}, f)
+    src.commit([{"path": "data1"}], meta={"ts": 100})
+
+    clone = TxTable(None, str(tmp_path / "clone"))
+    clone.commit([{"path": shared_abs}], meta={"ts": 100})
+    clone.commit([{"path": "own1"}], removes=[shared_abs], meta={"ts": 200})
+
+    deleted, retained = clone.vacuum(before_ts=10_000)
+    assert deleted == []  # foreign path: never eligible
+    assert retained == [shared_abs]
+    assert os.path.exists(shared_abs)  # the source's bytes survive
+
+    # An OWNED orphan with the same retention stamps IS deleted — the
+    # guard is about ownership, not a blanket refusal.
+    own_abs = os.path.join(clone.root, "own1")
+    os.makedirs(own_abs, exist_ok=True)
+    clone.commit([{"path": "own2"}], removes=["own1"], meta={"ts": 300})
+    deleted2, _ = clone.vacuum(before_ts=10_000)
+    assert deleted2 == ["own1"] and not os.path.exists(own_abs)
+
+
+def test_conflicting_removes_detects_remove_then_readd(tmp_path):
+    """Review r11: validation must scan the post-parent REMOVE log,
+    not current liveness — a path removed and then RE-ADDED after
+    parent is live again, but the re-added file is a different
+    version than the one the losing transaction read, so removing it
+    blind would be a lost update."""
+    from logdb_spark.tablefmt import TxTable
+
+    tx = TxTable(None, str(tmp_path / "tbl"))
+    tx.commit([{"path": "d/1"}, {"path": "d/2"}])
+    parent = tx.latest_version()
+    tx.commit([{"path": "d/2"}], removes=["d/2"])  # rewrite in place
+    assert {e["path"] for e in tx.live_files()} == {"d/1", "d/2"}
+    assert tx.conflicting_removes(parent, ["d/2"]) == ["d/2"]
+    assert tx.conflicting_removes(parent, ["d/1"]) == []
+
+
+def test_committed_txn_ids_custom_key_survives_checkpoint(tmp_path):
+    """Review r11: the checkpoint aux doc indexes only meta.txn_id;
+    a guard keyed on a different meta field must take the full log
+    walk — substituting the aux set would both lose the caller's
+    pre-checkpoint ids (replayed batch re-commits) and inject foreign
+    ids."""
+    from logdb_spark.tablefmt import TxTable
+
+    tx = TxTable(None, str(tmp_path / "tbl"))
+    for i in range(1, 13):
+        tx.commit(
+            [{"path": f"d/{i}"}],
+            meta={"ts": i, "txn_id": f"t{i}", "batch_id": f"b{i}"},
+        )
+        tx.maybe_checkpoint(interval=10)
+    assert tx.checkpoint_versions() == [10]
+    assert tx.committed_txn_ids() == {f"t{i}" for i in range(1, 13)}
+    assert tx.committed_txn_ids("batch_id") == {
+        f"b{i}" for i in range(1, 13)
+    }
+
+
+def test_resolve_ts_checkpoint_bounded_and_equal(tmp_path, monkeypatch):
+    """Review r11: resolve_ts used to scan the whole log; it now
+    starts from the hot checkpoint's (max_ts, max_ts_version) marker.
+    Pin (a) equality with the full-scan answer at every probe,
+    including unstamped trailing commits that must not win, and
+    (b) that a post-checkpoint probe opens only tail documents."""
+    from logdb_spark import tablefmt
+
+    tx = tablefmt.TxTable(None, str(tmp_path / "tbl"))
+    for i in range(1, 25):
+        # every third commit is UNSTAMPED (e.g. a maintenance commit)
+        meta = {"ts": 100 * i} if i % 3 else {}
+        tx.commit([{"path": f"d/{i}"}], meta=meta)
+        tx.maybe_checkpoint(interval=10)
+    assert tx.checkpoint_versions() == [10, 20]
+
+    def full_scan(ts):
+        best = 0
+        for c in tx.log_actions():
+            stamp = c.get("meta", {}).get("ts")
+            if stamp is not None and stamp <= ts:
+                best = max(best, c["version"])
+        return best
+
+    for probe in (100, 250, 301, 900, 1000, 2200, 2400, 99999):
+        assert tx.resolve_ts(probe) == full_scan(probe), probe
+
+    opened = []
+    real = tablefmt.TxTable.log_actions
+
+    def counting(self, as_of=None, from_version=1):
+        docs = real(self, as_of, from_version)
+        opened.extend(c["version"] for c in docs)
+        return docs
+
+    monkeypatch.setattr(tablefmt.TxTable, "log_actions", counting)
+    tx.resolve_ts(99999)  # newest checkpoint = v20 → tail only
+    assert opened == [21, 22, 23, 24]

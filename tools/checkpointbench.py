@@ -18,9 +18,11 @@ cost is driver-side metadata work):
   O(live) + ≤10 tail docs) — any snapshot is O(live files) by
   definition; the win is shedding the O(history) term.
 
-Also times ``committed_txn_ids()`` both ways — the exactly-once guard
-an hourly streaming sink runs before EVERY micro-batch commit, i.e.
-the path where O(commits-forever) hurts first in production.
+Also times the exactly-once txn-id guard both ways: the
+checkpoint-aux path ``committed_txn_ids()`` takes, and the full log
+walk a checkpoint-less table would pay — the guard runs before EVERY
+micro-batch commit, i.e. the path where O(commits-forever) hurts
+first in production.
 
 Usage: python -m tools.checkpointbench [--commits 100,1000,5000]
 Prints ONE JSON line; SCALING.md carries the analyzed table.
@@ -79,12 +81,22 @@ def main() -> None:
             full = tx.live_files(use_checkpoint=False)
             assert fast == full, "checkpointed replay must equal full"
             ids_fast = tx.committed_txn_ids()
+
+            def txn_ids_full_walk():
+                return {
+                    c["meta"]["txn_id"]
+                    for c in tx.log_actions()
+                    if c.get("meta", {}).get("txn_id") is not None
+                }
+
+            assert ids_fast == txn_ids_full_walk()
             out["results"][n] = {
                 "live_files_checkpointed_ms": _timed(tx.live_files),
                 "live_files_full_replay_ms": _timed(
                     lambda: tx.live_files(use_checkpoint=False)
                 ),
                 "txn_ids_checkpointed_ms": _timed(tx.committed_txn_ids),
+                "txn_ids_full_walk_ms": _timed(txn_ids_full_walk),
                 "n_live": len(fast),
                 "n_txn_ids": len(ids_fast),
                 "n_checkpoints": len(tx.checkpoint_versions()),
