@@ -1331,8 +1331,19 @@ def table_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         meta={"ts": 2000},
     )
 
+    # Ownership test matches vacuum's (ADVICE r11): commonpath, not a
+    # string prefix — a sibling dir sharing the root's string prefix
+    # (".../tbl" vs ".../tbl_backup") must not count as shared. Paths
+    # resolve against the CLONE's root (absolute shared refs pass
+    # through the join; relative private ones land under the clone).
+    src_root = os.path.realpath(tx.root)
     shared = sum(
-        1 for e in clone.live_files() if e["path"].startswith(tx.root)
+        1
+        for e in clone.live_files()
+        if os.path.commonpath(
+            [src_root, os.path.realpath(os.path.join(clone.root, e["path"]))]
+        )
+        == src_root
     )
     private = len(clone.live_files()) - shared
     # Source must be byte-untouched: same live set, same content.
@@ -1381,8 +1392,10 @@ def table_remove_conflict_abort(spark: SparkSession, sf_dir: str) -> DataFrame:
     Writer A's copy-on-write delete wins v2, removing the two 'P'-year
     files; writer B — a compaction staged against parent v1 that
     planned to rewrite one of those same files — loses the O_EXCL
-    race, runs rebase VALIDATION (conflicting_removes: are my removes
-    still live?), finds a true remove/remove conflict, and ABORTS
+    race, runs rebase VALIDATION (conflicting_removes: were my
+    removes removed since parent? — it scans the post-parent REMOVE
+    log, not current liveness, so a remove-then-re-add of the same
+    path still conflicts), finds a true remove/remove conflict, ABORTS
     instead of blindly rebasing (a blind rebase would re-remove a
     dead reference and double-publish rows A already rewrote). The
     final table is exactly A's outcome — B's staged compaction files
