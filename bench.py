@@ -141,25 +141,30 @@ def _await_quiet_host() -> dict:
     """Quiet-host GATE (VERDICT r9 #7 / r10 #8: every round's start
     sample so far caught a foreign JVM or load1 ≈ 3, so the per-op
     medians carry the documented ±9-12% host-variance band): spin-wait
-    up to $BENCH_QUIESCE_WAIT_SEC (default 420) for load1 < 1.0 AND
-    load5 < 2.0 AND other_jvms == 0 AND foreign_cpu_cores < 0.5,
+    up to $BENCH_QUIESCE_WAIT_SEC (default 900) for load1 < 1.0 AND
+    load5 < 1.0 AND other_jvms == 0 AND foreign_cpu_cores < 0.5,
     sampling every 10 s. Never fails the bench — on timeout the run
     proceeds and the quiesce block records gate_met: false plus the
     wait, so a contended-host number is self-flagged instead of
     silently noisy."""
-    budget = float(os.environ.get("BENCH_QUIESCE_WAIT_SEC", "420"))
+    budget = float(os.environ.get("BENCH_QUIESCE_WAIT_SEC", "900"))
     t0 = time.monotonic()
     while True:
         q = _quiescence()
         waited = round(time.monotonic() - t0, 1)
-        # load5 < 2.0 as well: the r11 shakedown measured a run that
-        # passed on load1 alone (0.99, five minutes after a heavy test
-        # suite — load5 still 5.2) and came out ~24% slower across the
-        # board; recent load predicts degraded cache/thermal state
-        # even once the 1-minute average looks quiet.
+        # load5 < 1.0, tightened from < 2.0 (VERDICT r11 #1): the
+        # official r11 run passed the old gate at load5 = 1.96 — 2%
+        # under the threshold after a 285 s wait — and came out ~34%
+        # slower per-op than the builder's gated run of the SAME code;
+        # the r11 shakedown had already measured decaying load5 ≈ 2
+        # predicting ~20%+ degradation. load5 < 1.0 means the host has
+        # been genuinely quiet for minutes, not merely idle this
+        # minute. The default wait budget rises 420 → 900 s to let a
+        # post-test-suite load5 actually decay below 1.0 (≈5-minute
+        # half-life): a longer wait is cheaper than a poisoned number.
         q["gate_met"] = (
             0 <= q["load1"] < 1.0
-            and 0 <= q["load5"] < 2.0
+            and 0 <= q["load5"] < 1.0
             and q["other_jvms"] == 0
             and 0 <= q["foreign_cpu_cores"] < 0.5
         )
@@ -167,6 +172,20 @@ def _await_quiet_host() -> dict:
         if q["gate_met"] or waited + 10 > budget:
             return q
         time.sleep(10)
+
+
+def _end_quiescence() -> dict:
+    """End-of-run sample with its own gate verdict (VERDICT r11 #1:
+    record whether the host was STILL clean when the numbers
+    finished). Load averages at the end reflect our own just-finished
+    32-thread run's decay, so the end gate uses only the
+    self-excluding signals: no foreign JVM appeared and foreign CPU
+    stayed ~0 across the run."""
+    q = _quiescence()
+    q["gate_met"] = (
+        q["other_jvms"] == 0 and 0 <= q["foreign_cpu_cores"] < 0.5
+    )
+    return q
 
 
 def main() -> int:
@@ -238,7 +257,7 @@ def main() -> int:
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count())),
         "runs_per_query": runs,
         "quiesce_start": quiesce,
-        "quiesce_end": _quiescence(),
+        "quiesce_end": _end_quiescence(),
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as f:

@@ -1451,3 +1451,199 @@ def table_remove_conflict_abort(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum("o_orderkey").alias("key_checksum"),
     )
+
+
+@register(
+    "table_column_mapping_rename",
+    oracle="""
+        SELECT count(*) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2)
+                    AS DOUBLE) AS price_sum,
+               CAST(2 AS BIGINT) AS n_cols_visible,
+               TRUE AS rename_metadata_only,
+               TRUE AS old_files_serve_renamed,
+               TRUE AS dropped_invisible
+        FROM orders
+    """,
+    section=SECTION,
+)
+def table_column_mapping_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column RENAME and DROP as metadata-only operations via COLUMN
+    MAPPING (VERDICT r11 missing #3 — additive-only evolution means a
+    rename silently forks the column across file generations): data
+    files store columns under STABLE PHYSICAL NAMES (``f<id>``, the
+    public Delta column-mapping / Iceberg field-id design), and commit
+    meta carries the id → display-name map (``schema_map``, looked up
+    via TxTable.newest_meta). Readers project physical → display, so:
+
+    - v1 writes years ≤1997 as (f1=o_orderkey, f2=o_totalprice,
+      f3=o_orderstatus) with their original display names;
+    - v2 RENAMES o_totalprice → price: an empty commit (zero adds,
+      zero removes — rename_metadata_only pins that from the log doc)
+      that only replaces the schema_map;
+    - v3 writes years >1997 under the SAME physical names — post-
+      rename files and pre-rename files serve the renamed column
+      together (old_files_serve_renamed pins the v1-era slice's sum
+      equals reading those files raw);
+    - v4 DROPS o_orderstatus: again metadata-only — the bytes stay in
+      every file on disk, the column simply leaves the projection
+      (dropped_invisible pins it absent from the read schema). A
+      re-add under a NEW id would null-fill old files rather than
+      resurrect dropped bytes — the Iceberg field-id rule that makes
+      drop safe.
+
+    The final read (all files, both generations) emits the full-table
+    rollup under the CURRENT display names; the oracle restates it
+    from the raw orders table. tests/test_tableformat.py pins the
+    mechanics file-by-file.
+
+    Scale: rename/drop cost is ONE empty commit — O(1) metadata — on
+    a 100 TB table; the alternative (rewrite every file to new column
+    names) is the exact non-starter column mapping exists to avoid.
+    Reads stay splittable parquet scans; the projection aliases are
+    plan-time only."""
+    import json
+    import os
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "g", F.year("o_orderdate")
+    )
+    phys = orders.select(
+        F.col("o_orderkey").alias("f1"),
+        F.col("o_totalprice").alias("f2"),
+        F.col("o_orderstatus").alias("f3"),
+        "g",
+    )
+    map_v1 = [
+        {"id": 1, "phys": "f1", "name": "o_orderkey", "type": "bigint"},
+        {"id": 2, "phys": "f2", "name": "o_totalprice", "type": "double"},
+        {"id": 3, "phys": "f3", "name": "o_orderstatus", "type": "string"},
+    ]
+    tx = TxTable(spark, scratch_dir("logdb_txcolmap_"))
+    tx.commit(
+        write_grouped(phys.filter("g <= 1997"), tx.root, "c1", "f1"),
+        meta={"ts": 1000, "schema_map": map_v1},
+    )
+    # v2: RENAME o_totalprice -> price. Metadata only: no adds/removes.
+    map_v2 = [
+        {**e, "name": "price"} if e["id"] == 2 else e for e in map_v1
+    ]
+    tx.commit([], meta={"ts": 2000, "schema_map": map_v2})
+    # v3: post-rename data lands under the same physical names.
+    tx.commit(
+        write_grouped(phys.filter("g > 1997"), tx.root, "c3", "f1"),
+        meta={"ts": 3000},
+    )
+    # v4: DROP o_orderstatus — remove id 3 from the map, data untouched.
+    map_v4 = [e for e in map_v2 if e["id"] != 3]
+    tx.commit([], meta={"ts": 4000, "schema_map": map_v4})
+
+    def read_mapped(as_of: int | None = None, files=None) -> DataFrame:
+        smap = tx.newest_meta("schema_map", as_of=as_of)
+        return tx.read(as_of=as_of, files=files).select(
+            *[F.col(e["phys"]).alias(e["name"]) for e in smap]
+        )
+
+    # Certificates (all O(1)/O(files) metadata or single-row aggs):
+    with open(tx._vpath(2)) as f:
+        doc2 = json.load(f)
+    rename_metadata_only = not doc2["add"] and not doc2["remove"]
+    v1_files = [e for e in tx.live_files() if e["path"].startswith("c1/")]
+    mapped_v1_sum = (
+        read_mapped(files=v1_files)
+        .agg(dround(F.sum(dec4("price")), 2).alias("s"))
+        .collect()  # driver-scalar: single summary row (old-files certificate)
+    )[0]["s"]
+    raw_v1_sum = (
+        spark.read.parquet(*[os.path.join(tx.root, e["path"]) for e in v1_files])
+        .agg(dround(F.sum(dec4("f2")), 2).alias("s"))
+        .collect()  # driver-scalar: single summary row (raw pre-rename files)
+    )[0]["s"]
+    head = read_mapped()
+    return head.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("key_checksum"),
+        dround(F.sum(dec4("price")), 2).alias("price_sum"),
+        F.lit(len(head.columns)).cast("bigint").alias("n_cols_visible"),
+        F.lit(bool(rename_metadata_only)).alias("rename_metadata_only"),
+        F.lit(mapped_v1_sum == raw_v1_sum).alias("old_files_serve_renamed"),
+        F.lit("o_orderstatus" not in head.columns).alias("dropped_invisible"),
+    )
+
+
+@register(
+    "table_vacuum_read_horizon",
+    oracle="""
+        WITH young AS (
+            SELECT count(*) AS n FROM orders
+            WHERE NOT (o_orderstatus = 'P'
+                       AND year(o_orderdate) IN (1995, 2000))
+        )
+        SELECT CAST(2 AS BIGINT) AS min_read_version,
+               TRUE AS too_old_read_fails_loud,
+               TRUE AS horizon_read_ok,
+               TRUE AS horizon_in_checkpoint,
+               (SELECT n FROM young) AS horizon_rows,
+               count(*) AS head_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS head_key_checksum
+        FROM orders
+        WHERE NOT (o_orderstatus = 'P'
+                   AND year(o_orderdate) IN (1995, 1996, 1999, 2000))
+    """,
+    section=SECTION,
+)
+def table_vacuum_read_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vacuum READ HORIZON contract (VERDICT r11 task #7 — vacuum
+    re-derives liveness pre-unlink, but a time-travel reader of a
+    pre-vacuum version could still lose files mid-scan and observe a
+    partial snapshot): vacuum's maintenance commit publishes
+    ``min_read_version`` — the newest removal version among the
+    physically reclaimed paths — and ``TxTable.read`` REFUSES any
+    AS OF below it with a contract error instead of planning a scan
+    whose files are gone. Here: two COW deletes (tombstone ts
+    2000/3000), vacuum(before 2500) reclaims the ts-2000 pre-images
+    → horizon = v2 (the commit that removed them). Certificates:
+    reading AS OF v1 raises the horizon error (too_old_read_fails_loud
+    — caught, never a partial result); reading AT the horizon (v2)
+    succeeds with the post-first-delete rows (horizon_rows, restated
+    by the oracle); the horizon survives a checkpoint (written AFTER
+    the vacuum, read back from the hot doc — horizon_in_checkpoint).
+    The young ts-3000 orphans stay readable inside retention: the
+    head snapshot is after BOTH deletes.
+
+    Scale: the horizon is one integer in commit meta / checkpoint hot
+    doc — O(1) to publish and enforce at any table size; the
+    alternative (per-read existence probing of every referenced file)
+    is an O(files) object-store round per query."""
+    tx, _ = _year_table(spark, sf_dir)
+    _cow_delete_p_years(tx, (1995, 2000), subdir="rw1", meta={"ts": 2000})
+    _cow_delete_p_years(tx, (1996, 1999), subdir="rw2", meta={"ts": 3000})
+    tx.vacuum(before_ts=2500)
+
+    horizon = tx.read_horizon()
+    try:
+        tx.read(as_of=horizon - 1)
+        fails_loud = False
+    except ValueError as e:
+        fails_loud = "read horizon" in str(e)
+    horizon_rows = (
+        tx.read(as_of=horizon)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # driver-scalar: single count row (horizon certificate)
+    )[0]["n"]
+    cp_v = tx.write_checkpoint()
+    with open(tx._cppath(cp_v)) as f:
+        import json
+
+        cp_horizon = json.load(f).get("min_read_version", 0)
+
+    return tx.read().agg(
+        F.lit(horizon).cast("bigint").alias("min_read_version"),
+        F.lit(bool(fails_loud)).alias("too_old_read_fails_loud"),
+        F.lit(horizon_rows > 0).alias("horizon_read_ok"),
+        F.lit(cp_horizon == horizon).alias("horizon_in_checkpoint"),
+        F.lit(horizon_rows).cast("bigint").alias("horizon_rows"),
+        F.count(F.lit(1)).alias("head_rows"),
+        F.sum("o_orderkey").alias("head_key_checksum"),
+    )

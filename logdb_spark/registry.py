@@ -58,69 +58,22 @@ class Operator:
 _REGISTRY: dict[str, Operator] = {}
 _LOADED = False
 
-# Driver-gate coverage rotation, refreshed for round 11 (VERDICT r10
-# task #1). The driver correctness report caps at 50 enumeration
+# Driver-gate coverage rotation, refreshed for round 12 (VERDICT r11
+# task #2). The driver correctness report caps at 50 enumeration
 # entries per round, so enumeration order IS evidence budget. The
 # tuple below is `python -m tools.staleness --tuple` output verbatim
-# (stale-first from the CORRECTNESS_r*.json ledger): the seven ops born
-# in r11 (never sampled, oracles from birth) head the list, then the
-# 14 operators whose freshest hash-green driver row is still round 1,
-# the 10-op r2 bucket, and the alphabetical head of the r3 bucket.
-# 7 + 14 + 10 = 31, so the 50-cap samples all of those plus the first
-# 19 r3 ops — leaving ~61 pre-r5 rows for the r12 tuple, after which
-# every operator's driver evidence is ≤5 rounds old (VERDICT r10
-# task #10). Regenerate after the r11 report lands.
-_R11_NEEDS_ROW_FIRST = (
-    "stream_table_cdf",  # never
-    "table_cdf_apply_downstream",  # never
-    "table_remove_conflict_abort",  # never
-    "table_shallow_clone",  # never
-    "table_time_travel_ts",  # never
-    "table_txlog_checkpoint",  # never
-    "table_vacuum_delete",  # never
-    "set_except",  # r1
-    "set_intersect",  # r1
-    "set_union_all",  # r1
-    "set_union_distinct",  # r1
-    "sink_csv_roundtrip",  # r1
-    "sink_jsonl_roundtrip",  # r1
-    "sort_multikey_nulls",  # r1
-    "topk_global",  # r1
-    "topk_per_group",  # r1
-    "win_first_last",  # r1
-    "win_lag_lead_delta",  # r1
-    "win_moving_avg_range",  # r1
-    "win_rank_dense_rownum",  # r1
-    "win_running_sum",  # r1
-    "stream_dedup_watermark",  # r2
-    "stream_late_data",  # r2
-    "stream_session_window",  # r2
-    "stream_sliding_counts",  # r2
-    "stream_stateful_alerts",  # r2
-    "stream_static_join",  # r2
-    "stream_stream_join",  # r2
-    "stream_tumbling_counts",  # r2
-    "udaf_pandas_group",  # r2
-    "udtf_explode_sessions",  # r2
-    "agg_collect_sorted",  # r3
-    "dedup_embedding_cosine",  # r3
-    "dedup_exact",  # r3
-    "dedup_near_jaccard",  # r3
-    "dedup_ngram_jaccard",  # r3
-    "fn_array_suite",  # r3
-    "fn_case_bucketing",  # r3
-    "fn_date_suite",  # r3
-    "fn_higher_order",  # r3
-    "fn_map_from_json",  # r3
-    "fn_math_suite",  # r3
-    "fn_regexp_extract",  # r3
-    "fn_string_suite",  # r3
-    "join_skew_salted",  # r3
-    "log_error_rate",  # r3
-    "log_funnel",  # r3
-    "log_pivot_types",  # r3
-    "log_rate_spike",  # r3
-    "log_retention_prune",  # r3
+# (stale-first from the CORRECTNESS_r*.json ledger): the three ops
+# born in r12 (never sampled, oracles from birth) head the list, then
+# the 22 operators whose freshest hash-green driver row is still
+# round 3, then the r4 bucket. 3 + 22 = 25, so the 50-cap samples all
+# of those plus the first 25 r4 ops — leaving ~21 r4 rows for the r13
+# tuple, after which every operator's driver evidence is <=6 rounds
+# old and the staleness asterisk retires (VERDICT r11 task #8).
+# Regenerate after the r12 report lands.
+_R12_NEEDS_ROW_FIRST = (
+    "stream_table_changes_orders",  # never
+    "table_column_mapping_rename",  # never
+    "table_vacuum_read_horizon",  # never
     "log_sessionize_gap",  # r3
     "log_time_histogram",  # r3
     "log_top_talkers",  # r3
@@ -131,12 +84,59 @@ _R11_NEEDS_ROW_FIRST = (
     "mm_image_resize",  # r3
     "sim_batch_topk",  # r3
     "sim_knn_join_label",  # r3
+    "sim_topk_cosine",  # r3
+    "sink_orc_roundtrip",  # r3
+    "sql_q10_returned_items",  # r3
+    "sql_q3_shipping_priority",  # r3
+    "sql_q5_local_supplier",  # r3
+    "text_fingerprint",  # r3
+    "text_lang_id",  # r3
+    "text_lang_source_profile",  # r3
+    "text_quality_filter",  # r3
+    "text_tfidf_top_terms",  # r3
+    "text_token_stats",  # r3
+    "text_unigram_surprisal",  # r3
+    "dedup_within_source",  # r4
+    "fn_bitwise_suite",  # r4
+    "ingest_python_datasource",  # r4
+    "join_asof_tolerance",  # r4
+    "join_null_safe",  # r4
+    "join_range_bucketed",  # r4
+    "log_anomaly_mad",  # r4
+    "log_attribution_last_touch",  # r4
+    "log_cooccurrence",  # r4
+    "log_dau_new_users",  # r4
+    "log_slo_burn_rate",  # r4
+    "log_unpivot_metrics",  # r4
+    "mm_audio_window",  # r4
+    "mm_feature_extract",  # r4
+    "sample_kfold_assign",  # r4
+    "sample_split_hash",  # r4
+    "sample_stratified_topk",  # r4
+    "sample_uniform_topk",  # r4
+    "scan_constraint_audit",  # r4
+    "scan_schema_evolution",  # r4
+    "sim_centroid_affinity",  # r4
+    "sim_norm_stats",  # r4
+    "sink_python_datasource",  # r4
+    "sink_sorted_parquet",  # r4
+    "sql_q12_priority_shipments",  # r4
+    "sql_q13_order_distribution",  # r4
+    "sql_q14_promo_revenue",  # r4
+    "sql_q15_top_supplier",  # r4
+    "sql_q17_small_qty_revenue",  # r4
+    "sql_q18_large_orders",  # r4
+    "sql_q19_bracket_revenue",  # r4
+    "sql_q21_waiting_suppliers",  # r4
+    "sql_q22_idle_customers",  # r4
+    "sql_q4_order_priority",  # r4
+    "sql_q6_forecast_revenue",  # r4
 )
 
 
 
 def _enumeration_order(ops: dict[str, Operator]) -> list[str]:
-    priority = {n: i for i, n in enumerate(_R11_NEEDS_ROW_FIRST)}
+    priority = {n: i for i, n in enumerate(_R12_NEEDS_ROW_FIRST)}
     # Stable sort: the explicit stale-first priority head, then
     # registration (module build-phase) order for everything else.
     return sorted(ops, key=lambda n: (0, priority[n]) if n in priority

@@ -340,8 +340,17 @@ def test_vacuum_kills_expired_time_travel_only(spark, tmp_path):
     d1, r1 = tx.vacuum(before_ts=2500)
     assert len(d1) == 2 and r1 == []
     assert tx.read().count() == head_rows_before - deleted_rows
-    with pytest.raises(Exception, match="PATH_NOT_FOUND|Path does not exist"):
-        tx.read(as_of=1).count()
+    # The pre-horizon read dies LOUDLY at plan time with the contract
+    # error (r12 — it used to surface as a deep-in-the-scan
+    # PATH_NOT_FOUND), and the post-horizon version stays readable.
+    with pytest.raises(ValueError, match="read horizon"):
+        tx.read(as_of=1)
+    assert tx.read(as_of=2).count() == head_rows_before - deleted_rows
+    # Idempotent accounting (ADVICE r11 #1): a second vacuum finds
+    # nothing — the maintenance commit retired the tombstones.
+    d2, r2 = tx.vacuum(before_ts=2500)
+    assert d2 == [] and r2 == []
+    assert tx.tombstones() == {}
 
 
 def test_shallow_clone_leaves_source_bytes_untouched(spark, tmp_path):
@@ -511,3 +520,79 @@ def test_resolve_ts_checkpoint_bounded_and_equal(tmp_path, monkeypatch):
     monkeypatch.setattr(tablefmt.TxTable, "log_actions", counting)
     tx.resolve_ts(99999)  # newest checkpoint = v20 → tail only
     assert opened == [21, 22, 23, 24]
+
+
+# ---- r12: column mapping ------------------------------------------------
+
+
+def test_column_mapping_rename_and_drop_mechanics(spark, tmp_path):
+    """The physical claims behind table_column_mapping_rename: a
+    rename/drop commit moves ZERO data bytes (file digests identical
+    across both), old-generation files serve the renamed column, the
+    dropped column's bytes remain on disk but leave the projection,
+    and newest_meta resolves the map as of any version (time travel
+    reads the OLD names before the rename)."""
+    from logdb_spark.sources.load import load_table
+    from logdb_spark.tablefmt import TxTable, write_grouped
+
+    phys = (
+        load_table(spark, SF_SMALL, "orders")
+        .withColumn("g", F.year("o_orderdate"))
+        .select(
+            F.col("o_orderkey").alias("f1"),
+            F.col("o_totalprice").alias("f2"),
+            F.col("o_orderstatus").alias("f3"),
+            "g",
+        )
+        .limit(400)
+    )
+    m1 = [
+        {"id": 1, "phys": "f1", "name": "o_orderkey"},
+        {"id": 2, "phys": "f2", "name": "o_totalprice"},
+        {"id": 3, "phys": "f3", "name": "o_orderstatus"},
+    ]
+    tx = TxTable(spark, str(tmp_path / "tbl"))
+    tx.commit(
+        write_grouped(phys, tx.root, "c1", "f1"),
+        meta={"schema_map": m1},
+    )
+    digest_before = _dir_digest(os.path.join(tx.root, "c1"))
+
+    m2 = [{**e, "name": "price"} if e["id"] == 2 else e for e in m1]
+    tx.commit([], meta={"schema_map": m2})
+    m3 = [e for e in m2 if e["id"] != 3]
+    tx.commit([], meta={"schema_map": m3})
+
+    # zero data movement across rename AND drop
+    assert _dir_digest(os.path.join(tx.root, "c1")) == digest_before
+    assert tx.latest_version() == 3
+
+    def read_mapped(as_of=None):
+        smap = tx.newest_meta("schema_map", as_of=as_of)
+        return tx.read(as_of=as_of).select(
+            *[F.col(e["phys"]).alias(e["name"]) for e in smap]
+        )
+
+    head = read_mapped()
+    assert head.columns == ["o_orderkey", "price"]
+    # old (only) generation serves the renamed column with its values
+    assert (
+        head.agg(F.sum("price")).first()[0]
+        == read_mapped(as_of=1).agg(F.sum("o_totalprice")).first()[0]
+    )
+    # time travel to v1 reads the PRE-rename names, v2 the renamed
+    assert read_mapped(as_of=1).columns == [
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderstatus",
+    ]
+    assert read_mapped(as_of=2).columns == [
+        "o_orderkey",
+        "price",
+        "o_orderstatus",
+    ]
+    # dropped bytes still on disk (raw read sees f3), projection hides it
+    raw = spark.read.parquet(os.path.join(tx.root, "c1"))
+    assert "f3" in raw.columns and "o_orderstatus" not in head.columns
+    # newest_meta with no such key
+    assert tx.newest_meta("nope") is None
