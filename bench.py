@@ -99,6 +99,32 @@ def _foreign_cpu_cores(interval: float = 0.5) -> float:
         return -1.0
 
 
+def _cpu_ref_ms() -> float:
+    """Single-core CPU reference probe: a fixed deterministic workload
+    (sha256 over 32 MB), timed. Purpose (r12): the r11 official-vs-
+    gated spread was 63% on IDENTICAL code with every local gate
+    green — day-scale hypervisor co-tenancy is invisible to load
+    averages, foreign-core accounting, and steal time. This number
+    makes it measurable: compare cpu_ref_ms across runs before
+    comparing op timings; a run whose probe is 1.5× another's was
+    executed on effectively different hardware and its totals must be
+    normalized, not trusted raw."""
+    import hashlib
+
+    h = hashlib.sha256()
+    blk = b"\x5a" * 1_048_576
+    t0 = time.perf_counter()
+    for _ in range(32):
+        h.update(blk)
+    # Interpreter-bound second half (pure-python loop): hashing alone
+    # rides fixed-function units and can look healthy while scheduler/
+    # memory pressure is degrading everything else.
+    s = 0
+    for i in range(2_000_000):
+        s += i
+    return round((time.perf_counter() - t0) * 1000, 2)
+
+
 def _quiescence() -> dict:
     """Host-contention self-flagging (VERDICT r6 item — the r6/r7
     bench spread was diagnosed as host contention only by inference):
@@ -134,6 +160,7 @@ def _quiescence() -> dict:
         "load5": round(load5, 2),
         "other_jvms": other_jvms,
         "foreign_cpu_cores": _foreign_cpu_cores(),
+        "cpu_ref_ms": _cpu_ref_ms(),
     }
 
 

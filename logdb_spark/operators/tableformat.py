@@ -1647,3 +1647,110 @@ def table_vacuum_read_horizon(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("head_rows"),
         F.sum("o_orderkey").alias("head_key_checksum"),
     )
+
+
+@register(
+    "table_protocol_guard",
+    oracle="""
+        SELECT count(*) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+               TRUE AS read_ok_supported,
+               TRUE AS unknown_feature_fails_loud,
+               TRUE AS future_version_fails_loud,
+               TRUE AS protocol_in_checkpoint
+        FROM orders
+    """,
+    section=SECTION,
+)
+def table_protocol_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reader PROTOCOL VERSIONING (the public Delta
+    minReaderVersion / table-features design, re-derived) — the
+    completeness piece column mapping makes mandatory: a reader that
+    does not understand a table's features must REFUSE the whole
+    table, loudly, because reading anyway silently mis-reads (an old
+    reader on a column-mapped table surfaces physical column names;
+    on a deletion-vector table it resurrects deleted rows). A
+    protocol action in commit meta declares ``min_reader`` and named
+    ``features``; ``TxTable.check_protocol`` — run on every snapshot
+    read — gates both, and the newest protocol rides the checkpoint
+    hot doc exactly like the read horizon (O(tail), never a log
+    walk).
+
+    The sequence: v1 data; v2 upgrades to features THIS reader has
+    (column_mapping, read_horizon) — reads keep working
+    (read_ok_supported; the returned rollup is planned here); v3
+    demands 'deletion_vectors', which this implementation does NOT
+    have — the very next read raises UnsupportedTableFeature
+    (unknown_feature_fails_loud), never a partial or wrong answer;
+    v4 demands min_reader=9 — version gate fires too
+    (future_version_fails_loud); a checkpoint written after all
+    upgrades still refuses (protocol_in_checkpoint: the guard
+    survives the log being compacted away). The oracle restates the
+    rollup and pins every certificate TRUE.
+
+    Scale: the protocol is one tiny meta document, checked in the
+    same O(tail) metadata scan a snapshot read already pays; the
+    alternative — no guard — is the silent-corruption class of bug
+    that table formats exist to prevent."""
+    from logdb_spark.tablefmt import UnsupportedTableFeature
+
+    tx, _ = _year_table(spark, sf_dir)
+    tx.commit(
+        [],
+        meta={
+            "protocol": {
+                "min_reader": 2,
+                "features": ["column_mapping", "read_horizon"],
+            }
+        },
+    )
+    # Plan the rollup while the table is readable by this
+    # implementation (lazy — the plan pins the v2-era live files,
+    # which later metadata commits never delete).
+    head = tx.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("key_checksum"),
+    )
+    read_ok_supported = True  # tx.read() above did not raise
+
+    tx.commit(
+        [],
+        meta={
+            "protocol": {
+                "min_reader": 2,
+                "features": [
+                    "column_mapping",
+                    "read_horizon",
+                    "deletion_vectors",
+                ],
+            }
+        },
+    )
+    try:
+        tx.read()
+        unknown_fails = False
+    except UnsupportedTableFeature as e:
+        unknown_fails = "deletion_vectors" in str(e)
+
+    tx.commit([], meta={"protocol": {"min_reader": 9, "features": []}})
+    try:
+        tx.read()
+        version_fails = False
+    except UnsupportedTableFeature as e:
+        version_fails = "version >= 9" in str(e)
+
+    tx.write_checkpoint()
+    try:
+        tx.read()
+        cp_refuses = False
+    except UnsupportedTableFeature:
+        cp_refuses = tx.protocol().get("min_reader") == 9
+
+    return head.select(
+        "n_rows",
+        "key_checksum",
+        F.lit(bool(read_ok_supported)).alias("read_ok_supported"),
+        F.lit(bool(unknown_fails)).alias("unknown_feature_fails_loud"),
+        F.lit(bool(version_fails)).alias("future_version_fails_loud"),
+        F.lit(bool(cp_refuses)).alias("protocol_in_checkpoint"),
+    )

@@ -45,6 +45,23 @@ class CommitConflict(Exception):
     """Another writer committed this version first (O_EXCL lost)."""
 
 
+class UnsupportedTableFeature(Exception):
+    """The table's protocol requires reader capabilities this
+    implementation does not have — refusing is the only correct
+    answer (reading anyway silently mis-reads: an old reader on a
+    column-mapped table would surface physical column names; on a
+    deletion-vector table it would resurrect deleted rows)."""
+
+
+# Reader capabilities THIS implementation actually has (the public
+# Delta protocol-versioning design, re-derived): a table's protocol
+# action may demand a minimum reader version and named table features;
+# a reader that lacks any demanded feature must refuse the whole
+# table, loudly, rather than guess.
+READER_VERSION = 2
+READER_FEATURES = frozenset({"column_mapping", "read_horizon"})
+
+
 class TxTable:
     """One transaction-logged table rooted at ``root``.
 
@@ -328,6 +345,7 @@ class TxTable:
             live, all_added, txn_ids, tomb = {}, set(), set(), {}
             max_ts, max_ts_v, start = None, 0, 1
         min_rv = (prev_hot or {}).get("min_read_version", 0)
+        proto = (prev_hot or {}).get("protocol")
         for c in self.log_actions(v, from_version=start):
             stamp = c.get("meta", {}).get("ts")
             if stamp is not None:
@@ -336,6 +354,7 @@ class TxTable:
             if tid is not None:
                 txn_ids.add(tid)
             min_rv = max(min_rv, c.get("meta", {}).get("min_read_version", 0))
+            proto = c.get("meta", {}).get("protocol", proto)
             for p in c.get("meta", {}).get("vacuumed", []):
                 tomb.pop(p, None)
             for r in c["remove"]:
@@ -352,6 +371,7 @@ class TxTable:
             "max_ts": max_ts,
             "max_ts_version": max_ts_v,
             "min_read_version": min_rv,
+            "protocol": proto,
         }
         aux = {
             "version": v,
@@ -661,6 +681,43 @@ class TxTable:
             )
         return deleted, retained
 
+    def protocol(self) -> dict | None:
+        """The table's current protocol action (newest wins — real
+        formats make upgrades monotone), or None if the table has
+        never declared one. Checkpoint-carried like the read horizon:
+        the hot doc caches the newest protocol at its version, the
+        tail scan picks up later upgrades — O(tail), never a log
+        walk."""
+        start = 1
+        cp_v, cp = self._latest_checkpoint()
+        proto = None
+        if cp is not None:
+            proto = cp.get("protocol")
+            start = cp_v + 1
+        for c in self.log_actions(from_version=start):
+            proto = c.get("meta", {}).get("protocol", proto)
+        return proto
+
+    def check_protocol(self) -> None:
+        """Refuse the table if its protocol demands reader
+        capabilities this implementation lacks (version gate + table
+        feature gate, the public Delta reader-version design). Runs on
+        every snapshot read — cost is the same O(tail) metadata scan
+        the horizon check already pays."""
+        proto = self.protocol()
+        if not proto:
+            return
+        unknown = set(proto.get("features", [])) - READER_FEATURES
+        if proto.get("min_reader", 0) > READER_VERSION or unknown:
+            raise UnsupportedTableFeature(
+                f"table at {self.root!r} requires reader version "
+                f">= {proto.get('min_reader', 0)} with features "
+                f"{sorted(proto.get('features', []))}; this reader is "
+                f"version {READER_VERSION} with "
+                f"{sorted(READER_FEATURES)} — refusing to read rather "
+                f"than silently mis-reading (unknown: {sorted(unknown)})"
+            )
+
     def read(
         self,
         as_of: int | None = None,
@@ -673,6 +730,7 @@ class TxTable:
         horizon fails LOUDLY here (VERDICT r11 task #7) — the
         alternative is a partial snapshot or a deep-in-the-scan
         file-not-found, both worse than a clear contract error."""
+        self.check_protocol()
         if as_of is not None and files is None:
             h = self.read_horizon()
             if as_of < h:

@@ -596,3 +596,69 @@ def test_column_mapping_rename_and_drop_mechanics(spark, tmp_path):
     assert "f3" in raw.columns and "o_orderstatus" not in head.columns
     # newest_meta with no such key
     assert tx.newest_meta("nope") is None
+
+
+# ---- r12: reader protocol guard ----------------------------------------
+
+
+def test_protocol_guard_gates_versions_and_features(tmp_path):
+    """Metadata-only pins for TxTable protocol versioning: no protocol
+    → no-op; supported features → pass; an unknown feature OR a
+    future min_reader → UnsupportedTableFeature; newest protocol
+    wins; the checkpoint hot doc carries it (guard survives log
+    compaction)."""
+    from logdb_spark.tablefmt import (
+        READER_FEATURES,
+        READER_VERSION,
+        TxTable,
+        UnsupportedTableFeature,
+    )
+
+    tx = TxTable(None, str(tmp_path / "tbl"))
+    tx.commit([{"path": "d/1"}])
+    tx.check_protocol()  # never declared: fine
+
+    tx.commit(
+        [],
+        meta={"protocol": {"min_reader": 1, "features": ["read_horizon"]}},
+    )
+    tx.check_protocol()  # supported subset: fine
+
+    tx.commit(
+        [],
+        meta={"protocol": {"min_reader": 1, "features": ["deletion_vectors"]}},
+    )
+    with pytest.raises(UnsupportedTableFeature, match="deletion_vectors"):
+        tx.check_protocol()
+
+    # newest wins: a later downgrade back to supported features passes
+    tx.commit([], meta={"protocol": {"min_reader": 1, "features": []}})
+    tx.check_protocol()
+
+    # version gate, independent of features
+    tx.commit(
+        [],
+        meta={
+            "protocol": {"min_reader": READER_VERSION + 1, "features": []}
+        },
+    )
+    with pytest.raises(UnsupportedTableFeature, match="version"):
+        tx.check_protocol()
+
+    # checkpoint carries the newest protocol; tail upgrades still win
+    cp_v = tx.write_checkpoint()
+    assert tx.protocol()["min_reader"] == READER_VERSION + 1
+    import json
+
+    with open(tx._cppath(cp_v)) as f:
+        assert json.load(f)["protocol"]["min_reader"] == READER_VERSION + 1
+    tx.commit(
+        [],
+        meta={
+            "protocol": {
+                "min_reader": 1,
+                "features": sorted(READER_FEATURES),
+            }
+        },
+    )
+    tx.check_protocol()  # post-checkpoint tail downgrade visible again
