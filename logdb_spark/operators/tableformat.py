@@ -1754,3 +1754,166 @@ def table_protocol_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(version_fails)).alias("future_version_fails_loud"),
         F.lit(bool(cp_refuses)).alias("protocol_in_checkpoint"),
     )
+
+
+@register(
+    "table_merge_on_read_delete",
+    oracle="""
+        WITH del AS (
+            SELECT count(*) AS n FROM orders
+            WHERE o_orderstatus = 'P'
+              AND year(o_orderdate) IN (1995, 2000)
+        ), reins AS (
+            SELECT count(*) AS n FROM orders
+            WHERE o_orderstatus = 'P' AND year(o_orderdate) = 1995
+        ), touched AS (
+            SELECT count(*) AS n FROM orders
+            WHERE year(o_orderdate) IN (1995, 2000)
+        )
+        SELECT count(*) AS n_rows,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum,
+               (SELECT n FROM del) AS delete_file_rows,
+               (SELECT n FROM touched) AS cow_rewrite_rows,
+               (SELECT n FROM reins) AS reinserted_rows,
+               TRUE AS reinserted_survive_delete,
+               TRUE AS purge_preserves_result,
+               CAST(0 AS BIGINT) AS delete_files_after_purge
+        FROM orders
+        WHERE NOT (o_orderstatus = 'P' AND year(o_orderdate) = 2000)
+    """,
+    section=SECTION,
+)
+def table_merge_on_read_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ equality deletes (the public Iceberg v2
+    merge-on-read design, re-derived) — the write-cheap counterpart to
+    copy-on-write delete: instead of rewriting every file containing a
+    matched row, the delete commits ONE tiny parquet file of deleted
+    KEY values (``kind='eq_delete'``, ``key='o_orderkey'``); readers
+    apply it as a broadcast anti-join (TxTable._read_mor). The write
+    amplification gap is the point and is emitted as data:
+    delete_file_rows (what MOR wrote) vs cow_rewrite_rows (what COW
+    would have rewritten — every row of every touched year-file).
+
+    Sequence semantics, the part that makes MOR correct rather than
+    merely cheap: v1/v2 land the orders table; v3 commits the
+    equality delete of 'P' rows in years 1995/2000 (and declares the
+    ``equality_deletes`` protocol feature — an old reader REFUSES the
+    table instead of resurrecting rows by scanning the delete file as
+    data); v4 RE-INSERTS exactly the deleted 1995 rows — they carry a
+    larger commit sequence than the delete, so the delete does not
+    apply to them (reinserted_survive_delete). Net table = orders
+    minus 'P'-year-2000, restated by the oracle.
+
+    v5 is PURGE COMPACTION (the maintenance that bounds delete-file
+    count): the pre-delete-era files are rewritten with the delete
+    applied, and one commit swaps them + the delete file for the
+    purged rewrite — read-back is row-identical
+    (purge_preserves_result) and no eq_delete entry stays live
+    (delete_files_after_purge = 0), so the steady state returns to
+    plain splittable scans.
+
+    Scale: the MOR delete writes O(matched keys) bytes instead of
+    O(touched files) — at 100 TB, deleting 0.01% of rows via COW
+    rewrites TBs; this writes KBs. The read-side cost is one
+    broadcast hash anti-probe per delete file per era (map-side, no
+    data shuffle — plan test pins no cartesian anywhere), and purge
+    compaction amortizes it away. A delete set too big to broadcast
+    is the documented signal to take the COW path instead."""
+    orders = _orders_with_year(spark, sf_dir)
+    tx = TxTable(spark, scratch_dir("logdb_txmor_"))
+    tx.commit(
+        write_grouped(orders.filter("g <= 1997"), tx.root, "d1", "o_orderkey"),
+        meta={"ts": 1000},
+    )
+    tx.commit(
+        write_grouped(orders.filter("g > 1997"), tx.root, "d2", "o_orderkey"),
+        meta={"ts": 2000},
+    )
+
+    pred = (F.col("o_orderstatus") == "P") & F.col("g").isin(1995, 2000)
+    del_keys = (
+        tx.read().withColumn("g", F.year("o_orderdate")).filter(pred)
+        .select("o_orderkey", F.lit(0).alias("g"))
+    )
+    dv_adds = write_grouped(del_keys, tx.root, "dv1", "o_orderkey")
+    tx.commit(
+        [{**a, "kind": "eq_delete", "key": "o_orderkey"} for a in dv_adds],
+        meta={
+            "ts": 3000,
+            "protocol": {
+                "min_reader": 2,
+                "features": ["equality_deletes"],
+            },
+        },
+    )
+    delete_file_rows = dv_adds[0]["rows"]
+    cow_rewrite_rows = sum(
+        e["rows"]
+        for e in tx.live_files()
+        if e.get("kind", "data") == "data"
+        and e["path"].split("g=")[-1] in ("1995", "2000")
+    )
+
+    # v4: re-insert exactly the deleted 1995 rows — larger sequence
+    # than the delete, so they survive it.
+    reinsert = orders.filter(
+        (F.col("o_orderstatus") == "P") & (F.col("g") == 1995)
+    )
+    tx.commit(
+        write_grouped(reinsert, tx.root, "d3", "o_orderkey"),
+        meta={"ts": 4000},
+    )
+
+    pre_purge = (
+        tx.read()
+        .agg(F.count(F.lit(1)).alias("r"), F.sum("o_orderkey").alias("k"))
+        .collect()  # driver-scalar: single summary row (pre-purge checksum)
+    )[0]
+    reinserted_rows = reinsert.count()  # driver-scalar: bounded single count
+    present_1995p = (
+        tx.read()
+        .withColumn("g", F.year("o_orderdate"))
+        .filter((F.col("o_orderstatus") == "P") & (F.col("g") == 1995))
+        .count()  # driver-scalar: bounded single count (survival certificate)
+    )
+    survive = present_1995p == reinserted_rows and reinserted_rows > 0
+
+    # v5: purge compaction — rewrite the pre-delete era applying the
+    # delete, drop the delete file; steady state = plain scans again.
+    old_era = [
+        e
+        for e in tx.live_files()
+        if e.get("kind", "data") == "data" and e.get("_seq", 0) < 3
+    ]
+    dv_entry = [e for e in tx.live_files() if e.get("kind") == "eq_delete"]
+    purged = tx._read_mor(old_era, dv_entry).withColumn(
+        "g", F.year("o_orderdate")
+    )
+    adds_purged = write_grouped(purged, tx.root, "purged", "o_orderkey")
+    tx.commit(
+        adds_purged,
+        removes=old_era + dv_entry,
+        meta={"ts": 5000},
+    )
+    post_purge = (
+        tx.read()
+        .agg(F.count(F.lit(1)).alias("r"), F.sum("o_orderkey").alias("k"))
+        .collect()  # driver-scalar: single summary row (post-purge checksum)
+    )[0]
+    dv_after = sum(
+        1 for e in tx.live_files() if e.get("kind") == "eq_delete"
+    )
+
+    return tx.read().agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("key_checksum"),
+        F.lit(delete_file_rows).cast("bigint").alias("delete_file_rows"),
+        F.lit(cow_rewrite_rows).cast("bigint").alias("cow_rewrite_rows"),
+        F.lit(reinserted_rows).cast("bigint").alias("reinserted_rows"),
+        F.lit(bool(survive)).alias("reinserted_survive_delete"),
+        F.lit(
+            (pre_purge["r"], pre_purge["k"])
+            == (post_purge["r"], post_purge["k"])
+        ).alias("purge_preserves_result"),
+        F.lit(dv_after).cast("bigint").alias("delete_files_after_purge"),
+    )

@@ -59,7 +59,9 @@ class UnsupportedTableFeature(Exception):
 # a reader that lacks any demanded feature must refuse the whole
 # table, loudly, rather than guess.
 READER_VERSION = 2
-READER_FEATURES = frozenset({"column_mapping", "read_horizon"})
+READER_FEATURES = frozenset(
+    {"column_mapping", "read_horizon", "equality_deletes"}
+)
 
 
 class TxTable:
@@ -362,7 +364,7 @@ class TxTable:
                 live.pop(rp, None)
                 tomb[rp] = stamp
             for a in c["add"]:
-                live[a["path"]] = a
+                live[a["path"]] = {**a, "_seq": c["version"]}
                 all_added.add(a["path"])
                 tomb.pop(a["path"], None)
         hot = {
@@ -440,7 +442,11 @@ class TxTable:
             for r in commit["remove"]:
                 live.pop(r["path"] if isinstance(r, dict) else r, None)
             for a in commit["add"]:
-                live[a["path"]] = a
+                # _seq = committing version (the Iceberg sequence
+                # number): equality-delete files apply only to data
+                # files with a SMALLER seq, so a key re-inserted
+                # after a delete survives it.
+                live[a["path"]] = {**a, "_seq": commit["version"]}
         return list(live.values())
 
     def all_added_paths(self) -> set[str]:
@@ -741,10 +747,64 @@ class TxTable:
                     "trade"
                 )
         entries = self.live_files(as_of) if files is None else files
-        paths = [os.path.join(self.root, e["path"]) for e in entries]
+        data = [e for e in entries if e.get("kind", "data") == "data"]
+        dels = sorted(
+            (e for e in entries if e.get("kind") == "eq_delete"),
+            key=lambda e: e.get("_seq", 0),
+        )
+        paths = [os.path.join(self.root, e["path"]) for e in data]
         if not paths:
             raise ValueError("empty snapshot — nothing to read")
-        return self.spark.read.parquet(*paths)
+        if not dels:
+            return self.spark.read.parquet(*paths)
+        return self._read_mor(data, dels)
+
+    def _read_mor(self, data: list[dict], dels: list[dict]) -> DataFrame:
+        """Merge-on-read scan: equality-delete files (Iceberg-style —
+        a tiny parquet file of deleted KEY values, committed instead
+        of rewriting the data files) are applied as broadcast
+        left-anti joins. Sequence semantics: a delete applies ONLY to
+        data files with a smaller ``_seq`` than its own, so a key
+        re-inserted after the delete survives it — data files group
+        into eras by how many delete files postdate them, one scan
+        branch per era (#eras ≤ #live delete files + 1; purge
+        compaction keeps that small).
+
+        Scale contract: the delete side of each anti-join is a
+        key-column scan of KB-scale delete files, explicitly
+        broadcast — data never reshuffles; the scan stays splittable
+        parquet + a map-side hash probe. A delete too large to
+        broadcast is the signal to take the COW path instead
+        (documented trade; compaction ratio gates it in production).
+        NULL keys never match an equality delete (SQL equality), the
+        same rule Iceberg documents."""
+        from bisect import bisect_right
+
+        seqs = [d.get("_seq", 0) for d in dels]
+        groups: dict[int, list[dict]] = {}
+        for e in data:
+            groups.setdefault(
+                bisect_right(seqs, e.get("_seq", 0)), []
+            ).append(e)
+        parts = []
+        for idx, entries in sorted(groups.items()):
+            df = self.spark.read.parquet(
+                *[os.path.join(self.root, e["path"]) for e in entries]
+            )
+            for d in dels[idx:]:
+                keys = (
+                    self.spark.read.parquet(
+                        os.path.join(self.root, d["path"])
+                    )
+                    .select(d["key"])
+                    .distinct()
+                )
+                df = df.join(F.broadcast(keys), d["key"], "left_anti")
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def prune(
         self,
@@ -781,10 +841,14 @@ class TxTable:
             return not (mx < lo or mn > hi)
 
         live = self.live_files(as_of)
+        # Equality-delete files are never skipped: dropping one while
+        # keeping any older-era data file would resurrect its deleted
+        # rows. They are KB-scale; keeping them costs nothing.
         hit = [
             e
             for e in live
-            if all(may_match(e, c, lo, hi) for c, (lo, hi) in box.items())
+            if e.get("kind") == "eq_delete"
+            or all(may_match(e, c, lo, hi) for c, (lo, hi) in box.items())
         ]
         return hit, len(live)
 

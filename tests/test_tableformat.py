@@ -662,3 +662,82 @@ def test_protocol_guard_gates_versions_and_features(tmp_path):
         },
     )
     tx.check_protocol()  # post-checkpoint tail downgrade visible again
+
+
+# ---- r12: merge-on-read equality deletes --------------------------------
+
+
+def _mor_table(spark, root):
+    """Small MOR fixture: v1 data (keys 1..400 via orders limit), v2
+    equality-delete of even o_orderkey, v3 re-insert of a deleted
+    subset."""
+    from logdb_spark.sources.load import load_table
+    from logdb_spark.tablefmt import TxTable, write_grouped
+
+    orders = (
+        load_table(spark, SF_SMALL, "orders")
+        .withColumn("g", F.year("o_orderdate"))
+        .limit(400)
+    )
+    tx = TxTable(spark, root)
+    tx.commit(write_grouped(orders, tx.root, "d1", "o_orderkey"))
+    dels = (
+        orders.filter("o_orderkey % 2 = 0")
+        .select("o_orderkey", F.lit(0).alias("g"))
+    )
+    dv = write_grouped(dels, tx.root, "dv1", "o_orderkey")
+    tx.commit([{**dv[0], "kind": "eq_delete", "key": "o_orderkey"}])
+    reins = orders.filter("o_orderkey % 4 = 0")
+    tx.commit(write_grouped(reins, tx.root, "d2", "o_orderkey"))
+    return tx, orders
+
+
+def test_mor_delete_sequence_semantics(spark, tmp_path):
+    """The delete applies only to SMALLER-sequence data files: after
+    deleting evens and re-inserting multiples of 4, the table holds
+    odds + multiples of 4 — and time travel reads each era correctly
+    (v1 = everything, v2 = odds only)."""
+    tx, orders = _mor_table(spark, str(tmp_path / "tbl"))
+    keys = {r[0] for r in tx.read().select("o_orderkey").collect()}
+    expect = {
+        r[0]
+        for r in orders.filter(
+            "o_orderkey % 2 = 1 OR o_orderkey % 4 = 0"
+        ).select("o_orderkey").collect()
+    }
+    assert keys == expect
+    assert tx.read(as_of=1).count() == 400
+    v2_keys = {r[0] for r in tx.read(as_of=2).select("o_orderkey").collect()}
+    assert v2_keys == {k for k in keys if k % 2 == 1}
+
+
+def test_mor_delete_not_skippable_and_plan_broadcasts(spark, tmp_path):
+    """Data skipping must retain eq_delete files unconditionally (a
+    pruned delete resurrects rows), and the MOR scan applies deletes
+    as BROADCAST hash anti-joins — no shuffle of the data side, no
+    nested-loop."""
+    tx, orders = _mor_table(spark, str(tmp_path / "tbl"))
+    lo = orders.agg(F.min("o_orderkey")).first()[0]
+    hit, total = tx.prune("o_orderkey", lo, lo)
+    assert any(e.get("kind") == "eq_delete" for e in hit)
+    plan = tx.read()._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mor_delete_write_amplification(spark, tmp_path):
+    """The reason MOR exists: the delete commit's bytes are a small
+    fraction of what a COW rewrite of the touched files would move."""
+    import glob
+
+    tx, _ = _mor_table(spark, str(tmp_path / "tbl"))
+
+    def dir_bytes(sub):
+        return sum(
+            os.path.getsize(f)
+            for f in glob.glob(f"{tx.root}/{sub}/**/*", recursive=True)
+            if os.path.isfile(f)
+        )
+
+    assert dir_bytes("dv1") < 0.5 * dir_bytes("d1")
