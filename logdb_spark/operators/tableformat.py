@@ -1917,3 +1917,99 @@ def table_merge_on_read_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("purge_preserves_result"),
         F.lit(dv_after).cast("bigint").alias("delete_files_after_purge"),
     )
+
+
+@register(
+    "table_merge_on_read_upsert",
+    oracle="""
+        WITH upd AS (
+            SELECT o_orderkey,
+                   CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)) * 1.1, 2)
+                        AS DOUBLE) AS newprice
+            FROM orders
+            WHERE o_orderstatus = 'P' AND year(o_orderdate) = 1998
+        )
+        SELECT count(*) AS n_rows,
+               CAST(SUM(o.o_orderkey) AS BIGINT) AS key_checksum,
+               CAST(ROUND(SUM(CAST(COALESCE(u.newprice, o.o_totalprice)
+                                   AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS price_sum,
+               (SELECT count(*) FROM upd) AS updated_rows,
+               TRUE AS no_duplicate_keys,
+               TRUE AS single_commit
+        FROM orders o LEFT JOIN upd u USING (o_orderkey)
+    """,
+    section=SECTION,
+)
+def table_merge_on_read_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ UPSERT — one atomic commit carrying BOTH the new
+    values (a data file) and an equality-delete of the updated keys:
+    the delete applies to every older file (smaller sequence) while
+    the new data file, committed at the delete's own sequence, is
+    exempt by the strict-inequality rule — so each updated key
+    resolves to exactly its new row with no read-time recency rank
+    and no rewrite of the files holding the old rows. This is the
+    Iceberg-v2 MOR UPDATE shape, and it is what a CDC-apply sink
+    commits per batch.
+
+    Fixture: the orders table lands as per-year files; one upsert
+    raises o_totalprice by 10% (exact DECIMAL arithmetic, 2-dp
+    canonical rounding) for 'P'-status 1998 orders. Certificates:
+    row count unchanged, every key unique after the upsert
+    (no_duplicate_keys — the delete and the insert landed
+    atomically), the whole upsert was ONE commit (single_commit),
+    and the price rollup matches the oracle's LEFT JOIN restatement
+    of old-vs-new values.
+
+    Scale: write cost = O(changed rows) for both halves; the touched
+    keys' old files are untouched bytes. Contrast sql_merge_upsert
+    (§2.N), which demonstrates the COW lowering of the same logical
+    MERGE — the two ops are the two physical strategies real formats
+    offer, and the crossover (change density × file overlap) is the
+    optimizer decision documented in SCALING.md."""
+    orders = _orders_with_year(spark, sf_dir)
+    tx = TxTable(spark, scratch_dir("logdb_txmoru_"))
+    tx.commit(
+        write_grouped(orders, tx.root, "d1", "o_orderkey"), meta={"ts": 1000}
+    )
+
+    pred = (F.col("o_orderstatus") == "P") & (F.col("g") == 1998)
+    updated = (
+        tx.read()
+        .withColumn("g", F.year("o_orderdate"))
+        .filter(pred)
+        .withColumn(
+            "o_totalprice",
+            dround(dec4("o_totalprice") * F.lit(1.1), 2).cast("double"),
+        )
+    )
+    adds_new = write_grouped(updated, tx.root, "u1", "o_orderkey")
+    del_keys = updated.select("o_orderkey", F.lit(0).alias("g"))
+    dv = write_grouped(del_keys, tx.root, "uv1", "o_orderkey")
+    v_before = tx.latest_version()
+    v_commit, _ = tx.commit(
+        adds_new + [{**dv[0], "kind": "eq_delete", "key": "o_orderkey"}],
+        meta={
+            "ts": 2000,
+            "protocol": {"min_reader": 2, "features": ["equality_deletes"]},
+        },
+    )
+    single_commit = v_commit == v_before + 1
+
+    head = tx.read()
+    dup_keys = (
+        head.groupBy("o_orderkey")
+        .count()
+        .filter("count > 1")
+        .limit(1)
+        .count()  # driver-scalar: bounded 0/1 existence probe
+    )
+    updated_rows = updated.count()  # driver-scalar: bounded single count
+    return head.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("key_checksum"),
+        dround(F.sum(dec4("o_totalprice")), 2).alias("price_sum"),
+        F.lit(updated_rows).cast("bigint").alias("updated_rows"),
+        F.lit(dup_keys == 0).alias("no_duplicate_keys"),
+        F.lit(bool(single_commit)).alias("single_commit"),
+    )

@@ -65,8 +65,8 @@ _LOADED = False
 # (stale-first from the CORRECTNESS_r*.json ledger): the three ops
 # born in r12 (never sampled, oracles from birth) head the list, then
 # the 22 operators whose freshest hash-green driver row is still
-# round 3, then the r4 bucket. 5 + 22 = 27, so the 50-cap samples all
-# of those plus the first 23 r4 ops — leaving ~23 r4 rows for the r13
+# round 3, then the r4 bucket. 6 + 22 = 28, so the 50-cap samples all
+# of those plus the first 22 r4 ops — leaving ~24 r4 rows for the r13
 # tuple, after which every operator's driver evidence is <=6 rounds
 # old and the staleness asterisk retires (VERDICT r11 task #8).
 # Regenerate after the r12 report lands.
@@ -76,6 +76,7 @@ _R12_NEEDS_ROW_FIRST = (
     "table_vacuum_read_horizon",  # never
     "table_protocol_guard",  # never
     "table_merge_on_read_delete",  # never
+    "table_merge_on_read_upsert",  # never
     "log_sessionize_gap",  # r3
     "log_time_histogram",  # r3
     "log_top_talkers",  # r3
