@@ -38,12 +38,29 @@ TABLES = (
 )
 
 
+# Per-session analyzed-plan cache: fixture parquets are immutable, so
+# the file listing + footer schema inference behind spark.read.parquet
+# need to happen once per (session, sf, table), not once per operator
+# call — a full-registry run calls load_table ~1500× and the repeated
+# driver-side listing is pure fixed overhead (r12; it dominates
+# trivial ops on slow-host epochs). DataFrames are immutable and lazy,
+# so handing out the same object is safe: every operator derives new
+# frames from it. Keyed by id(spark) (the registration-cache
+# precedent); scratch/staging paths never come through here, so no
+# staleness surface exists.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table with quirks normalized."""
-    configure(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        df = normalize_ts(df)
+    key = (id(spark), sf_dir, name)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        configure(spark)
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events":
+            df = normalize_ts(df)
+        _TABLE_CACHE[key] = df
     return df
 
 
