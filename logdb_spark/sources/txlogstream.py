@@ -179,6 +179,21 @@ def _plan(root: str, lo: int, hi: int, cdf: bool = False) -> list[_FileSlice]:
         if not lo < v <= hi:
             continue
         doc = _commit_doc(root, v)
+        # Merge-on-read equality-delete files are KEY LISTS, not row
+        # data: emitting one as an ordinary added file would surface
+        # its keys as inserted rows (append mode) or mis-type the
+        # retraction (cdf mode needs the deleted ROWS, which an
+        # equality delete never materializes). Until a MOR-aware feed
+        # exists, refuse loudly — run purge compaction (see
+        # table_merge_on_read_delete) and stream the purged commits.
+        for a in doc["add"]:
+            if a.get("kind", "data") != "data":
+                raise ValueError(
+                    f"commit v{v} adds a {a['kind']!r} file "
+                    f"({a['path']!r}): merge-on-read tables are not "
+                    "streamable as a change feed — purge-compact the "
+                    "delete files first"
+                )
         if cdf:
             out += [
                 _FileSlice(

@@ -1255,3 +1255,49 @@ def test_txlog_stream_backpressure_bounds_microbatches(spark, tmp_path):
         prev_end = end
     assert all(s <= 5 for s in spans), spans
     spark.catalog.dropTempView("txbp")
+
+
+def test_txlog_source_refuses_mor_delete_commits(spark, tmp_path):
+    """An equality-delete file is a key list, not row data: streaming
+    it as an added file would surface deleted keys as inserts. The
+    source refuses the range loudly; after purge compaction the
+    purged commits stream normally."""
+    import pytest as _pytest
+
+    from logdb_spark.sources.txlogstream import _plan, register_txlogstream
+    from logdb_spark.tablefmt import TxTable, write_grouped
+
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .withColumn("g", F.dayofmonth("ts"))
+        .select("event_id", "user_id", "g")
+        .limit(200)
+    )
+    tx = TxTable(spark, str(tmp_path / "tbl"))
+    tx.commit(write_grouped(ev, tx.root, "d1", "event_id"))
+    dels = ev.filter("event_id % 2 = 0").select(
+        "event_id", F.lit(0).alias("g")
+    )
+    dv = write_grouped(dels, tx.root, "dv1", "event_id")
+    tx.commit([{**dv[0], "kind": "eq_delete", "key": "event_id"}])
+
+    with _pytest.raises(ValueError, match="merge-on-read"):
+        _plan(tx.root, 0, tx.latest_version())
+
+    # purge: rewrite with the delete applied, swap out data + delete
+    live = tx.live_files()
+    old = [e for e in live if e.get("kind", "data") == "data"]
+    dve = [e for e in live if e.get("kind") == "eq_delete"]
+    purged = tx._read_mor(old, dve).withColumn("g", F.lit(1))
+    tx.commit(write_grouped(purged, tx.root, "purged", "event_id"),
+              removes=old + dve)
+
+    register_txlogstream(spark)
+    feed = (
+        spark.read.format("txlogstream")
+        .option("path", tx.root)
+        .option("from_version", 2)  # post-MOR range only
+        .load()
+    )
+    n = feed.count()
+    assert n == purged.count() and n == 100
