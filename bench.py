@@ -252,24 +252,69 @@ def main() -> int:
     ops = all_operators()
     names = [n for n in sorted(ops) if not only or n in only]
 
+    # Committed twin for the outlier re-measure pass (VERDICT r12
+    # task #2): read the PRE-RUN BENCH_DETAIL.json — in the driver's
+    # official run that file is the builder's gate-clean measurement
+    # of the same code at git HEAD. Read before the suite overwrites
+    # it at the end.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf_dir
+    try:
+        with open(detail_path) as f:
+            prior = json.load(f)
+        # Only a same-sf twin is comparable; a map from another scale
+        # factor would trigger mass re-measures (or mask real ones).
+        twin = prior.get("queries", {}) if prior.get("sf") == sf_val else {}
+    except (OSError, ValueError):
+        twin = {}
+
     def execute(name: str) -> None:
         ops[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        execute(name)  # warm-up (plan compile, code cache, file listing)
+    def measure(name: str) -> float:
         samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
             execute(name)
             samples.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(samples), 3)
+        return round(statistics.median(samples), 3)
+
+    timings: dict[str, float] = {}
+    for name in names:
+        execute(name)  # warm-up (plan compile, code cache, file listing)
+        timings[name] = measure(name)
         # Ops that persist() intermediates (LSH signatures, pair kernels)
         # would otherwise accumulate cached blocks across the full-registry run.
         spark.catalog.clearCache()
 
+    # Outlier re-measure pass (VERDICT r12 task #2): the quiesce gate
+    # proves the run STARTED quiet; nothing detects a mid-run
+    # contention burst, and every round 20-60 ops have come out >2×
+    # their same-code gated twin while the run median simultaneously
+    # IMPROVED — a contiguous-burst signature, not a regression. Any
+    # op whose median exceeds 2× its committed twin (and 1 s absolute
+    # — sub-second ops are scheduling noise) is re-measured
+    # median-of-3 at the END of the suite, when the burst has moved
+    # on; both numbers are recorded, and the op's official number is
+    # the better median (two same-code medians: contention only ever
+    # inflates, so min is the faithful one).
+    remeasured: dict[str, dict] = {}
+    for name in names:
+        base = twin.get(name)
+        if base and timings[name] > max(2 * base, 1.0):
+            second = measure(name)
+            remeasured[name] = {
+                "first": timings[name],
+                "remeasure": second,
+                "gated_twin": base,
+            }
+            timings[name] = min(timings[name], second)
+            spark.catalog.clearCache()
+
     total = round(sum(timings.values()), 3)
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # The driver captures only ~2.2 KB of stdout; a full-registry timing map
     # (~4.5 KB) overflowed it in r1 AND r2 ("parsed": null both rounds).
     # Keep the stdout line compact — top-10 slowest only — and write the
@@ -279,16 +324,20 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf_dir,
+        "sf": sf_val,
         "n_queries": len(timings),
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count())),
         "runs_per_query": runs,
         "quiesce_start": quiesce,
         "quiesce_end": _end_quiescence(),
+        "remeasured": remeasured,
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_DETAIL.json"), "w") as f:
-        json.dump(detail, f, indent=1, sort_keys=True)
+    # A name-filtered run (debug/smoke) must not clobber the sidecar:
+    # the committed BENCH_DETAIL.json is the full-suite gated twin the
+    # outlier re-measure pass compares against.
+    if not only:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
     top10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     line = json.dumps(
         {
@@ -298,6 +347,7 @@ def main() -> int:
             "queries": top10,
             "sf": detail["sf"],
             "n_queries": len(timings),
+            "n_remeasured": len(remeasured),
             "quiesce": quiesce,
             "detail": "BENCH_DETAIL.json",
         },

