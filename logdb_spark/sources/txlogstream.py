@@ -24,7 +24,12 @@ Equality-delete key files never drive the schema (ADVICE r12 #2 —
 swapped the feed schema for the key-file footer). Files written
 before an additive schema evolution lack the new columns and are
 null-filled per file at read time (the same contract the batch
-snapshot reader honors).
+snapshot reader honors). An EMPTY table (zero committed data files)
+has no footer to derive from: a caller that supplies an explicit
+``.schema(...)`` can still DECLARE a stream on the not-yet-written
+table and wait for its first commit (ADVICE r12 #2's second half);
+without one the construction error stays loud — guessing a schema
+would mis-type the first batch.
 
 COLUMN MAPPING (VERDICT r12 task #6): when the table carries a
 ``schema_map`` (table_column_mapping_rename — data files store
@@ -462,12 +467,48 @@ def _read_slice(part: _FileSlice, fields: list[tuple], cdf: bool = False):
     yield from pa.table(cols).combine_chunks().to_batches()
 
 
+
+def _fields_from_struct(schema, cdf: bool) -> list[tuple]:
+    """Feed fields from a USER-SUPPLIED schema (the
+    ``.schema(...)``-on-readStream path): lets a stream be DECLARED on
+    an empty, not-yet-written table and wait for its first commit —
+    ADVICE r12 #2 flagged that deriving the schema at construction
+    made that impossible. The user schema is the full OUTPUT schema
+    (version [, change_type], data columns); the metadata columns are
+    stripped here and re-synthesized per batch. No column mapping
+    applies: the user stated the wire names explicitly."""
+    fields = []
+    for f in schema.fields:
+        if f.name == "version" or (cdf and f.name == "change_type"):
+            continue
+        fields.append((f.name, f.name, _ddl_to_arrow(f.dataType.simpleString())))
+    if not fields:
+        raise ValueError(
+            "user-supplied txlogstream schema has no data columns "
+            "(only version/change_type)"
+        )
+    return fields
+
+
+def _resolve_fields(options, schema) -> list[tuple]:
+    """Table-derived fields when the table has data; the user schema
+    as the declared-before-first-commit fallback when it does not."""
+    try:
+        return _feed_fields(options["path"], options.get("columns"))
+    except ValueError:
+        if schema is None or len(getattr(schema, "fields", [])) == 0:
+            raise
+        return _fields_from_struct(
+            schema, options.get("mode", "append") == "cdf"
+        )
+
+
 class _TxlogBatchReader(DataSourceReader):
-    def __init__(self, options):
+    def __init__(self, options, schema=None):
         self.root = options["path"]
         _check_stream_protocol(self.root)
         self.cdf = options.get("mode", "append") == "cdf"
-        self.fields = _feed_fields(self.root, options.get("columns"))
+        self.fields = _resolve_fields(options, schema)
         self.horizon = _read_horizon(self.root)
         self.lo = int(options.get("from_version", 0))
         to = options.get("to_version")
@@ -515,11 +556,11 @@ class _TxlogStreamReader(DataSourceStreamReader):
     re-plans a pending batch first pins the floor before any
     latestOffset, so even its first new batch is throttled."""
 
-    def __init__(self, options):
+    def __init__(self, options, schema=None):
         self.root = options["path"]
         _check_stream_protocol(self.root)
         self.cdf = options.get("mode", "append") == "cdf"
-        self.fields = _feed_fields(self.root, options.get("columns"))
+        self.fields = _resolve_fields(options, schema)
         self.horizon = _read_horizon(self.root)
         self.start_version = int(options.get("from_version", 0))
         # Option keys arrive LOWERCASED from the engine's
@@ -587,10 +628,10 @@ class TxlogStreamDataSource(DataSource):
         return f"version bigint, {data_ddl}"
 
     def reader(self, schema):
-        return _TxlogBatchReader(self.options)
+        return _TxlogBatchReader(self.options, schema)
 
     def streamReader(self, schema):
-        return _TxlogStreamReader(self.options)
+        return _TxlogStreamReader(self.options, schema)
 
 
 def register_txlogstream(spark) -> None:

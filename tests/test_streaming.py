@@ -1688,3 +1688,54 @@ def test_txlog_cdf_mor_emits_key_retractions(spark, tmp_path):
     )
     assert after.filter("version = 4").count() == 0
     assert after.count() == feed.count()
+
+
+def test_txlog_stream_declared_on_empty_table_with_schema(spark, tmp_path):
+    """ADVICE r12 #2 (second half): an explicit .schema(...) lets a
+    stream be DECLARED on an empty, not-yet-written txlog table and
+    pick up its first commit; without a schema the empty table stays
+    a loud construction error."""
+    import pytest as _pytest
+
+    from logdb_spark.sources.txlogstream import (
+        _TxlogStreamReader,
+        register_txlogstream,
+    )
+    from logdb_spark.tablefmt import TxTable, write_grouped
+
+    tx = TxTable(spark, str(tmp_path / "tbl"))  # zero commits
+    with _pytest.raises(ValueError, match="empty txlog table"):
+        _TxlogStreamReader({"path": tx.root})
+
+    register_txlogstream(spark)
+    q = (
+        spark.readStream.format("txlogstream")
+        .schema("version bigint, event_id bigint, user_id bigint")
+        .option("path", tx.root)
+        .load()
+        .writeStream.format("memory")
+        .queryName("txempty")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # zero batches on the empty table
+        ev = (
+            load_table(spark, SF_SMALL, "events")
+            .select("event_id", "user_id")
+            .limit(50)
+            .withColumn("g", F.lit(1))
+        )
+        tx.commit(write_grouped(ev, tx.root, "c1", "event_id"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT count(*) c FROM txempty").collect()[0]["c"]
+    assert got == 50
+    assert spark.table("txempty").columns == [
+        "version",
+        "event_id",
+        "user_id",
+    ]
+    spark.catalog.dropTempView("txempty")
