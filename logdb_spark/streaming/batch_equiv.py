@@ -1627,21 +1627,24 @@ def table_cdf_apply_downstream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle's count(DISTINCT) would drop it; fixture user_ids are
     # non-negative, pinned by the keyspace test, so -1 cannot collide).
     uid = F.coalesce(F.col("user_id"), F.lit(-1)).alias("uid")
-    feed = (
+    # ONE scan of the Python-source feed, persisted (r13): base and
+    # delta both derive from it — without the shared persist each
+    # pulls its own full feed scan through the Python DataSource
+    # (python-worker spin-up is the dominant fixed cost, paid twice).
+    feed = track_persist(
         spark.read.format("txlogstream")
         .option("path", tx.root)
         .option("mode", "cdf")
         .load()
+        .select(uid, "change_type", "version")
     )
     base = (
         feed.filter("version <= 2")
-        .select(uid)
         .groupBy("uid")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     delta = (
         feed.filter("version = 3")
-        .select(uid, "change_type")
         .groupBy("uid")
         .agg(
             F.sum(
