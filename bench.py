@@ -111,18 +111,28 @@ def _cpu_ref_ms() -> float:
     normalized, not trusted raw."""
     import hashlib
 
-    h = hashlib.sha256()
-    blk = b"\x5a" * 1_048_576
-    t0 = time.perf_counter()
-    for _ in range(32):
-        h.update(blk)
-    # Interpreter-bound second half (pure-python loop): hashing alone
-    # rides fixed-function units and can look healthy while scheduler/
-    # memory pressure is degrading everything else.
-    s = 0
-    for i in range(2_000_000):
-        s += i
-    return round((time.perf_counter() - t0) * 1000, 2)
+    def once() -> float:
+        h = hashlib.sha256()
+        blk = b"\x5a" * 1_048_576
+        t0 = time.perf_counter()
+        for _ in range(32):
+            h.update(blk)
+        # Interpreter-bound second half (pure-python loop): hashing
+        # alone rides fixed-function units and can look healthy while
+        # scheduler/memory pressure is degrading everything else.
+        s = 0
+        for i in range(2_000_000):
+            s += i
+        return (time.perf_counter() - t0) * 1000
+
+    # Warm-up run first, report the second (r13): the gate samples on
+    # an idle host whose CPU governor has downclocked — the r13 gated
+    # run's start probe read 569 ms against ~110 ms warm, a 5×
+    # frequency artifact that would wrongly flag the run as
+    # different-hardware. The first run spins the clock up; the
+    # second measures the frequency the suite will actually get.
+    once()
+    return round(once(), 2)
 
 
 def _quiescence() -> dict:
