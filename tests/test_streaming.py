@@ -1739,3 +1739,47 @@ def test_txlog_stream_declared_on_empty_table_with_schema(spark, tmp_path):
         "user_id",
     ]
     spark.catalog.dropTempView("txempty")
+
+
+def test_txlog_throttle_state_machine_unit(spark, tmp_path):
+    """Reader-level pin of the ADVICE r12 #1 invariant, covering the
+    recovery path the end-to-end tests cannot force deterministically
+    (engine re-plans a PENDING batch before any latestOffset): the
+    floor pins from partitions/commit, latestOffset never returns
+    below it, and only a floorless first call is unthrottled."""
+    from logdb_spark.sources.txlogstream import _TxlogStreamReader
+
+    tx, _ = _mini_year_table(
+        spark, tmp_path / "tbl", days=tuple(range(1, 13))
+    )
+    assert tx.latest_version() == 12
+
+    # Fresh start, no floor: first call exposes the head unthrottled.
+    r = _TxlogStreamReader(
+        {"path": tx.root, "maxcommitspertrigger": "3"}
+    )
+    assert r.latestOffset() == {"version": 12}
+    # Floor is now the head; nothing further to expose.
+    assert r.latestOffset() == {"version": 12}
+
+    # Pending-batch recovery: the engine re-plans (6, 8] BEFORE any
+    # latestOffset. The floor pins to the batch end, so the next
+    # latestOffset is throttled from 8 — and never below it.
+    r2 = _TxlogStreamReader(
+        {"path": tx.root, "maxcommitspertrigger": "3"}
+    )
+    r2.partitions({"version": 6}, {"version": 8})
+    assert r2.latestOffset() == {"version": 11}  # 8 + 3
+    assert r2.latestOffset() == {"version": 12}  # clamped at head
+    assert r2.latestOffset() == {"version": 12}
+
+    # commit() alone (engine acks a batch) also pins the floor.
+    r3 = _TxlogStreamReader(
+        {"path": tx.root, "maxcommitspertrigger": "3"}
+    )
+    r3.commit({"version": 10})
+    assert r3.latestOffset() == {"version": 12}  # min(head, 10+3)
+
+    # Unthrottled reader: always the head, no state.
+    r4 = _TxlogStreamReader({"path": tx.root})
+    assert r4.latestOffset() == {"version": 12}
