@@ -14,6 +14,13 @@ wall-clock on this box swings 2×, see SCALING.md's variance notes);
 seconds are reported for context only.
 
 Run: python -m tools.morbench [sf_dir]   (default /root/testdata/sf0.1)
+
+r13 adds ``--router``: execute BOTH branches of
+table_delete_cost_router's cost routing (dense -> COW, sparse -> MOR)
+and, for each, ALSO materialize the bytes the opposite strategy would
+have written (to an uncommitted scratch subdir) — the measured
+evidence that the router picks the cheaper-write side at both
+extremes, and by how much.
 """
 
 from __future__ import annotations
@@ -33,8 +40,71 @@ def _tree_bytes(root: str, sub: str) -> int:
     )
 
 
+def router_bench(sf_dir: str) -> int:
+    """Measured byte trade at both router branches (r13)."""
+    from pyspark.sql import functions as F
+
+    from logdb_spark.operators.tableformat import (
+        _auto_delete,
+        _year_table,
+    )
+    from logdb_spark.tablefmt import write_grouped
+
+    from logdb_spark.plans.session import get_spark
+
+    spark = get_spark("morbench-router")
+    out = {}
+    for label, pred_f in (
+        (
+            "dense",
+            lambda: F.col("o_orderstatus").isin("F", "O")
+            & (F.col("g") <= 1997),
+        ),
+        ("sparse", lambda: F.col("o_orderkey") % 64 == 1),
+    ):
+        tx, _ = _year_table(spark, sf_dir)
+        pred = pred_f()
+        # Hypothetical other-branch bytes, written uncommitted.
+        snap = tx.read().withColumn("g", F.year("o_orderdate"))
+        alt_keys = write_grouped(
+            snap.filter(pred).select("o_orderkey", F.lit(0).alias("g")),
+            tx.root,
+            "_alt_keys",
+            "o_orderkey",
+        )
+        touched_years = sorted(
+            {r["g"] for r in snap.filter(pred).select("g").distinct().collect()}
+        )
+        write_grouped(
+            snap.filter(F.col("g").isin(touched_years) & ~pred),
+            tx.root,
+            "_alt_rewrite",
+            "o_orderkey",
+        )
+        strategy, matched = _auto_delete(tx, pred, "chosen", ts=2000)
+        chosen_bytes = _tree_bytes(tx.root, "chosen")
+        alt_bytes = _tree_bytes(
+            tx.root, "_alt_rewrite" if strategy == "mor" else "_alt_keys"
+        )
+        out[label] = {
+            "strategy": strategy,
+            "matched_rows": matched,
+            "chosen_write_bytes": chosen_bytes,
+            "alternative_write_bytes": alt_bytes,
+            "alt_over_chosen": round(alt_bytes / max(1, chosen_bytes), 2),
+        }
+    # The router must have picked opposite branches at the extremes.
+    assert out["dense"]["strategy"] == "cow"
+    assert out["sparse"]["strategy"] == "mor"
+    print(json.dumps({"sf_dir": sf_dir, "router": out}, indent=1))
+    return 0
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:] if a != "--router"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    if "--router" in sys.argv[1:]:
+        return router_bench(sf_dir)
 
     from pyspark.sql import functions as F
 
