@@ -156,26 +156,59 @@ def _commit_doc(root: str, version: int) -> dict:
         return json.load(f)
 
 
+def _cp_state(root: str) -> tuple[int, dict]:
+    """(version, hot doc) of the newest checkpoint via the
+    ``_last_checkpoint`` pointer — O(1), no directory listing; (0, {})
+    when none exists or a doc is torn (degrade to the full walk,
+    never a wrong answer). The hot doc carries the newest protocol,
+    min_read_version, and schema_map at its version (tablefmt.
+    write_checkpoint), which is exactly the metadata this reader
+    resolves at construction — without the checkpoint, each
+    resolution on a deep table is an O(log) walk of commit docs."""
+    log_dir = os.path.join(root, "_txlog")
+    try:
+        with open(os.path.join(log_dir, "_last_checkpoint")) as f:
+            v = json.load(f)["version"]
+        with open(os.path.join(log_dir, f"checkpoint.v{v:06d}.json")) as f:
+            return v, json.load(f)
+    except (OSError, ValueError, KeyError):
+        return 0, {}
+
+
 def _newest_meta(root: str, key: str):
     """Newest ``meta[key]`` across the log, or None — the txlogstream
     twin of TxTable.newest_meta (this module reads the log with
-    os/json only, no SparkSession in hand). Backward probe: table
-    metadata changes rarely, so this stops within a few commits."""
+    os/json only, no SparkSession in hand). Checkpoint-bounded
+    backward probe: scan the post-checkpoint tail newest-first, then
+    take the checkpointed value. A pre-r13 checkpoint that never
+    recorded ``key`` (absent, not null) falls back to the full walk —
+    a map committed below such a checkpoint must not turn invisible."""
+    cp_v, cp = _cp_state(root)
+    stop = cp_v if key in cp else 0
     for v in reversed(_log_versions(root)):
+        if v <= stop:
+            break
         meta = _commit_doc(root, v).get("meta", {})
         if key in meta:
             return meta[key]
-    return None
+    return cp.get(key)
 
 
 def _read_horizon(root: str) -> int:
-    """Newest ``meta.min_read_version`` across the log (0 = nothing
-    ever vacuumed) — monotone by construction, so newest wins."""
-    h = 0
+    """Newest ``meta.min_read_version`` (0 = nothing ever vacuumed) —
+    monotone by construction, so newest wins; checkpoint value + tail
+    scan, same degradation rule as ``_newest_meta``."""
+    cp_v, cp = _cp_state(root)
+    start = cp_v if "min_read_version" in cp else 0
+    h = cp.get("min_read_version") or 0
     for v in _log_versions(root):
-        h = max(h, _commit_doc(root, v).get("meta", {}).get(
-            "min_read_version", 0
-        ))
+        if v > start:
+            h = max(
+                h,
+                _commit_doc(root, v).get("meta", {}).get(
+                    "min_read_version", 0
+                ),
+            )
     return h
 
 

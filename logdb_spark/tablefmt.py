@@ -348,6 +348,7 @@ class TxTable:
             max_ts, max_ts_v, start = None, 0, 1
         min_rv = (prev_hot or {}).get("min_read_version", 0)
         proto = (prev_hot or {}).get("protocol")
+        smap = (prev_hot or {}).get("schema_map")
         for c in self.log_actions(v, from_version=start):
             stamp = c.get("meta", {}).get("ts")
             if stamp is not None:
@@ -357,6 +358,7 @@ class TxTable:
                 txn_ids.add(tid)
             min_rv = max(min_rv, c.get("meta", {}).get("min_read_version", 0))
             proto = c.get("meta", {}).get("protocol", proto)
+            smap = c.get("meta", {}).get("schema_map", smap)
             for p in c.get("meta", {}).get("vacuumed", []):
                 tomb.pop(p, None)
             for r in c["remove"]:
@@ -374,6 +376,11 @@ class TxTable:
             "max_ts_version": max_ts_v,
             "min_read_version": min_rv,
             "protocol": proto,
+            # Newest column-mapping map rides the hot doc too (r13):
+            # the change-stream reader resolves protocol + horizon +
+            # schema_map at construction, and without the checkpoint
+            # each resolution is a full log walk on a deep table.
+            "schema_map": smap,
         }
         aux = {
             "version": v,

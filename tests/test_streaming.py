@@ -1783,3 +1783,59 @@ def test_txlog_throttle_state_machine_unit(spark, tmp_path):
     # Unthrottled reader: always the head, no state.
     r4 = _TxlogStreamReader({"path": tx.root})
     assert r4.latestOffset() == {"version": 12}
+
+
+def test_txlog_stream_meta_resolution_checkpoint_bounded(spark, tmp_path):
+    """r13: the stream reader resolves protocol / schema_map / read
+    horizon from the checkpoint hot doc + tail (O(tail), not a log
+    walk) — values must equal the full-walk answers, and a PRE-r13
+    checkpoint that never recorded schema_map must degrade to the
+    full walk rather than make a committed map invisible."""
+    import json as _json
+
+    from logdb_spark.sources.txlogstream import (
+        _newest_meta,
+        _read_horizon,
+    )
+    from logdb_spark.tablefmt import TxTable, write_grouped
+
+    tx, ev = _mini_year_table(spark, tmp_path / "tbl", days=(1, 2))
+    smap = [{"id": 1, "phys": "event_id", "name": "event_id",
+             "type": "bigint"},
+            {"id": 2, "phys": "user_id", "name": "user_id",
+             "type": "bigint"}]
+    tx.commit([], meta={
+        "schema_map": smap,
+        "protocol": tx.protocol_with("column_mapping"),
+    })
+    # COW + vacuum to publish a horizon, then checkpoint past it all.
+    live = {e["path"]: e for e in tx.live_files()}
+    rw = tx.read(files=[live["c1/g=1"]]).filter("event_id % 2 = 0")
+    tx.commit(
+        write_grouped(rw.withColumn("g", F.lit(1)), tx.root, "rw",
+                      "event_id"),
+        removes=[live["c1/g=1"]],
+        meta={"ts": 100},
+    )
+    tx.vacuum(before_ts=200)
+    cp_v = tx.write_checkpoint()
+    # Tail commit AFTER the checkpoint: newest-wins must still see it.
+    smap2 = [smap[0]]
+    tx.commit([], meta={"schema_map": smap2})
+
+    assert _newest_meta(tx.root, "schema_map") == smap2
+    assert _newest_meta(tx.root, "protocol") == {
+        "min_reader": 2,
+        "features": ["column_mapping", "read_horizon"],
+    }
+    assert _read_horizon(tx.root) == tx.read_horizon() > 0
+
+    # Degradation: strip schema_map from the hot doc (a pre-r13
+    # checkpoint) — the probe must fall back to the full walk and
+    # still find the newest map below AND above the checkpoint.
+    with open(tx._cppath(cp_v)) as f:
+        doc = _json.load(f)
+    doc.pop("schema_map")
+    with open(tx._cppath(cp_v), "w") as f:
+        _json.dump(doc, f)
+    assert _newest_meta(tx.root, "schema_map") == smap2

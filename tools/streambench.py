@@ -85,6 +85,14 @@ def planner_drain(n_commits: int, max_commits: int) -> dict:
         r = _TxlogStreamReader({"path": tmp})
         r.max_commits = max_commits
         construct_ms = (time.perf_counter() - t0) * 1000
+        # Checkpointed construction (r13): protocol/horizon/schema_map
+        # resolve from the hot doc + tail instead of full log walks.
+        from logdb_spark.tablefmt import TxTable
+
+        TxTable(None, tmp).write_checkpoint()
+        t0 = time.perf_counter()
+        _TxlogStreamReader({"path": tmp})
+        construct_cp_ms = (time.perf_counter() - t0) * 1000
         # Engine loop: initialOffset, then latestOffset/partitions/
         # commit rounds until the head is drained.
         cur = r.initialOffset()
@@ -103,6 +111,7 @@ def planner_drain(n_commits: int, max_commits: int) -> dict:
             "max_commits_per_trigger": max_commits,
             "n_batches": len(plan_ms),
             "construct_ms": round(construct_ms, 3),
+            "construct_with_checkpoint_ms": round(construct_cp_ms, 3),
             "plan_ms_first": round(plan_ms[0], 3),
             "plan_ms_median": round(statistics.median(plan_ms), 3),
             "plan_ms_p95": round(
