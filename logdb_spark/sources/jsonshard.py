@@ -131,12 +131,11 @@ class JsonShardDataSource(DataSource):
         return _JsonShardStreamWriter(self.options)
 
 
-_REGISTERED_SESSIONS: set[int] = set()
-
-
 def register_jsonshard(spark) -> None:
-    """Idempotent per-session registration."""
-    key = id(spark)
-    if key not in _REGISTERED_SESSIONS:
+    """Idempotent per-session registration — marker ON the session, so
+    its lifetime is the session's (ADVICE r12 #4: an id()-keyed module
+    set can mistake a new session for a dead one whose id CPython
+    recycled)."""
+    if not getattr(spark, "_logdb_jsonshard_registered", False):
         spark.dataSource.register(JsonShardDataSource)
-        _REGISTERED_SESSIONS.add(key)
+        spark._logdb_jsonshard_registered = True

@@ -113,12 +113,11 @@ class _SynthLogStreamReader(SimpleDataSourceStreamReader):
         return self._slice(start["pos"], end["pos"])
 
 
-_REGISTERED_SESSIONS: set[int] = set()
-
-
 def register_synthlog(spark) -> None:
-    """Idempotent per-session registration."""
-    key = id(spark)
-    if key not in _REGISTERED_SESSIONS:
+    """Idempotent per-session registration — marker ON the session, so
+    its lifetime is the session's (ADVICE r12 #4: an id()-keyed module
+    set can mistake a new session for a dead one whose id CPython
+    recycled)."""
+    if not getattr(spark, "_logdb_synthlog_registered", False):
         spark.dataSource.register(SynthLogDataSource)
-        _REGISTERED_SESSIONS.add(key)
+        spark._logdb_synthlog_registered = True
