@@ -110,14 +110,29 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-users operator — single pass, fixed memory, no expand;
     the exact twin here exists to give the sketch a checkable bound at
     fixture scale."""
-    g = (
+    # Two r13 changes (guide §2.5/§5), same result by construction:
+    # - repartition the one-row-group fixture scan so the sketch
+    #   build is not a single task (partial agg is per partition);
+    # - split the exact and approx legs into separate aggregations.
+    #   Mixed into ONE agg, Catalyst's multi-distinct planning keys
+    #   the partial phase by (event_type, user_id) — allocating a
+    #   16 KiB rsd=0.01 HLL buffer PER DISTINCT PAIR (~hundreds of MB
+    #   of sketch buffers at sf0.1; profiled 2.5 s + GC). Split, the
+    #   HLL leg buffers one sketch per event_type per partition and
+    #   the exact leg is a plain two-phase distinct. The broadcast
+    #   join on the handful of event_type rows is free.
+    ev = (
         load_table(spark, sf_dir, "events")
-        .groupBy("event_type")
-        .agg(
-            F.countDistinct("user_id").alias("n_exact"),
-            F.approx_count_distinct("user_id", rsd=0.01).alias("a"),
-        )
+        .select("event_type", "user_id")
+        .repartition(spark.sparkContext.defaultParallelism)
     )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    approx = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("a")
+    )
+    g = exact.join(F.broadcast(approx), "event_type")
     return g.select(
         "event_type",
         "n_exact",

@@ -1787,10 +1787,18 @@ def dedup_embedding_cosine_lsh(
     Every stage is a shuffle on bounded keys; candidate volume is
     Σ_buckets n_b², linear in true-dup density on clustered corpora.
     """
-    e = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
-        _x6_col().alias("x6"),
+    # Spread the one-row-group fixture scan across cores before the
+    # Arrow signature matmul (r13, guide §2.5): the sig UDF ran as a
+    # single 1.3 s task on the unsplittable scan partition. At scale
+    # the scan is multi-file and this is a cheap rebalance.
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("emb"),
+            _x6_col().alias("x6"),
+        )
     )
     if tables is None or planes is None:
         # Cheap driver-side corpus count (parquet metadata scan) → the
@@ -3495,6 +3503,15 @@ def dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = d.select(
         F.col("doc_id").alias("doc_b"), F.col("pre").alias("pre_b"), "blk"
     )
+    # Explicit worker-count partitioning on the block key (r13, guide
+    # §2.5): the join's shuffle is byte-tiny but its OUTPUT is the
+    # O(block²) levenshtein loop — AQE's bytes-based coalescing ran
+    # the whole pair sweep as one 2.5 s task. Hash-partitioning both
+    # sides by blk at cluster parallelism spreads the blocks across
+    # cores (the join reuses the partitioning, no extra exchange);
+    # per-block skew stays bounded by the documented block-size knob.
+    par = spark.sparkContext.defaultParallelism
+    a, b = a.repartition(par, "blk"), b.repartition(par, "blk")
     ed = F.levenshtein("pre_a", "pre_b", 10)
     return (
         a.join(b, "blk")
@@ -5603,7 +5620,17 @@ def embed_covariance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     overflow-safe where a raw long sum is not) and the covariance
     formula runs on doubles of exact integers, descaled by 1e12 at
     the end. Identical expression order both engines."""
-    e = load_table(spark, sf_dir, "embeddings")
+    # Spread the scan across cores BEFORE the d²/2-per-row pair
+    # expansion (r13, guide §2.5 input skew): the fixture is one
+    # parquet row group — an unsplittable single scan partition — so
+    # the map-only kernel (the op's entire cost) ran as ONE 3.1 s
+    # task while 31 cores idled. A round-robin repartition of the n·d
+    # input rows is noise next to the n·d²/2 expansion it
+    # parallelizes; on a multi-file 100 TB table the scan is already
+    # split and AQE leaves this as a cheap rebalance.
+    e = load_table(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     x6 = F.transform(
         "embedding",
         lambda v: (

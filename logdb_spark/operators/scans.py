@@ -1154,7 +1154,15 @@ def scan_summarize_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     then unpivots driver-free via stack() into the 6 profile rows.
     String min/max compare binary UTF-8 on both engines (fixture
     strings are ASCII)."""
-    ev = load_table(spark, sf_dir, "events")
+    # Spread the one-row-group fixture scan before the 6-way Expand
+    # (r13, guide §2.5): the six exact count_distincts fan every row
+    # to 6 distinct-tagged rows BEFORE partial aggregation, and all
+    # of it ran as one task on the unsplittable scan partition
+    # (profiled 2.3 s single-task). Partial agg is per partition, so
+    # the repartition parallelizes the expand+update path.
+    ev = load_table(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
     def prof(c, kind):
         null_ct = F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}_nulls")

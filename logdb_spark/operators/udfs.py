@@ -119,9 +119,14 @@ def udaf_pandas_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
         from decimal import Decimal
 
-        pdf = pdf.sort_values("ts")
-        gaps = pdf["ts"].astype("int64") // 1_000_000_000
-        max_gap = gaps.diff().max()
+        import numpy as np
+
+        # numpy end-to-end (r13, guide §4.2): sort the int64 epoch-ns
+        # vector instead of sort_values on the whole frame, diff in
+        # numpy — the per-group pandas machinery was ~2× the
+        # arithmetic itself across ~2k groups.
+        ts = np.sort(pdf["ts"].to_numpy().astype("int64")) // 1_000_000_000
+        max_gap = (ts[1:] - ts[:-1]).max() if len(ts) > 1 else None
         # Exact sum then ONE double division: bit-identical to the
         # oracle's SUM(DECIMAL)::DOUBLE / COUNT regardless of arrival
         # order, so no rounding is needed (and round(double) near
@@ -134,13 +139,25 @@ def udaf_pandas_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "user_id": [pdf["user_id"].iloc[0]],
                 "n_events": [len(pdf)],
                 "mean_value": [mean],
-                "max_gap_s": [int(max_gap) if pd.notna(max_gap) else None],
+                "max_gap_s": [int(max_gap) if max_gap is not None else None],
             }
         )
 
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "value", F.date_trunc("second", "ts").alias("ts")
     )
+    # Explicit worker-count hash partitioning on the group key (r13,
+    # guide §2.5/§4.5): AQE's bytes-based coalescing shrank this ~2 MB
+    # shuffle to ONE partition, serializing every per-user pandas
+    # group through a single Python worker (profiled: one 4.3 s
+    # single-task job was the whole op). A grouped-UDF stage is
+    # CPU-bound in Python, so its parallelism must track cores, not
+    # shuffle bytes; the explicit repartition satisfies the groupBy's
+    # required distribution (no second exchange) and AQE never
+    # coalesces a user-specified partition count. The same sizing —
+    # cluster parallelism, not bytes — is what a 100 TB run wants for
+    # a Python-bound stage.
+    ev = ev.repartition(spark.sparkContext.defaultParallelism, "user_id")
     return ev.groupBy("user_id").applyInPandas(
         summarize, "user_id bigint, n_events bigint, mean_value double, max_gap_s bigint"
     )
@@ -431,8 +448,21 @@ def udaf_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Arrow transfer to the two columns compare() actually reads.
     ev = load_table(spark, sf_dir, "events").select("user_id", "value", "ts")
     cutoff = F.lit(_COGROUP_CUTOFF).cast("timestamp")
-    early = ev.filter(F.col("ts") < cutoff).select("user_id", "value")
-    late = ev.filter(F.col("ts") >= cutoff).select("user_id", "value")
+    # Worker-count hash partitioning on the cogroup key for BOTH
+    # sides (r13 — same fix and rationale as udaf_pandas_group's
+    # repartition: AQE's bytes-based coalescing serialized every
+    # per-user Python call through one task, a single 3.8 s job).
+    par = spark.sparkContext.defaultParallelism
+    early = (
+        ev.filter(F.col("ts") < cutoff)
+        .select("user_id", "value")
+        .repartition(par, "user_id")
+    )
+    late = (
+        ev.filter(F.col("ts") >= cutoff)
+        .select("user_id", "value")
+        .repartition(par, "user_id")
+    )
 
     def exact_mean(pdf: pd.DataFrame):
         if len(pdf) == 0:
