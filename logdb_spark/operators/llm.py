@@ -1082,19 +1082,25 @@ def _minhash_sig_df(
     evaluated once per DISTINCT token in a broadcast dictionary
     (vocabulary ≪ corpus by Heaps' law; AQE falls back to a shuffle
     join if it ever isn't), so per-token-row work is a broadcast probe
-    + n_perm column mins."""
+    + n_perm column mins.
+
+    Expressions are built as SQL strings, not Column arithmetic (r13,
+    guide §4 — the Python boundary applies to PLAN CONSTRUCTION too):
+    the n_perm-wide projection/aggregate cost ~700 ms of py4j
+    round-trips per call via the Column API (profiled: the whole
+    per-micro-batch planning stall in stream_dedup_minhash), vs
+    ~130 ms as parsed strings. The analyzed expressions are identical
+    (integer literals carry an explicit L suffix so the arithmetic
+    stays bigint exactly as F.lit promoted it)."""
     a_c, b_c = _mh_consts(n_perm)
     tok_dict = (
         tok.select("token")
         .distinct()
         .withColumn("h32", _h32("token"))
-        .select(
+        .selectExpr(
             "token",
             *[
-                (
-                    (F.lit(a_c[i]) * F.col("h32") + F.lit(b_c[i]))
-                    % F.lit(_MH_PRIME)
-                ).alias(f"p{i}")
+                f"({a_c[i]}L * h32 + {b_c[i]}L) % {_MH_PRIME}L AS p{i}"
                 for i in range(n_perm)
             ],
         )
@@ -1103,8 +1109,8 @@ def _minhash_sig_df(
         tok.join(F.broadcast(tok_dict), "token")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n"),  # distinct-token count, free here
-            *[F.min(f"p{i}").alias(f"m{i}") for i in range(n_perm)],
+            F.expr("count(1) AS n"),  # distinct-token count, free here
+            *[F.expr(f"min(p{i}) AS m{i}") for i in range(n_perm)],
         )
     )
 
@@ -1119,33 +1125,29 @@ def _bands_from_sig(
     """Map-only (doc_id, n, band, bucket) band rows from a signature
     relation — bucket = md5 of the comma-joined per-band minima.
     ``carry`` names extra columns to keep on each band row (e.g. a
-    verify payload, so the band join's output needs no corpus join)."""
+    verify payload, so the band join's output needs no corpus join).
+
+    Built as one parsed SQL string instead of nested Column calls
+    (r13, guide §4): the n_bands × rows_per_band struct array cost
+    ~950 ms of py4j round-trips per call via the Column API — pure
+    driver-side plan-construction stall, paid per micro-batch on the
+    streaming path. Same analyzed expression either way."""
     rows_per_band = n_perm // n_bands
-    return sig.select(
+    structs = ", ".join(
+        "struct({b} AS band, md5(concat_ws(',', {cols})) AS bucket)".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(m{b * rows_per_band + r} AS STRING)"
+                for r in range(rows_per_band)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return sig.selectExpr(
         "doc_id",
         "n",
         *carry,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col(
-                                        f"m{b * rows_per_band + r}"
-                                    ).cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
+        f"explode(array({structs})) AS bb",
     ).select("doc_id", "n", *carry, "bb.band", "bb.bucket")
 
 

@@ -1153,20 +1153,21 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         # vocabularies carry the sorted token array instead (heavier
         # band rows, but the state side is scanned, never shuffled).
         if not vst["overflow"]:
-            bit_of = F.create_map(
-                *[
-                    c
-                    for i, t in enumerate(vst["tokens"])
-                    for c in (
-                        F.lit(t),
-                        F.shiftleft(F.lit(1).cast("long"), i),
-                    )
-                ]
+            # One parsed SQL string instead of a 2·|vocab|-argument
+            # create_map + Column lambda (r13, guide §4): the Column
+            # API paid ~100 ms of py4j round-trips per micro-batch
+            # building this same expression. shiftleft stays JVM-side
+            # so bit 63 wraps into the sign bit exactly as before
+            # (ADVICE r8); single quotes in tokens are SQL-doubled.
+            entries = ", ".join(
+                "'{t}', shiftleft(CAST(1 AS BIGINT), {i})".format(
+                    t=t.replace("'", "''"), i=i
+                )
+                for i, t in enumerate(vst["tokens"])
             )
-            payload = F.aggregate(
-                "toks",
-                F.lit(0).cast("long"),
-                lambda acc, t: acc.bitwiseOR(F.element_at(bit_of, t)),
+            payload = F.expr(
+                "aggregate(toks, CAST(0 AS BIGINT), "
+                f"(acc, t) -> acc | element_at(map({entries}), t))"
             )
             shared = F.bit_count(
                 F.col("x.pl").bitwiseAND(F.col("y.pl"))
