@@ -4191,8 +4191,14 @@ def text_similar_docs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a<b pairs, and ranks within each doc's threshold-bounded
     neighbor list — partitions are neighbor-list-sized, never corpus-
     sized. The oracle recomputes the full n² relation relationally."""
-    pairs = _jaccard_pairs(spark, sf_dir, threshold=0.5).filter(
-        F.col("jac") >= 0.5
+    # Persisted BEFORE the symmetric union (r13, guide §2.4 — same fix
+    # dedup_cluster_assign carries): without it BOTH unionAll branches
+    # re-execute the entire all-pairs kernel sweep — profiled as two
+    # 1.3-1.8 s 64-task jobs for one op, the single largest line item.
+    pairs = track_persist(
+        _jaccard_pairs(spark, sf_dir, threshold=0.5).filter(
+            F.col("jac") >= 0.5
+        )
     )
     sym = pairs.select("doc_a", "doc_b", "jac").unionAll(
         pairs.select(
