@@ -183,6 +183,13 @@ def _jaccard_pairs(
     )
 
 
+# Vocabulary size up to which the dictionary is inlined as an array
+# literal and ids resolve via array_position (a linear scan of the
+# literal per token — cheap only while the vocabulary is tiny; the
+# fixture word vocab is 31). Larger vocabularies broadcast-join a
+# driver-built dictionary instead.
+_LITERAL_DICT_MAX_VOCAB = 256
+
 # Vocabulary cutoff for the dictionary-encoded bitmask kernel: one
 # 64-bit word per 64 vocab terms per doc, so 4096 terms = 64 longs —
 # past that the masks outweigh the token arrays and the generic
@@ -210,72 +217,99 @@ def _pair_kernel(spark, tok, sets_fn):
     (docs_df with (doc_id, toks, n), intersect_kernel Column over the
     joined (toks_a, toks_b) columns).
     """
-    # Persist the exploded tokens: the vocab probe, the dictionary,
-    # and the encode join all consume this one relation.
-    tok = track_persist(tok)
-    # Probe the vocabulary size BEFORE building the ranked dictionary
-    # (r10 review): the row_number dictionary is a single-partition
-    # sort, so on an open-vocab corpus the old order-of-operations
-    # materialized an UNBOUNDED global window just to learn the path
-    # must be abandoned. A plain distinct-count probe is shuffle-only;
-    # the ranked dictionary is built only once the ≤4096 gate holds
-    # (the kept path re-runs the tiny distinct — vocab-sized, cheap).
-    vocab_n = tok.select("token").distinct().count()
-    if vocab_n > _BITMASK_MAX_VOCAB:
-        tok.unpersist()
+    # ONE bounded job decides the path AND fetches the dictionary
+    # (r13, guide §2.4): the distinct vocabulary is collected under a
+    # LIMIT of cap+1 rows — a driver transfer the same class as a
+    # broadcast side (≤4097 short strings), and strictly cheaper than
+    # the old probe-count + ranked-dictionary + encode-join + two
+    # groupBys, which cost three shuffles and a broadcast per call
+    # before any pair was scored. The moment the limit returns cap+1
+    # rows the corpus is open-vocab and the sorted-array kernel takes
+    # over, so the transfer stays bounded on any input.
+    vocab_rows = (
+        tok.select("token").distinct().limit(_BITMASK_MAX_VOCAB + 1)
+    ).collect()  # driver-scalar: bounded ≤ _BITMASK_MAX_VOCAB+1 rows by the limit
+    if len(vocab_rows) > _BITMASK_MAX_VOCAB:
         return (
             sets_fn(),
             F.size(F.array_intersect("toks_a", "toks_b")),
             None,
             0,  # n_chunks = 0 → open-vocab fallback, no bitmasks
         )
-    # Tiny global sort: ≤4096 rows through one partition, by design —
-    # and only ever executed under the gate just proven.
-    dict_ = (
-        tok.select("token")
-        .distinct()
-        .select(
-            "token",
+    vocab = sorted(r[0] for r in vocab_rows)
+    n_chunks = (len(vocab) + 63) // 64
+    if len(vocab) <= _LITERAL_DICT_MAX_VOCAB:
+        # Map-only dictionary encode: the vocabulary rides into the
+        # plan as an array literal, each document's tokens resolve to
+        # ids with array_position, and the per-chunk masks are
+        # word-wide OR-folds — no explode, no join, no shuffle
+        # anywhere in the mask build (the old pipeline shuffled the
+        # exploded corpus twice). array_position is a linear scan of
+        # the literal, so this path is gated to small vocabularies —
+        # measured faster up to a few hundred terms, 1.7 s SLOWER at
+        # the bigram ops' 961 terms. Expressions are parsed SQL
+        # strings: the Column-API equivalent pays a py4j round-trip
+        # per operator (the batch-2 finding).
+        arr_sql = "array(" + ",".join(
+            "'" + t.replace("\\", "\\\\").replace("'", "\\'")
+            + "'" for t in vocab
+        ) + ")"
+        ids_sql = (
+            f"transform(toks, t -> "
+            f"CAST(array_position({arr_sql}, t) AS INT) - 1)"
+        )
+        mask_sqls = [
             (
-                F.row_number().over(
-                    bounded_global_window(
-                        "token", max_rows=4096,
-                        why="dictionary built only under the proven "
-                        "_BITMASK_MAX_VOCAB gate",
-                    )
-                )
-                - 1
-            ).alias("tid"),
+                "aggregate(ids, CAST(0 AS BIGINT), (a, x) -> "
+                f"IF(x >= {c * 64} AND x < {(c + 1) * 64}, "
+                "a | shiftleft(CAST(1 AS BIGINT), x % 64), a))"
+            )
+            for c in range(n_chunks)
+        ]
+        masks = (
+            sets_fn()
+            .selectExpr("doc_id", f"{ids_sql} AS ids")
+            .selectExpr(
+                "doc_id",
+                "array(" + ",".join(mask_sqls) + ") AS toks",
+            )
         )
-    )
-    dict_ = track_persist(dict_)
-    n_chunks = (vocab_n + 63) // 64
-    chunked = (
-        tok.join(F.broadcast(dict_), "token")
-        .groupBy("doc_id", (F.col("tid") / 64).cast("int").alias("chunk"))
-        .agg(
+    else:
+        # Larger (still ≤cap) vocabularies: broadcast-join the
+        # driver-built dictionary against the exploded tokens and fold
+        # all chunk masks in ONE groupBy — the old pipeline's
+        # vocab-probe count, ranked-dictionary window, and second
+        # groupBy (map_from_entries assembly) are gone; the dictionary
+        # id is assigned on the driver from the already-collected
+        # vocabulary instead of a single-partition row_number sort.
+        dict_df = spark.createDataFrame(
+            [(t, i) for i, t in enumerate(vocab)], "token string, tid int"
+        )
+        mask_aggs = [
             F.bit_or(
-                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(tid % 64 AS INT))")
-            ).alias("m")
+                F.expr(
+                    f"IF(tid >= {c * 64} AND tid < {(c + 1) * 64}, "
+                    "shiftleft(CAST(1 AS BIGINT), tid % 64), "
+                    "CAST(0 AS BIGINT))"
+                )
+            ).alias(f"m{c}")
+            for c in range(n_chunks)
+        ]
+        masks = (
+            tok.join(F.broadcast(dict_df), "token")
+            .groupBy("doc_id")
+            .agg(*mask_aggs)
+            .selectExpr(
+                "doc_id",
+                "array("
+                + ",".join(f"m{c}" for c in range(n_chunks))
+                + ") AS toks",
+            )
         )
-    )
-    masks = (
-        chunked.groupBy("doc_id")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("chunk", "m"))
-            ).alias("mm")
-        )
-        .select(
-            "doc_id",
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_chunks - 1)),
-                lambda c: F.coalesce(F.col("mm")[c], F.lit(0).cast("long")),
-            ).alias("toks"),
-            F.expr(
-                "aggregate(map_values(mm), 0, (a, x) -> a + bit_count(x))"
-            ).alias("n"),
-        )
+    masks = masks.selectExpr(
+        "doc_id",
+        "toks",
+        "CAST(aggregate(toks, 0, (a, x) -> a + bit_count(x)) AS INT) AS n",
     )
     if n_chunks > 2:
         # Two 64-bit OR-folds of the chunk words (odd/even stripes),
@@ -487,30 +521,31 @@ def dedup_cluster_assign(
     # label0 = min over neighbors ∪ self — initial labels are identity,
     # so this is a bare partial-agg groupBy (map-side combine shrinks
     # the shuffle to one row per member per partition).
-    # localCheckpoint TRUNCATES LINEAGE — without it each later step's
-    # plan embeds every previous one (join-chain recursion) and the
-    # logical tree grows exponentially: the first version OOM'd the
-    # driver JVM just *printing* the plan. On a cluster this would be
-    # a reliable checkpoint to object storage; in local mode the
-    # executor-block variant is the same semantics.
-    l0 = (
+    # PERSIST, not localCheckpoint (r13, guide §1.2/§5): even a LAZY
+    # localCheckpoint blocks the driver through full analysis +
+    # physical planning + codegen of the upstream tree at call time —
+    # measured 2.8 s for this subtree at sf0.1, ~3.4 s across the two
+    # calls, more than the pair sweep itself. Lineage truncation is
+    # only needed against the join-chain RECURSION of the iterative
+    # _cc_loop finisher (whose per-round checkpoints remain); on the
+    # non-iterative path the tree is three levels deep and the persist
+    # bounds recompute (l0 is cluster-count-sized).
+    l0 = track_persist(
         sym.groupBy("src")
         .agg(F.least(F.col("src"), F.min("dst")).alias("label"))
         .withColumnRenamed("src", "doc_id")
-        .localCheckpoint(eager=False)
     )
     # Contract over the DIRECTED pairs (half the rows of sym — the
     # reversed duplicates contract to the same edges) and symmetrize
     # the tiny contracted set afterwards.
     la = l0.select(F.col("doc_id").alias("doc_a"), F.col("label").alias("lsrc"))
     lb = l0.select(F.col("doc_id").alias("doc_b"), F.col("label").alias("ldst"))
-    ce = (
+    ce = track_persist(
         pairs.join(la, "doc_a")
         .join(lb, "doc_b")
         .filter(F.col("lsrc") != F.col("ldst"))
         .select(F.col("lsrc").alias("src"), F.col("ldst").alias("dst"))
         .distinct()
-        .localCheckpoint(eager=False)
     )
     # Contracted-graph finisher, cost-based (the broadcast-threshold
     # idiom): the contraction collapsed cliques, so the surviving
@@ -549,7 +584,13 @@ def dedup_cluster_assign(
             mapping or [(-1, -1)], "doc_id bigint, label bigint"
         )
     else:
-        labels = _cc_loop(spark, ce)
+        # Truncate lineage only on the iterative path: _cc_loop joins
+        # ce against itself round after round, and without a checkpoint
+        # the logical tree would embed every prior round (the plan
+        # recursion the original comment warned about). ce is already
+        # materialized by the count above, so this checkpoint replans
+        # only the cached scan, not the pair pipeline.
+        labels = _cc_loop(spark, ce.localCheckpoint(eager=False))
     # Compose cc∘label0, then emit non-members (fixpoints: no edge can
     # lower their label) via one left join instead of iterating them.
     # Broadcast hint ONLY on the driver branch, where cc is bounded by

@@ -611,3 +611,34 @@ def test_bpe_aligned_tracks_true_greedy_within_band(spark, tmp_path):
         f"aligned/greedy ratio {ratio:.4f} outside the stated band "
         f"(aligned {ta2}, greedy {tg2})"
     )
+
+
+def test_pair_kernel_encode_paths_identical(spark):
+    """r13 optimization: _pair_kernel grew two dictionary-encode paths
+    (inline array-literal lookup for tiny vocabularies, driver-built
+    broadcast dictionary + one-groupBy fold above
+    _LITERAL_DICT_MAX_VOCAB). Both must produce identical mask
+    relations — same chunk words, same popcounts — since every Jaccard
+    op's result flows through them. Force each path over the same
+    fixture corpus and compare the full relation."""
+    from logdb_spark.operators import llm
+    from logdb_spark.operators.llm import _doc_tokens, _pair_kernel, _token_sets
+
+    def masks_with(cap):
+        old = llm._LITERAL_DICT_MAX_VOCAB
+        llm._LITERAL_DICT_MAX_VOCAB = cap
+        try:
+            docs, _k, _s, n_chunks = _pair_kernel(
+                spark, _doc_tokens(spark, SF_SMALL),
+                lambda: _token_sets(spark, SF_SMALL),
+            )
+            assert n_chunks >= 1  # the bitmask gate must hold on the fixture
+            return sorted(
+                (r["doc_id"], tuple(r["toks"]), r["n"]) for r in docs.collect()
+            )
+        finally:
+            llm._LITERAL_DICT_MAX_VOCAB = old
+
+    literal_path = masks_with(4096)  # word vocab (31) → literal path
+    join_path = masks_with(0)        # force the broadcast-join path
+    assert literal_path == join_path

@@ -130,6 +130,16 @@ NESTED_LOOP_ALLOWED = {
     "agg_hll_sketch_merge",  # 1-row × 1-row certificate combine
     "dedup_near_jaccard",  # exact O(n²) ground-truth path (broadcast)
     "dedup_ngram_jaccard",  # same pair kernel over bigram shingles
+    # r13: the dedup composites' plans now EXPOSE the same deliberate
+    # broadcast pair sweep — the localCheckpoint that used to hide the
+    # subtree behind an RDD scan was replaced by a persist (the lazy
+    # checkpoint blocked the driver ~1.7 s per call in eager planning).
+    # Same sweep, same bound; it was always executing underneath.
+    "dedup_cluster_assign",  # composite over the exact pair sweep
+    "dedup_keep_best",  # composite over dedup_cluster_assign
+    "sample_dedup_weights",  # composite over dedup_cluster_assign
+    "sample_cluster_safe_split",  # composite over dedup_cluster_assign
+    "text_clean_pipeline",  # composite over dedup_keep_best
     "sim_neighbor_stats_tiled",  # deliberate block-pair tile cross (nb² rows)
     "text_vocab_growth",  # 6-row broadcast k-ladder cross join
     "text_similar_docs_topk",  # exact pair kernel (tile cross) by design
