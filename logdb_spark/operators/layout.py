@@ -58,14 +58,26 @@ def sink_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql(f"CREATE DATABASE IF NOT EXISTS logdb_scratch LOCATION '{scratch}'")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # Repartition on the bucket key with numPartitions = numBuckets
+    # BEFORE the bucketed write (r13, guide §6): HashPartitioning and
+    # the bucket id are the same pmod(murmur3, n), so each write task
+    # holds exactly one bucket — one file per bucket instead of
+    # (input partitions × buckets) files, and the sort+write
+    # parallelizes across buckets instead of running inside however
+    # many partitions the scan produced (the fixture parquet is ONE
+    # row group, so the old write sorted both tables in a single
+    # task). Same discipline at 100 TB: bucket-aligned repartition is
+    # the standard guard against bucketed-write file explosion.
     (
-        o.write.mode("overwrite")
+        o.repartition(8, F.col("o_orderkey"))
+        .write.mode("overwrite")
         .bucketBy(8, "o_orderkey")
         .sortBy("o_orderkey")
         .saveAsTable("logdb_scratch.orders_b")
     )
     (
-        li.write.mode("overwrite")
+        li.repartition(8, F.col("l_orderkey"))
+        .write.mode("overwrite")
         .bucketBy(8, "l_orderkey")
         .sortBy("l_orderkey")
         .saveAsTable("logdb_scratch.lineitem_b")
