@@ -4519,7 +4519,14 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     relv = rel.select("vec_id", "rel")
-    first = (
+    # Each pick below is a limit(1) subtree that every LATER step's
+    # plan re-embeds (step k unions picks 1..k-1 to build its
+    # exclusion set, and the final output unions all four): unpersisted
+    # picks re-execute their whole upstream chain once per consumer —
+    # profiled as 60 separate ~40 ms jobs, pure scheduling overhead on
+    # 1-row relations (r13, guide §2.4). Persisting each 1-row pick
+    # computes every greedy step exactly once.
+    first = track_persist(
         relv.orderBy(F.col("rel").desc(), "vec_id")
         .limit(1)
         .select(
@@ -4551,7 +4558,7 @@ def sim_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("mmr"),
             )
         )
-        pick = (
+        pick = track_persist(
             scored.orderBy(F.col("mmr").desc(), "vec_id")
             .limit(1)
             .select(
