@@ -348,7 +348,14 @@ def main() -> int:
     if not only:
         with open(detail_path, "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)
-    top10 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    # Full-suite runs keep stdout under the driver's ~2.2 KB capture by
+    # reporting top-10 only (full map in the sidecar). Name-filtered
+    # debug/A-B runs have no sidecar, so emit every timed op instead.
+    top10 = (
+        dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+        if not only
+        else timings
+    )
     line = json.dumps(
         {
             "metric": "suite_seconds",

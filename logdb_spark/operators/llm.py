@@ -329,7 +329,9 @@ def _pair_kernel(spark, tok, sets_fn):
         masks = masks.select(
             "*", f0.alias("fold0"), f1.alias("fold1")
         )
-    masks = track_persist(masks)  # docs x n_chunks longs; both sides of the pair join
+    # eager: the pair join's sides (broadcast build + probe scan) race
+    # on the cold cache and each re-run the mask build otherwise (r13)
+    masks = track_persist(masks, eager=True)
     # Unrolled per-chunk terms (n_chunks is a plan-time constant):
     # straight-line bit_count(a[c] & b[c]) sums in whole-stage codegen,
     # no per-pair intermediate array like zip_with+aggregate would
@@ -514,7 +516,10 @@ def dedup_cluster_assign(
     """
     # pairs persisted BEFORE the symmetric union — otherwise both union
     # branches recompute the whole pair-finding subtree.
-    pairs = track_persist(_dup_pairs(spark, sf_dir, pair_source=pair_source))
+    pairs = track_persist(
+        _dup_pairs(spark, sf_dir, pair_source=pair_source),
+        eager=True,  # both union branches race on the cold cache (r13)
+    )
     sym = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst")
@@ -1204,6 +1209,11 @@ def _minhash_bands(
     dedup_incremental_minhash, and (batch-at-a-time, via the df-level
     halves above) stream_dedup_minhash. The signature relation is
     persisted: banding and both sides of the exact verify read it."""
+    # NOT eager (r13 A/B): the band self-join's sides race on this
+    # cache cold and duplicate the aggregation, but the aggregation is
+    # a WIDE 64-task stage — the duplicates run concurrently on
+    # otherwise-idle cores, so serializing an up-front count() cost
+    # more wall than the race (+1.7 s on dedup_incremental_minhash).
     sig = track_persist(
         _minhash_sig_df(_doc_tokens(spark, sf_dir), n_perm=n_perm)
     )
@@ -1499,7 +1509,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = track_persist(
         tok.groupBy("doc_id")
         .agg(F.collect_list(F.array("w0", "w1")).alias("ws"))
-        .select("doc_id", simhash_of("ws").alias("simhash"))
+        .select("doc_id", simhash_of("ws").alias("simhash")),
+        eager=True,  # chunk self-join sides race on the cold cache (r13)
     )
     chunks = sigs.select(
         "doc_id",
@@ -1857,7 +1868,8 @@ def dedup_embedding_cosine_lsh(
     # Persisted: both sides of the bucket self-join read this relation —
     # without the persist the Arrow signature matmul runs twice.
     buckets = track_persist(
-        e.select("vec_id", F.posexplode(sig_udf("x6")).alias("table", "sig"))
+        e.select("vec_id", F.posexplode(sig_udf("x6")).alias("table", "sig")),
+        eager=True,  # self-join sides race on the cold cache (r13)
     )
     x, y = buckets.alias("x"), buckets.alias("y")
     cand = (
@@ -1871,6 +1883,13 @@ def dedup_embedding_cosine_lsh(
             F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b")
         )
         .distinct()
+        # Explicit-count repartition (r13, guide §2.5): AQE coalesces
+        # the distinct's output by BYTES (~1-2 MB of bare id pairs →
+        # ~10 partitions), but the next stage runs the exact dot
+        # product per pair — compute-bound, not byte-bound; profiled
+        # as the op's dominant job at 1/3 of the cores. Shuffling the
+        # 16-byte pairs round-robin is noise next to the rescore.
+        .repartition(spark.sparkContext.defaultParallelism)
     )
     ea = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"))
     eb = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"))
@@ -4237,6 +4256,9 @@ def text_similar_docs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-execute the entire all-pairs kernel sweep — profiled as two
     # 1.3-1.8 s 64-task jobs for one op, the single largest line item.
     pairs = track_persist(
+        # NOT eager (r13 A/B): the duplicated kernel sweep is a wide
+        # 64-task stage — the union branches' race runs concurrently
+        # on idle cores; an up-front count() serialized it (+0.8 s).
         _jaccard_pairs(spark, sf_dir, threshold=0.5).filter(
             F.col("jac") >= 0.5
         )

@@ -3244,14 +3244,16 @@ def log_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("shared") >= 2)
         .select("ua", "ub")
     )
-    p = track_persist(p)
+    # eager persists (r13): deg's two union branches, o's join sides,
+    # and the closing-edge join all hit each cache concurrently cold.
+    p = track_persist(p, eager=True)
     deg = (
         p.select(F.col("ua").alias("u"))
         .unionAll(p.select(F.col("ub").alias("u")))
         .groupBy("u")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    deg = track_persist(deg)
+    deg = track_persist(deg, eager=True)
     da = deg.select(F.col("u").alias("ua"), F.col("d").alias("da"))
     db = deg.select(F.col("u").alias("ub"), F.col("d").alias("db"))
     fwd = F.col("da") < F.col("db"), (F.col("da") == F.col("db")) & (
@@ -3266,7 +3268,7 @@ def log_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(is_fwd, F.col("ub")).otherwise(F.col("ua")).alias("dst"),
         )
     )
-    o = track_persist(o)
+    o = track_persist(o, eager=True)
     e1 = o.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     close = p.select(F.col("ua").alias("lo"), F.col("ub").alias("hi"))

@@ -152,10 +152,24 @@ def _enumeration_order(ops: dict[str, Operator]) -> list[str]:
 _TRACKED_CACHES: list[DataFrame] = []
 
 
-def track_persist(df: DataFrame) -> DataFrame:
-    """persist() with deferred unpersist at the next operator call."""
+def track_persist(df: DataFrame, *, eager: bool = False) -> DataFrame:
+    """persist() with deferred unpersist at the next operator call.
+
+    ``eager=True`` additionally materializes the cache NOW with one
+    count() job (r13, guide §2.4/§5): when the cached relation's first
+    consumers are CONCURRENT query stages (both sides of a self-join,
+    the branches of a union — AQE submits them in parallel), each stage
+    finds the cache cold and recomputes the full upstream, duplicating
+    the exact work the persist exists to save (profiled: two identical
+    signature-aggregation jobs in dedup_simhash / the minhash family).
+    A single up-front materialization costs one job and every
+    concurrent consumer then reads cached blocks. Only worth it when
+    the cached plan is expensive relative to ~100 ms of job overhead —
+    call sites opt in per measurement."""
     df = df.persist()
     _TRACKED_CACHES.append(df)
+    if eager:
+        df.count()  # populates ALL columns of the cached plan's batches
     return df
 
 

@@ -19,8 +19,8 @@ import os
 
 from pyspark.sql.datasource import (
     DataSource,
-    DataSourceStreamWriter,
-    DataSourceWriter,
+    DataSourceArrowWriter,
+    DataSourceStreamArrowWriter,
     WriterCommitMessage,
 )
 
@@ -31,21 +31,37 @@ class _ShardCommit(WriterCommitMessage):
         self.n = n
 
 
-class _JsonShardWriter(DataSourceWriter):
+def _write_batches(path: str, batches) -> int:
+    """Shared shard body: Arrow record batches → JSON lines.
+
+    Arrow writer instead of the Row iterator (r13, guide §4.1/§4.2):
+    the Row path materializes a pyspark Row per record and calls
+    .asDict() per row before json.dumps ever runs; ``to_pylist()``
+    yields the same plain-python dicts straight from the Arrow
+    buffers. Output bytes are identical — same keys, same values,
+    same sort_keys ordering — only the JVM↔Python serialization
+    changes."""
+    n = 0
+    with open(path, "w") as f:
+        for batch in batches:
+            rows = batch.to_pylist()
+            f.writelines(
+                json.dumps(r, sort_keys=True) + "\n" for r in rows
+            )
+            n += len(rows)
+    return n
+
+
+class _JsonShardWriter(DataSourceArrowWriter):
     def __init__(self, options):
         self.dir = options["path"]
 
-    def write(self, rows):
+    def write(self, batches):
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
         path = os.path.join(self.dir, f"part-{pid:05d}.jsonl")
-        n = 0
-        with open(path, "w") as f:
-            for row in rows:
-                f.write(json.dumps(row.asDict(), sort_keys=True) + "\n")
-                n += 1
-        return _ShardCommit(path, n)
+        return _ShardCommit(path, _write_batches(path, batches))
 
     def commit(self, messages):
         manifest = {
@@ -63,7 +79,7 @@ class _JsonShardWriter(DataSourceWriter):
                 pass
 
 
-class _JsonShardStreamWriter(DataSourceStreamWriter):
+class _JsonShardStreamWriter(DataSourceStreamArrowWriter):
     """Streaming flavor of the shard sink: same write-one-shard-per-
     task contract, but commit()/abort() arrive PER MICRO-BATCH with
     the batchId — the streaming epoch protocol. Each batch finalizes
@@ -73,7 +89,8 @@ class _JsonShardStreamWriter(DataSourceStreamWriter):
     never appears (the at-least-once file writes become exactly-once
     through manifest-gated visibility — the standard streaming-sink
     idempotence recipe). Shard names carry a uuid: two attempts of
-    the same task must never collide across retries or epochs."""
+    the same task must never collide across retries or epochs.
+    Arrow-batch flavor since r13 (see _write_batches)."""
 
     def __init__(self, options):
         self.dir = options["path"]
@@ -87,12 +104,7 @@ class _JsonShardStreamWriter(DataSourceStreamWriter):
         path = os.path.join(
             self.dir, f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl"
         )
-        n = 0
-        with open(path, "w") as f:
-            for row in iterator:
-                f.write(json.dumps(row.asDict(), sort_keys=True) + "\n")
-                n += 1
-        return _ShardCommit(path, n)
+        return _ShardCommit(path, _write_batches(path, iterator))
 
     def commit(self, messages, batchId):
         manifest = {

@@ -285,10 +285,17 @@ def sink_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .partitionBy("event_date")
         .parquet(raw)
     )
-    # compaction pass: one output file per partition at this scale
+    # compaction pass: one output file per partition at this scale.
+    # Explicit partition count (r13, guide §2.5): a bare
+    # repartition("event_date") is AQE-coalesced by BYTES down to ~3
+    # tasks here, serializing ~31 per-file writer open/flush/commit
+    # cycles behind 3 workers — the cost of this stage is per-FILE
+    # fixed cost, not bytes. Pinning the count to the core count keeps
+    # one writer task per day partition (hash collisions aside) at any
+    # scale where days ≳ cores; the output file set is identical.
     (
         spark.read.parquet(raw)
-        .repartition("event_date")
+        .repartition(spark.sparkContext.defaultParallelism, "event_date")
         .write.mode("overwrite")
         .partitionBy("event_date")
         .parquet(compacted)
@@ -760,16 +767,24 @@ def sink_python_stream_datasource(spark: SparkSession, sf_dir: str) -> DataFrame
 
     register_jsonshard(spark)
     staged = scratch_dir("logdb_streamsink_src_")
+    # 8 files per epoch instead of 1 (r13, guide §2.5): the epoch
+    # count (2 — pinned by the oracle's n_batches) is the semantics;
+    # the files-per-trigger is only the intra-epoch parallelism, and
+    # at 1 file/epoch each epoch's whole Python-sink write ran as a
+    # SINGLE task (profiled: the op's two dominant 1 s jobs, 1 task
+    # each, 31 cores idle). Same rows, same 2 manifests, 8 shard
+    # writers per epoch.
+    n_slices = 8
     load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type"
-    ).repartition(2).write.mode("overwrite").parquet(staged)
+    ).repartition(2 * n_slices).write.mode("overwrite").parquet(staged)
     out = scratch_dir("logdb_streamsink_out_")
     ckpt = scratch_dir("logdb_streamsink_ckpt_")
     q = (
         spark.readStream.schema(
             "event_id bigint, user_id bigint, event_type string"
         )
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", str(n_slices))
         .parquet(staged)
         .writeStream.format("jsonshard")
         .option("path", out)
@@ -1074,10 +1089,20 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = scratch_dir("logdb_sdm_")
     stage = out + "/stage"
     os.makedirs(stage)
-    for i in range(3):  # three arrival slices
+
+    # Overlap the three independent slice-staging jobs (guide §2.6);
+    # the per-batch partitioned-write rewrite was tried in r13 and
+    # A/B-measured as a regression — these stay three in-place scans,
+    # just no longer serialized behind each other.
+    def _stage_slice(i: int) -> None:
         tmp = f"{out}/s{i}_tmp"
         docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.parquet(tmp)
         shutil.copy(glob.glob(tmp + "/*.parquet")[0], f"{stage}/b{i}.parquet")
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(_stage_slice, range(3)))  # three arrival slices
 
     docs_state = out + "/docs_state"
     pairs_state = out + "/pairs_state"
@@ -1311,15 +1336,31 @@ def stream_txlog_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = out + "/stage"
     os.makedirs(stage)
     dom = F.dayofmonth("ts")
-    for name, cond in (
-        ("f1", dom <= 10),
-        ("f2", (dom > 10) & (dom <= 20)),
-        ("f3", dom > 20),
-    ):
+
+    # The three slice writes are independent jobs of 1-2 tasks each;
+    # submitted sequentially they serialize three scan+write latencies.
+    # A small thread pool overlaps them (guide §2.6 — actions are only
+    # sequential because the driver calls them sequentially).
+    def _stage_slice(arg) -> None:
+        name, cond = arg
         tmp = f"{out}/{name}_tmp"
         ev.filter(cond).coalesce(1).write.parquet(tmp)
         shutil.copy(
             glob.glob(tmp + "/*.parquet")[0], f"{stage}/{name}.parquet"
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(
+            pool.map(
+                _stage_slice,
+                (
+                    ("f1", dom <= 10),
+                    ("f2", (dom > 10) & (dom <= 20)),
+                    ("f3", dom > 20),
+                ),
+            )
         )
 
     tx = TxTable(spark, out + "/table")
