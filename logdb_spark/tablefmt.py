@@ -960,36 +960,105 @@ def write_grouped(
     """
     cols = (stat_col,) if isinstance(stat_col, str) else tuple(stat_col)
     out = os.path.join(root, subdir)
-    # The write and the stats agg are two actions over the same plan;
-    # persist around them so an expensive upstream (e.g. the COW merge
-    # join) executes once, not twice.
-    df = df.persist()
-    try:
-        df.repartition("g").write.mode("errorifexists").partitionBy(
-            "g"
-        ).parquet(out)
+    df.repartition("g").write.mode("errorifexists").partitionBy(
+        "g"
+    ).parquet(out)
+    # Per-file stats come from the just-written parquet FOOTERS (r13,
+    # guide §1.2 "don't compute things you throw away" / §5 driver
+    # rules): the footer already carries exact row counts and min/max
+    # per column chunk, so the former second Spark action (persist +
+    # groupBy("g") agg + collect) was recomputing metadata the write
+    # had just serialized. Footer decode is a driver-side metadata
+    # read, O(files) and bytes-tiny — the same read any table-format
+    # writer's stats collector performs — and dropping the second
+    # action also drops the persist that existed only to protect it.
+    # Every stat column in the repo is a plain INT32/INT64 (exact,
+    # untruncated footer stats); anything else falls back to an
+    # aggregation over the written files (scans only written bytes —
+    # never re-executes the upstream plan).
+    stats = _stats_from_footers(out, cols)
+    if stats is None:
+        spark = df.sparkSession
         aggs = [F.count(F.lit(1)).alias("rows")]
         for c in cols:
             aggs += [F.min(c).alias(f"mn_{c}"), F.max(c).alias(f"mx_{c}")]
-        stats = (
-            df.groupBy("g")
+        rows = (
+            spark.read.parquet(out)
+            .groupBy("g")
             .agg(*aggs)
             .collect()  # driver-scalar: one row per FILE (bounded grouping domain), metadata not data
         )
-    finally:
-        df.unpersist()
+        stats = [
+            (
+                f"g={r['g']}",
+                r["rows"],
+                [(r[f"mn_{c}"], r[f"mx_{c}"]) for c in cols],
+            )
+            for r in sorted(rows, key=lambda r: str(r["g"]))
+        ]
     return [
         {
-            "path": f"{subdir}/g={r['g']}",
-            "rows": r["rows"],
+            "path": f"{subdir}/{gdir}",
+            "rows": n,
             **{
                 k: v
-                for c in cols
-                for k, v in (
-                    (f"min_{c}", r[f"mn_{c}"]),
-                    (f"max_{c}", r[f"mx_{c}"]),
-                )
+                for c, (mn, mx) in zip(cols, mm)
+                for k, v in ((f"min_{c}", mn), (f"max_{c}", mx))
             },
         }
-        for r in sorted(stats, key=lambda r: str(r["g"]))
+        for gdir, n, mm in stats
     ]
+
+
+def _stats_from_footers(
+    out: str, cols: tuple[str, ...]
+) -> list[tuple[str, int, list[tuple]]] | None:
+    """(g-dirname, rows, [(min, max) per stat col]) per partition dir,
+    decoded from parquet footers only; None when the footers cannot
+    faithfully restate the Spark aggregation (non-integer physical
+    type, missing/absent statistics — e.g. all-null chunks, or string
+    stats, which parquet may truncate)."""
+    import pyarrow.parquet as pq
+
+    try:
+        gdirs = sorted(
+            d for d in os.listdir(out) if d.startswith("g=")
+        )
+        result = []
+        for gdir in gdirs:
+            dpath = os.path.join(out, gdir)
+            files = sorted(
+                f for f in os.listdir(dpath) if f.endswith(".parquet")
+            )
+            if not files:
+                return None
+            rows = 0
+            mm: list[list] = [[None, None] for _ in cols]
+            for fname in files:
+                md = pq.ParquetFile(os.path.join(dpath, fname)).metadata
+                rows += md.num_rows
+                idx = {
+                    md.schema.column(i).name: i
+                    for i in range(md.num_columns)
+                }
+                for ci, c in enumerate(cols):
+                    if c not in idx:
+                        return None
+                    col = md.schema.column(idx[c])
+                    if col.physical_type not in ("INT32", "INT64") or str(
+                        getattr(col.logical_type, "type", "NONE")
+                    ) not in ("NONE", "INT"):
+                        return None
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx[c]).statistics
+                        if st is None or not st.has_min_max:
+                            return None
+                        lo, hi = mm[ci]
+                        mm[ci] = [
+                            st.min if lo is None else min(lo, st.min),
+                            st.max if hi is None else max(hi, st.max),
+                        ]
+            result.append((gdir, rows, [tuple(p) for p in mm]))
+        return result
+    except OSError:
+        return None

@@ -888,3 +888,62 @@ def test_auto_delete_forces_each_branch(spark):
     assert [a["kind"] for a in doc["add"]] == ["eq_delete"]
     assert "equality_deletes" in doc["meta"]["protocol"]["features"]
     assert tx.read().count() == before - n_dense - n_sparse
+
+
+def test_write_grouped_footer_stats_match_spark_agg(spark, tmp_path):
+    """r13: write_grouped derives per-file stats from the written
+    parquet FOOTERS (zero extra Spark actions). Parity-pin the footer
+    decode against the Spark aggregation it replaced, on a frame with
+    negative values, an empty-ish group, and both int widths."""
+    from pyspark.sql import functions as F
+
+    from logdb_spark.tablefmt import _stats_from_footers, write_grouped
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 7).alias("g"),
+        (F.col("id") * 3 - 1500).alias("k"),          # bigint, negatives
+        (F.col("id") % 97).cast("int").alias("k32"),  # int32
+    )
+    root = str(tmp_path)
+    adds = write_grouped(df, root, "data1", ("k", "k32"))
+
+    expect = {
+        f"data1/g={r['g']}": r
+        for r in df.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.min("k32").alias("min_k32"),
+            F.max("k32").alias("max_k32"),
+        )
+        .collect()
+    }
+    assert len(adds) == 7
+    for a in adds:
+        e = expect[a["path"]]
+        assert a["rows"] == e["rows"]
+        assert a["min_k"] == e["min_k"] and a["max_k"] == e["max_k"]
+        assert (
+            a["min_k32"] == e["min_k32"] and a["max_k32"] == e["max_k32"]
+        )
+        assert isinstance(a["min_k"], int) and isinstance(a["min_k32"], int)
+
+    # The footer path (not the fallback) must have produced these.
+    assert _stats_from_footers(
+        os.path.join(root, "data1"), ("k", "k32")
+    ) is not None
+    # Non-integer stat column → footer path declines (string stats may
+    # be truncated); the caller falls back to the file-scan agg.
+    df2 = df.withColumn("s", F.concat(F.lit("x"), F.col("k")))
+    adds2 = write_grouped(df2, root, "data2", "s")
+    assert _stats_from_footers(os.path.join(root, "data2"), ("s",)) is None
+    got = {a["path"]: a for a in adds2}
+    e2 = {
+        f"data2/g={r['g']}": r
+        for r in df2.groupBy("g")
+        .agg(F.min("s").alias("mn"), F.max("s").alias("mx"))
+        .collect()
+    }
+    for p, a in got.items():
+        assert a["min_s"] == e2[p]["mn"] and a["max_s"] == e2[p]["mx"]
