@@ -263,23 +263,36 @@ def main() -> int:
     names = [n for n in sorted(ops) if not only or n in only]
 
     # Committed twin for the outlier re-measure pass (VERDICT r12
-    # task #2): read the PRE-RUN BENCH_DETAIL.json — in the driver's
-    # official run that file is the builder's gate-clean measurement
-    # of the same code at git HEAD. Read before the suite overwrites
-    # it at the end.
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
+    # task #2): read the PRE-RUN detail — in the driver's official run
+    # that file is the builder's gate-clean measurement of the same
+    # code at git HEAD. Read before the suite overwrites it at the end.
+    #
+    # Per-config sidecars (VERDICT r13 task #2): r13's 8-core run
+    # overwrote the 32-core run's `remeasured` evidence because both
+    # configs shared one file. Each full-suite run now writes
+    # BENCH_DETAIL_c{cpus}.json; BENCH_DETAIL.json stays the full-host
+    # (32c here) canonical. The twin lookup only ever compares
+    # same-cpus, same-sf medians — an 8-core median is not a valid 2×
+    # outlier reference for a 32-core run or vice versa.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count()))
+    base_dir = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(base_dir, "BENCH_DETAIL.json")
+    config_path = os.path.join(base_dir, f"BENCH_DETAIL_c{cpus}.json")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf_dir
-    try:
-        with open(detail_path) as f:
-            prior = json.load(f)
-        # Only a same-sf twin is comparable; a map from another scale
-        # factor would trigger mass re-measures (or mask real ones).
-        twin = prior.get("queries", {}) if prior.get("sf") == sf_val else {}
-    except (OSError, ValueError):
-        twin = {}
+    twin = {}
+    for path in (config_path, detail_path):
+        try:
+            with open(path) as f:
+                prior = json.load(f)
+        except (OSError, ValueError):
+            continue
+        # Only a same-sf, same-cpus twin is comparable; a map from
+        # another scale factor or core count would trigger mass
+        # re-measures (or mask real ones).
+        if prior.get("sf") == sf_val and prior.get("cpus") == cpus:
+            twin = prior.get("queries", {})
+            break
 
     def execute(name: str) -> None:
         ops[name].fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -336,18 +349,24 @@ def main() -> int:
         "queries": timings,
         "sf": sf_val,
         "n_queries": len(timings),
-        "cpus": os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count())),
+        "cpus": cpus,
         "runs_per_query": runs,
         "quiesce_start": quiesce,
         "quiesce_end": _end_quiescence(),
         "remeasured": remeasured,
     }
-    # A name-filtered run (debug/smoke) must not clobber the sidecar:
-    # the committed BENCH_DETAIL.json is the full-suite gated twin the
-    # outlier re-measure pass compares against.
+    # A name-filtered run (debug/smoke) must not clobber the sidecars:
+    # the committed details are the full-suite gated twins the outlier
+    # re-measure pass compares against. Full-suite runs write their
+    # per-config sidecar always, and the canonical BENCH_DETAIL.json
+    # only when this run IS the full-host config — a reduced-core run
+    # can no longer destroy the canonical run's remeasure evidence.
     if not only:
-        with open(detail_path, "w") as f:
+        with open(config_path, "w") as f:
             json.dump(detail, f, indent=1, sort_keys=True)
+        if cpus == str(os.cpu_count()):
+            with open(detail_path, "w") as f:
+                json.dump(detail, f, indent=1, sort_keys=True)
     # Full-suite runs keep stdout under the driver's ~2.2 KB capture by
     # reporting top-10 only (full map in the sidecar). Name-filtered
     # debug/A-B runs have no sidecar, so emit every timed op instead.
@@ -366,7 +385,7 @@ def main() -> int:
             "n_queries": len(timings),
             "n_remeasured": len(remeasured),
             "quiesce": quiesce,
-            "detail": "BENCH_DETAIL.json",
+            "detail": os.path.basename(config_path),
         },
         separators=(",", ":"),
     )

@@ -38,6 +38,29 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
 
+# Static (SparkConf-only) confs for sessions WE build — get_spark and
+# the profiling tools. Not runtime-settable, so configure() cannot
+# apply them to a driver-owned session; none of them affect results.
+STATIC_CONFS: dict[str, str] = {
+    # r14 (guide §2.2/§7.3): thread dumps of the 32-core bench showed
+    # 24/31 executor threads RUNNABLE inside FileChannelImpl.map0 —
+    # BypassMergeSortShuffleWriter writes one file PER REDUCE PARTITION
+    # per map task and then concatenates them with transferTo, which
+    # mmaps every source file; 32 concurrent tasks × 64 reduce
+    # partitions serialize on the kernel's per-process mmap lock
+    # (stage profile: 135 s task wall, 18 s CPU, zero GC/fetch).
+    # Lowering the bypass threshold routes R>8 shuffles through the
+    # serialized sort writer: ONE output file per map task, no
+    # per-partition concat. Measured: log_triangle_count 5.8→3.2 s,
+    # sample_dedup_weights 6.3→3.6 s at 32c. Scale-correct, not a
+    # local[32] trick: at production reduce-partition counts (>200)
+    # the bypass writer never fires at all, and M×R intermediate-file
+    # explosion is the documented reason sort-based shuffle exists —
+    # this conf only changes the small-R regime, in the direction of
+    # fewer, larger files (§2.2, §6).
+    "spark.shuffle.sort.bypassMergeThreshold": "8",
+}
+
 
 def configure(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to an existing session (idempotent)."""
@@ -73,6 +96,6 @@ def get_spark(app_name: str = "logdb-spark") -> SparkSession:
         # stdout, and the JVM's console progress bar writes there.
         .config("spark.ui.showConsoleProgress", "false")
     )
-    for k, v in RUNTIME_CONFS.items():
+    for k, v in {**STATIC_CONFS, **RUNTIME_CONFS}.items():
         builder = builder.config(k, v)
     return configure(builder.getOrCreate())

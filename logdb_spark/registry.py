@@ -58,69 +58,16 @@ class Operator:
 _REGISTRY: dict[str, Operator] = {}
 _LOADED = False
 
-# Driver-gate coverage rotation, refreshed for round 13 (VERDICT r12
-# task #3). The driver correctness report caps at 50 enumeration
+# Driver-gate coverage rotation, refreshed for round 14 (VERDICT r13
+# task #9). The driver correctness report caps at 50 enumeration
 # entries per round, so enumeration order IS evidence budget. The
 # tuple below is `python -m tools.staleness --tuple` output verbatim
-# (stale-first from the CORRECTNESS_r*.json ledger): the two ops born
-# in r13 (never sampled, oracles from birth) head the list, then the
-# 24 operators whose freshest hash-green driver row is still round 4,
-# then the oldest of the r5 bucket. 2 + 24 = 26, so the 50-cap
-# samples all of those plus the first 24 r5 ops — after this round no
-# operator's driver evidence is older than r5, and one more rotation
-# retires the staleness asterisk entirely (the r4 tail ends HERE).
-# Regenerate after the r13 report lands.
-_R13_NEEDS_ROW_FIRST = (
-    "stream_table_cdf_mor",  # never
-    "table_delete_cost_router",  # never
-    "sink_python_datasource",  # r4
-    "sink_sorted_parquet",  # r4
-    "sql_q12_priority_shipments",  # r4
-    "sql_q13_order_distribution",  # r4
-    "sql_q14_promo_revenue",  # r4
-    "sql_q15_top_supplier",  # r4
-    "sql_q17_small_qty_revenue",  # r4
-    "sql_q18_large_orders",  # r4
-    "sql_q19_bracket_revenue",  # r4
-    "sql_q21_waiting_suppliers",  # r4
-    "sql_q22_idle_customers",  # r4
-    "sql_q4_order_priority",  # r4
-    "sql_q6_forecast_revenue",  # r4
-    "sql_q7_volume_shipping",  # r4
-    "sql_q8_market_share",  # r4
-    "stream_python_datasource",  # r4
-    "text_decontaminate",  # r4
-    "text_repetition_score",  # r4
-    "text_span_dedup",  # r4
-    "text_stopword_scrub",  # r4
-    "udtf_parse_keyvals",  # r4
-    "win_gap_islands",  # r4
-    "win_ntile_percent",  # r4
-    "win_rolling_median",  # r4
-    "agg_bitmap_distinct",  # r5
-    "agg_corr_regression",  # r5
-    "agg_entropy",  # r5
-    "agg_gini_revenue",  # r5
-    "agg_histogram_logscale",  # r5
-    "agg_skew_kurtosis",  # r5
-    "agg_weighted_stats",  # r5
-    "dedup_fuzzy_edit",  # r5
-    "fn_null_suite",  # r5
-    "fn_struct_suite",  # r5
-    "fn_try_suite",  # r5
-    "fn_url_suite",  # r5
-    "fn_variant_json",  # r5
-    "ingest_csv_permissive",  # r5
-    "ingest_fixed_width",  # r5
-    "ingest_multiline_records",  # r5
-    "ingest_syslog_priority",  # r5
-    "ingest_text_file",  # r5
-    "join_asof_forward",  # r5
-    "join_bloom_prefilter",  # r5
-    "join_lateral_topn",  # r5
-    "join_reconciliation_audit",  # r5
-    "log_alert_suppress",  # r5
-    "log_apdex_score",  # r5
+# (stale-first from the CORRECTNESS_r*.json ledger): the r13 rotation
+# retired the r4 tail, so the head is now the remaining r5 bucket
+# (26 ops) followed by the oldest of the r7 bucket. The 50-cap
+# samples all 26 r5 ops plus the first 24 r7 ops — after this round
+# no operator's driver evidence is older than r7.
+_R14_NEEDS_ROW_FIRST = (
     "log_change_point",  # r5
     "log_cohort_ltv",  # r5
     "log_error_budget_burndown",  # r5
@@ -131,11 +78,62 @@ _R13_NEEDS_ROW_FIRST = (
     "log_user_growth_curve",  # r5
     "mm_multipart_assembly",  # r5
     "sample_importance_weighted",  # r5
+    "sample_mixture_weights",  # r5
+    "sample_shard_budget",  # r5
+    "scan_dynamic_partition_pruning",  # r5
+    "scan_partition_pruned",  # r5
+    "set_except_all",  # r5
+    "set_intersect_all",  # r5
+    "sql_recursive_spike_chain",  # r5
+    "stream_upsert_latest",  # r5
+    "text_bigram_lm",  # r5
+    "text_chunk_splitter",  # r5
+    "text_oov_rate",  # r5
+    "text_search_ranked",  # r5
+    "win_ewma",  # r5
+    "win_percent_of_total",  # r5
+    "win_running_distinct",  # r5
+    "win_vwap_running",  # r5
+    "agg_count_min_sketch",  # r7
+    "agg_heavy_hitters_twopass",  # r7
+    "agg_listagg_ordered",  # r7
+    "embed_covariance_pairs",  # r7
+    "embed_dim_stats",  # r7
+    "embed_matryoshka_recall",  # r7
+    "fn_collation_suite",  # r7
+    "fn_interval_suite",  # r7
+    "ingest_xml_records",  # r7
+    "join_asof_interpolate",  # r7
+    "join_grid_spatial",  # r7
+    "log_ab_lift",  # r7
+    "log_backfill_detect",  # r7
+    "log_cusum_drift",  # r7
+    "log_decayed_rate",  # r7
+    "log_flap_detect",  # r7
+    "log_k_anonymity",  # r7
+    "log_p99_trend",  # r7
+    "log_pagerank_influence",  # r7
+    "log_rolling_wau",  # r7
+    "log_sequence_pattern",  # r7
+    "log_triangle_count",  # r7
+    "log_user_lifecycle_stages",  # r7
+    "sample_poisson_bootstrap",  # r7
+    "scan_aggregate_pushdown",  # r7
+    "scan_catalog_stats",  # r7
+    "scan_time_travel",  # r7
+    "set_union_by_name_evolution",  # r7
+    "sim_mmr_diversify",  # r7
+    "sink_python_stream_datasource",  # r7
+    "sink_zorder_layout",  # r7
+    "sql_parameterized",  # r7
+    "sql_pivot_clause",  # r7
+    "sql_q11_important_stock",  # r7
 )
 
 
+
 def _enumeration_order(ops: dict[str, Operator]) -> list[str]:
-    priority = {n: i for i, n in enumerate(_R13_NEEDS_ROW_FIRST)}
+    priority = {n: i for i, n in enumerate(_R14_NEEDS_ROW_FIRST)}
     # Stable sort: the explicit stale-first priority head, then
     # registration (module build-phase) order for everything else.
     return sorted(ops, key=lambda n: (0, priority[n]) if n in priority

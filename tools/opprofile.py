@@ -33,6 +33,7 @@ def main() -> int:
 
     from logdb_spark.plans.session import (
         RUNTIME_CONFS,
+        STATIC_CONFS,
         default_shuffle_partitions,
     )
 
@@ -49,7 +50,7 @@ def main() -> int:
         .config("spark.eventLog.rolling.enabled", "false")
         .config("spark.eventLog.dir", evdir)
     )
-    for k, v in RUNTIME_CONFS.items():
+    for k, v in {**STATIC_CONFS, **RUNTIME_CONFS}.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
 
