@@ -1143,11 +1143,17 @@ def stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             vst = {"overflow": False, "tokens": []}
         if not vst["overflow"]:
+            # limit().collect() instead of take(): take() probes
+            # partitions with escalating jobs (2 jobs per batch
+            # profiled on this 31-token corpus — the first partition
+            # never yields 66 distinct rows); a limited collect is ONE
+            # bounded job with the identical ≤66-row transfer (r14).
             new_toks = [
                 r["t"]
                 for r in new_docs.select(F.explode("toks").alias("t"))
                 .distinct()
-                .take(66)
+                .limit(66)
+                .collect()
             ]
             union = set(vst["tokens"]) | set(new_toks)
             if len(new_toks) >= 65 or len(union) > 64:
